@@ -497,7 +497,7 @@ def _derive_tables():
         # reproject both points onto face f
         _, x0, y0 = _geo_to_hex2d(lat0, lng0, 0, face=np.array([f]))
         _, x1, y1 = _geo_to_hex2d(lat1, lng1, 0, face=np.array([f]))
-        beta = math.degrees(math.atan2(float(y1 - y0), float(x1 - x0)))
+        beta = math.degrees(math.atan2(float(y1[0] - y0[0]), float(x1[0] - x0[0])))
         n = int(round(-beta / 60.0)) % 6
         resid = -beta - 60.0 * round(-beta / 60.0)
         return n, resid
