@@ -1,0 +1,379 @@
+"""Vectorized geometry kernel (NumPy): point-in-polygon, distances,
+polyfill, polygon statistics, simplification.
+
+Replaces the reference's shapely/geopandas usage (not installable here):
+- PIP: shape.py:355-387 (point_within_shape / sjoin) -> ray casting
+- polyfill: shape.py:482-520 (h3.polyfill per polygon, centroid
+  containment, coords pre-reversed to (lat,lng)) -> sample-grid polyfill
+  over the h3core kernel, same centroid-containment semantics
+- buffer: geomesh.py:1318-1329 (get_buffer: sqrt(cell_km2/pi)/110*1.5 deg
+  for res>=2) -> distance-to-boundary test == round-join polygon buffer
+- radius predicate: geomesh.py:1252-1299 spherical law of cosines with
+  the reference's EXACT constants 0.0175 (not pi/180) and R=6371
+- stats: shape.py:74-155 -> planar polygon metrics
+- simplify: shape.py:180-198 -> Douglas-Peucker
+
+Internal convention: coordinates are (lat, lng) degrees everywhere
+(SURVEY.md F12); GeoJSON I/O converts from (lng, lat).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from . import h3core
+
+# reference constants (geomesh.py:44-48, 1290-1296)
+KM_PER_DEGREE = 110.0
+MIN_LAT = -60.0
+MAX_LAT = 85.0
+REF_DEG2RAD = 0.0175          # geomesh.py radius SQL constant (not pi/180)
+REF_EARTH_RADIUS_KM = 6371.0
+EARTH_CIRCUMFERENCE_KM = 40075.0
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+def reference_radius_km(lat, lng, center_lat, center_lng):
+    """great-circle distance with the reference's exact formula and
+    constants (geomesh.py:1290-1296): spherical law of cosines with
+    deg->rad factor 0.0175 and R=6371. Used for radius-query parity."""
+    lat = np.asarray(lat, dtype=np.float64) * REF_DEG2RAD
+    lng = np.asarray(lng, dtype=np.float64) * REF_DEG2RAD
+    clat = center_lat * REF_DEG2RAD
+    clng = center_lng * REF_DEG2RAD
+    d = np.sin(lat) * math.sin(clat) + np.cos(lat) * math.cos(clat) * np.cos(
+        clng - lng)
+    return np.arccos(np.clip(d, -1.0, 1.0)) * REF_EARTH_RADIUS_KM
+
+
+def haversine_km(lat1, lng1, lat2, lng2):
+    la1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lo1 = np.radians(np.asarray(lng1, dtype=np.float64))
+    la2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lo2 = np.radians(np.asarray(lng2, dtype=np.float64))
+    a = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(
+        (lo2 - lo1) / 2) ** 2
+    return 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+
+
+def min_radius_km(res):
+    """minimum radius allowed for an h3 radius query at `res`: the hexagon
+    side for the average cell area (geomesh.py:1225-1250)."""
+    area = h3core.AVG_CELL_AREA_KM2[res]
+    return math.sqrt(2 * area / (3 * math.sqrt(3)))
+
+
+def get_buffer_deg(res):
+    """shapefile polyfill pre-buffer width in degrees (geomesh.py:1318-1329):
+    sqrt(cell_km2/pi)/110 * 1.5 for res >= 2, else 0."""
+    if res < 2:
+        return 0.0
+    return math.sqrt(h3core.AVG_CELL_AREA_KM2[res] / math.pi) / KM_PER_DEGREE * 1.5
+
+
+# ---------------------------------------------------------------------------
+# polygons: packed multipolygon representation
+# ---------------------------------------------------------------------------
+
+class PackedPolygons:
+    """N named (multi)polygons packed into flat NumPy arrays, suitable for
+    broadcasting to Spark executors.
+
+    rings: (V, 2) float64 (lat, lng) vertices, each ring closed implicitly
+    ring_start/ring_end: per-ring slices into rings
+    ring_poly: polygon index per ring
+    ring_hole: bool per ring (True = interior hole)
+    names: per-polygon names (region filter, shape.py:311-312)
+    """
+
+    def __init__(self, coords, ring_start, ring_end, ring_poly, ring_hole,
+                 names):
+        self.coords = np.asarray(coords, dtype=np.float64)
+        self.ring_start = np.asarray(ring_start, dtype=np.int64)
+        self.ring_end = np.asarray(ring_end, dtype=np.int64)
+        self.ring_poly = np.asarray(ring_poly, dtype=np.int64)
+        self.ring_hole = np.asarray(ring_hole, dtype=bool)
+        self.names = list(names)
+
+    @property
+    def n_polys(self):
+        return len(self.names)
+
+    @classmethod
+    def from_latlng_rings(cls, polys, names=None):
+        """polys: list of polygons; each polygon = list of rings; each ring =
+        (K,2) array-like of (lat, lng); first ring = shell, rest = holes."""
+        coords, rs, re, rp, rh = [], [], [], [], []
+        pos = 0
+        for p, rings in enumerate(polys):
+            for rn, ring in enumerate(rings):
+                ring = np.asarray(ring, dtype=np.float64)
+                if np.allclose(ring[0], ring[-1]):
+                    ring = ring[:-1]
+                coords.append(ring)
+                rs.append(pos)
+                pos += len(ring)
+                re.append(pos)
+                rp.append(p)
+                rh.append(rn > 0)
+        names = names if names is not None else [f"poly{p}" for p in
+                                                 range(len(polys))]
+        return cls(np.concatenate(coords), rs, re, rp, rh, names)
+
+    @classmethod
+    def from_geojson(cls, obj_or_path):
+        """GeoJSON FeatureCollection / Feature / geometry with Polygon or
+        MultiPolygon geometries; GeoJSON is (lng, lat) -> converts."""
+        if isinstance(obj_or_path, str):
+            with open(obj_or_path) as fh:
+                obj = json.load(fh)
+        else:
+            obj = obj_or_path
+        feats = (obj.get("features") if obj.get("type") == "FeatureCollection"
+                 else [obj])
+        polys, names = [], []
+        for f in feats:
+            geom = f.get("geometry", f)
+            props = f.get("properties") or {}
+            name = props.get("name", f"poly{len(polys)}")
+            gtype = geom["type"]
+            if gtype == "Polygon":
+                mps = [geom["coordinates"]]
+            elif gtype == "MultiPolygon":
+                mps = geom["coordinates"]
+            else:
+                continue
+            for mp in mps:
+                rings = [np.asarray(r, dtype=np.float64)[:, ::-1] for r in mp]
+                polys.append(rings)
+                names.append(name)
+        return cls.from_latlng_rings(polys, names)
+
+    def to_arrays(self):
+        return (self.coords, self.ring_start, self.ring_end, self.ring_poly,
+                self.ring_hole, self.names)
+
+    def filter_name(self, region):
+        """subset to polygons with the given name (shape.py:311-312)."""
+        keep = [p for p, n in enumerate(self.names) if n == region]
+        return self.subset(keep)
+
+    def contains_region(self, region):
+        return region in self.names
+
+    def subset(self, poly_ids):
+        pid = set(poly_ids)
+        remap = {p: n for n, p in enumerate(poly_ids)}
+        coords, rs, re, rp, rh = [], [], [], [], []
+        pos = 0
+        for r in range(len(self.ring_start)):
+            p = int(self.ring_poly[r])
+            if p not in pid:
+                continue
+            ring = self.coords[self.ring_start[r]:self.ring_end[r]]
+            coords.append(ring)
+            rs.append(pos)
+            pos += len(ring)
+            re.append(pos)
+            rp.append(remap[p])
+            rh.append(bool(self.ring_hole[r]))
+        return PackedPolygons(
+            np.concatenate(coords) if coords else np.zeros((0, 2)),
+            rs, re, rp, rh, [self.names[p] for p in poly_ids])
+
+    def bounds(self):
+        """(lat_min, lat_max, lng_min, lng_max) over all shells."""
+        return (self.coords[:, 0].min(), self.coords[:, 0].max(),
+                self.coords[:, 1].min(), self.coords[:, 1].max())
+
+    def bounds_per_poly(self):
+        out = np.zeros((self.n_polys, 4))
+        out[:, 0] = np.inf
+        out[:, 2] = np.inf
+        out[:, 1] = -np.inf
+        out[:, 3] = -np.inf
+        for r in range(len(self.ring_start)):
+            p = int(self.ring_poly[r])
+            ring = self.coords[self.ring_start[r]:self.ring_end[r]]
+            out[p, 0] = min(out[p, 0], ring[:, 0].min())
+            out[p, 1] = max(out[p, 1], ring[:, 0].max())
+            out[p, 2] = min(out[p, 2], ring[:, 1].min())
+            out[p, 3] = max(out[p, 3], ring[:, 1].max())
+        return out
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (vectorized ray casting, planar lat/lng like shapely)
+# ---------------------------------------------------------------------------
+
+def points_in_polys(lat, lng, packed: PackedPolygons):
+    """(N,) x polygons -> (N,) bool: point inside ANY polygon of the set
+    (shell minus holes). Planar even-odd ray casting on the lng axis."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    inside_poly = np.zeros((lat.shape[0], packed.n_polys), dtype=bool)
+    crossings = np.zeros((lat.shape[0], packed.n_polys), dtype=np.int64)
+    for r in range(len(packed.ring_start)):
+        ring = packed.coords[packed.ring_start[r]:packed.ring_end[r]]
+        p = int(packed.ring_poly[r])
+        y1 = ring[:, 0]
+        x1 = ring[:, 1]
+        y2 = np.roll(y1, -1)
+        x2 = np.roll(x1, -1)
+        # ray toward +lng at constant lat; count edge crossings
+        # condition: edge straddles the point's lat, intersection lng > lng
+        la = lat[:, None]
+        lo = lng[:, None]
+        straddle = (y1[None, :] > la) != (y2[None, :] > la)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (la - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+                x2[None, :] - x1[None, :])
+        hit = straddle & (xint > lo)
+        crossings[:, p] += hit.sum(axis=1)
+    inside_poly = (crossings % 2) == 1
+    return inside_poly.any(axis=1)
+
+
+def points_to_boundary_deg(lat, lng, packed: PackedPolygons):
+    """(N,) min planar distance (degrees) from each point to any polygon
+    boundary segment. Used to emulate round-join buffering."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    best = np.full(lat.shape[0], np.inf)
+    for r in range(len(packed.ring_start)):
+        ring = packed.coords[packed.ring_start[r]:packed.ring_end[r]]
+        y1 = ring[:, 0]; x1 = ring[:, 1]
+        y2 = np.roll(y1, -1); x2 = np.roll(x1, -1)
+        dy = y2 - y1; dx = x2 - x1
+        seg2 = dy * dy + dx * dx
+        seg2 = np.where(seg2 == 0, 1e-300, seg2)
+        py = lat[:, None] - y1[None, :]
+        px = lng[:, None] - x1[None, :]
+        t = np.clip((py * dy[None, :] + px * dx[None, :]) / seg2[None, :], 0, 1)
+        ddy = py - t * dy[None, :]
+        ddx = px - t * dx[None, :]
+        d2 = ddy * ddy + ddx * ddx
+        best = np.minimum(best, np.sqrt(d2.min(axis=1)))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# polyfill (centroid containment + optional buffer), reference semantics
+# ---------------------------------------------------------------------------
+
+def polyfill(packed: PackedPolygons, res, buffer_deg=0.0, world_clip=True):
+    """cells whose centroid lies in the polygons (or within buffer_deg of
+    their boundary = round-join buffer, matching shapely buffer +
+    h3.polyfill centroid semantics of shape.py:496-520). World-clipped to
+    lat in [-60, 85] like geomesh.py:47-48 when world_clip."""
+    la_min, la_max, lo_min, lo_max = packed.bounds()
+    la_min -= buffer_deg
+    la_max += buffer_deg
+    lo_min -= buffer_deg
+    lo_max += buffer_deg
+    if world_clip:
+        la_min = max(la_min, MIN_LAT)
+        la_max = min(la_max, MAX_LAT)
+    if la_min > la_max:
+        return np.empty(0, dtype=np.uint64)
+    cand = h3core.polyfill_candidates(la_min, la_max, lo_min, lo_max, res)
+    clat, clng = h3core.cell_to_latlng(cand)
+    if world_clip:
+        keep = (clat >= MIN_LAT) & (clat <= MAX_LAT)
+        cand, clat, clng = cand[keep], clat[keep], clng[keep]
+    # bbox prefilter before the exact tests
+    keep = ((clat >= la_min) & (clat <= la_max)
+            & (clng >= lo_min) & (clng <= lo_max))
+    cand, clat, clng = cand[keep], clat[keep], clng[keep]
+    inside = points_in_polys(clat, clng, packed)
+    if buffer_deg > 0:
+        near = points_to_boundary_deg(clat, clng, packed) <= buffer_deg
+        inside = inside | near
+    return cand[inside]
+
+
+# ---------------------------------------------------------------------------
+# polygon statistics (A1/A2: shape.py:74-155) - planar like shapely defaults
+# ---------------------------------------------------------------------------
+
+def ring_area_perimeter(ring):
+    """planar shoelace area (abs) and perimeter of a (K,2) lat/lng ring."""
+    y = ring[:, 0]; x = ring[:, 1]
+    x2 = np.roll(x, -1); y2 = np.roll(y, -1)
+    area = 0.5 * abs(float(np.sum(x * y2 - x2 * y)))
+    per = float(np.sum(np.sqrt((x2 - x) ** 2 + (y2 - y) ** 2)))
+    return area, per
+
+
+def polygon_stats(packed: PackedPolygons):
+    """per-polygon vertex count, area (shell - holes), perimeter (shell),
+    area/perimeter ratio, shape index P/(2*sqrt(pi*A)), hole count
+    (shape.py:92-155)."""
+    out = []
+    for p in range(packed.n_polys):
+        verts = 0
+        area = 0.0
+        perim = 0.0
+        holes = 0
+        for r in range(len(packed.ring_start)):
+            if int(packed.ring_poly[r]) != p:
+                continue
+            ring = packed.coords[packed.ring_start[r]:packed.ring_end[r]]
+            a, pe = ring_area_perimeter(ring)
+            verts += len(ring)
+            if packed.ring_hole[r]:
+                holes += 1
+                area -= a
+            else:
+                area += a
+                perim += pe
+        shape_idx = perim / (2.0 * math.sqrt(math.pi * area)) if area > 0 else 0.0
+        out.append({
+            "name": packed.names[p], "num_vertices": verts, "area": area,
+            "perimeter": perim,
+            "area_perimeter_ratio": area / perim if perim else 0.0,
+            "shape_index": shape_idx, "num_holes": holes,
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker simplification (F9: shape.py:180-198)
+# ---------------------------------------------------------------------------
+
+def douglas_peucker(ring, tolerance):
+    """iterative DP on a (K,2) open ring; returns simplified open ring."""
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    if n < 4 or tolerance <= 0:
+        return ring
+    closed = np.vstack([ring, ring[:1]])
+    keep = np.zeros(len(closed), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(closed) - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = closed[a + 1:b]
+        ay, ax = closed[a]
+        by, bx = closed[b]
+        dy, dx = by - ay, bx - ax
+        L = math.hypot(dy, dx)
+        if L == 0:
+            d = np.hypot(seg[:, 0] - ay, seg[:, 1] - ax)
+        else:
+            d = np.abs(dy * (seg[:, 1] - ax) - dx * (seg[:, 0] - ay)) / L
+        m = int(np.argmax(d))
+        if d[m] > tolerance:
+            keep[a + 1 + m] = True
+            stack.append((a, a + 1 + m))
+            stack.append((a + 1 + m, b))
+    out = closed[keep][:-1]
+    return out if len(out) >= 3 else ring

@@ -1019,3 +1019,91 @@ CELLS_AT_RESOLUTION = [2 + 120 * 7 ** r for r in range(16)]
 # from sphere area (R=6371.0088 km) / cell count
 _EARTH_AREA_KM2 = 4.0 * math.pi * 6371.0088 ** 2
 AVG_CELL_AREA_KM2 = [_EARTH_AREA_KM2 / c for c in CELLS_AT_RESOLUTION]
+
+
+# ---------------------------------------------------------------------------
+# k-ring / grid disk (SURVEY.md F6) and polyfill support
+# ---------------------------------------------------------------------------
+
+def _disk_offsets(k):
+    """all ijk offsets with hex grid distance <= k, as 2D axial (a, b) =
+    (i - k, j - k) integer vectors; 1 + 3k(k+1) of them."""
+    offs = []
+    for a in range(-k, k + 1):
+        for b in range(-k, k + 1):
+            # hex distance in axial coords
+            if max(abs(a), abs(b), abs(a - b)) <= k:
+                offs.append((a, b))
+    return np.array(offs, dtype=np.float64)
+
+
+# empirical global minimum center-to-neighbor distance per res (km), used
+# for sampling guarantees; min inradius >= min_neighbor_dist / 2
+_EDGE_KM_RES0 = 1281.256011  # res-0 max edge; scaled by sqrt(7) per res
+
+
+def min_inradius_km(res):
+    """conservative global lower bound on cell inradius at `res`."""
+    # hexagon inradius = edge * sqrt(3)/2; cells shrink by sqrt(7)/res and
+    # distort down to ~0.83x near face boundaries; 0.5 is a safe floor
+    return _EDGE_KM_RES0 * (7.0 ** (-res / 2.0)) * 0.5
+
+
+def k_ring(h, k):
+    """grid disk: all cells within grid distance k of each input cell.
+
+    Returns (N, 1+3k(k+1)) uint64 array (may contain duplicates of the
+    origin near pentagons, where the distance-k disk is smaller).
+
+    Implementation: lattice offsets in the owning face's hex plane,
+    re-indexed through latlng_to_cell. Exact within a face; near icosa
+    edges the re-indexing keeps results valid cells (the rare off-by-one
+    ring membership at extreme distortion is documented; the reference
+    itself never calls k_ring - SURVEY.md F6).
+    """
+    h = np.asarray(h, dtype=np.uint64).ravel()
+    res = int(get_resolution(h[:1])[0])
+    lat, lng = cell_to_latlng(h)
+    latr = np.radians(lat)
+    lngr = np.radians(lng)
+    face, x, y = _geo_to_hex2d(latr, lngr, res)
+    offs = _disk_offsets(k)  # (M, 2) axial
+    # axial (a, b) -> hex2d: x = a - b/2, y = b * sin60
+    ox = offs[:, 0] - offs[:, 1] / 2.0
+    oy = offs[:, 1] * M_SIN60
+    X = x[:, None] + ox[None, :]
+    Y = y[:, None] + oy[None, :]
+    F = np.repeat(face, offs.shape[0]).reshape(face.shape[0], offs.shape[0])
+    la, lo = _hex2d_to_geo(F.ravel(), X.ravel(), Y.ravel(), res)
+    cells = latlng_to_cell(np.degrees(la), np.degrees(lo), res)
+    return cells.reshape(h.shape[0], offs.shape[0])
+
+
+def grid_disk(h, k):
+    """alias matching h3-py v4 naming."""
+    return k_ring(h, k)
+
+
+def polyfill_candidates(lat_min, lat_max, lng_min, lng_max, res,
+                        max_samples=20_000_000):
+    """all cells whose centroid might lie in the given bbox: dense sample
+    grid at <= half-inradius spacing, re-indexed and deduplicated.
+
+    The sampling spacing guarantees every cell intersecting the bbox
+    contains at least one sample point, so the returned set is a superset
+    of every centroid-in-region polyfill. This is also the distributed
+    strategy: partition the sample grid across executors.
+    """
+    r_km = min_inradius_km(res)
+    step_lat = r_km / 111.32 * 0.99
+    max_abs = min(max(abs(lat_min), abs(lat_max)), 89.9)
+    step_lng = step_lat / max(math.cos(math.radians(max_abs)), 0.02)
+    lats = np.arange(lat_min - step_lat, lat_max + step_lat, step_lat)
+    lngs = np.arange(lng_min - step_lng, lng_max + step_lng, step_lng)
+    if lats.size * lngs.size > max_samples:
+        raise ValueError(
+            f"polyfill sample grid too large ({lats.size * lngs.size}); "
+            "distribute via operators.polyfill_distributed")
+    LA, LO = np.meshgrid(lats, lngs, indexing="ij")
+    cells = latlng_to_cell(LA.ravel(), LO.ravel(), res)
+    return np.unique(cells)
