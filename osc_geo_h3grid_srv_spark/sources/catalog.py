@@ -1,0 +1,294 @@
+"""Snapshot-manifest table layer + dataset metadata registry.
+
+Replaces the reference's per-dataset DuckDB files + `dataset_metadata`
+catalog (src/geoserver/metadata.py, src/geoserver/geomesh.py:1368-1369)
+with an Iceberg-style warehouse over Parquet:
+
+* immutable snapshots, atomic commit via manifest JSON + HEAD pointer
+  rename (os.replace is atomic on POSIX)
+* time travel: load(table, snapshot_id)
+* per-partition lineage + row counts + wall clock in every manifest
+  (BASELINE.json north_rule: "resumable from snapshot checkpoints with
+  per-partition lineage and metrics")
+* resume: a pipeline stage that already committed for the same input
+  lineage is skipped (see plans/pipeline.py)
+
+No Iceberg jars exist in this environment (SURVEY.md SS0.2); the layout
+keeps Iceberg's semantics (snapshot isolation, manifests listing data
+files) so a real catalog can be swapped in where jars exist.
+
+Metadata registry parity (reference semantics):
+* dataset types: h3 / point / h3_index (metadata.py:21-25)
+* column-name charset [A-Za-z0-9_] (metadata.py:83-92,275-283)
+* scalar-only column types with alias canonicalization
+  (duckdbutils.py:13-73,127-171); composite types rejected
+* duplicate registration / missing dataset raise (metadata.py:95-107)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+VALID_DATASET_TYPES = ["h3", "point", "h3_index"]
+
+# DuckDB general-purpose types + alias canonicalization
+# (reference duckdbutils.py:13-73)
+_GENERAL_TYPES = {
+    "BIGINT", "BIT", "BLOB", "BOOLEAN", "DATE", "DECIMAL", "DOUBLE",
+    "HUGEINT", "INTEGER", "INTERVAL", "REAL", "SMALLINT", "TIME",
+    "TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TINYINT", "UBIGINT",
+    "UINTEGER", "USMALLINT", "UTINYINT", "UUID", "VARCHAR",
+}
+_TYPE_ALIASES = {
+    "INT8": "BIGINT", "LONG": "BIGINT", "BITSTRING": "BIT",
+    "BYTEA": "BLOB", "BINARY": "BLOB", "VARBINARY": "BLOB",
+    "BOOL": "BOOLEAN", "LOGICAL": "BOOLEAN", "NUMERIC": "DECIMAL",
+    "FLOAT8": "DOUBLE", "INT4": "INTEGER", "INT": "INTEGER",
+    "SIGNED": "INTEGER", "FLOAT4": "REAL", "FLOAT": "REAL",
+    "INT2": "SMALLINT", "SHORT": "SMALLINT",
+    "TIMESTAMPTZ": "TIMESTAMP WITH TIME ZONE", "DATETIME": "TIMESTAMP",
+    "INT1": "TINYINT", "CHAR": "VARCHAR", "BPCHAR": "VARCHAR",
+    "TEXT": "VARCHAR", "STRING": "VARCHAR",
+}
+_COMPOSITE = ("ARRAY", "LIST", "MAP", "STRUCT", "UNION")
+_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+_TO_SPARK = {
+    "BIGINT": "long", "BIT": "binary", "BLOB": "binary",
+    "BOOLEAN": "boolean", "DATE": "date", "DECIMAL": "decimal(38,9)",
+    "DOUBLE": "double", "HUGEINT": "decimal(38,0)", "INTEGER": "int",
+    "INTERVAL": "interval day to second", "REAL": "float",
+    "SMALLINT": "short", "TIME": "string",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TINYINT": "byte", "UBIGINT": "decimal(20,0)", "UINTEGER": "long",
+    "USMALLINT": "int", "UTINYINT": "short", "UUID": "string",
+    "VARCHAR": "string",
+}
+
+
+def canonical_type(t: str) -> str:
+    """canonicalize a declared column type; raises on composite/unknown
+    (duckdbutils.py:127-171 semantics)."""
+    up = t.strip().upper()
+    base = up.split("(")[0].strip()
+    for comp in _COMPOSITE:
+        if comp in up or up.endswith("[]"):
+            raise ValueError(f"composite type not allowed: {t}")
+    if base in _TYPE_ALIASES:
+        return _TYPE_ALIASES[base]
+    if base in _GENERAL_TYPES or up in _GENERAL_TYPES:
+        return _TYPE_ALIASES.get(base, base)
+    raise ValueError(f"not a valid general column type: {t}")
+
+
+def duckdb_to_spark_type(t: str) -> str:
+    return _TO_SPARK[canonical_type(t)]
+
+
+def validate_column_name(name: str):
+    if not _NAME_RE.match(name):
+        raise ValueError(
+            f"invalid column name {name!r}: only [A-Za-z0-9_] allowed")
+
+
+class Catalog:
+    """warehouse of snapshot tables + the dataset metadata registry."""
+
+    def __init__(self, warehouse_dir: str, spark=None):
+        self.root = warehouse_dir
+        self.spark = spark
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- snapshot table layer ------------------------------------------------
+
+    def _tdir(self, table):
+        return os.path.join(self.root, table)
+
+    def _head_path(self, table):
+        return os.path.join(self._tdir(table), "HEAD")
+
+    def current_snapshot(self, table):
+        try:
+            with open(self._head_path(table)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, table, sid):
+        return os.path.join(self._tdir(table), "snapshots", f"v{sid:06d}.json")
+
+    def read_manifest(self, table, snapshot=None):
+        sid = self.current_snapshot(table) if snapshot is None else snapshot
+        if sid is None:
+            raise KeyError(f"table {table!r} has no committed snapshot")
+        with open(self._manifest_path(table, sid)) as fh:
+            return json.load(fh)
+
+    def write(self, table, df, mode="overwrite", partition_by=None,
+              lineage=None, metrics=None):
+        """write a DataFrame as a new snapshot; returns snapshot id.
+
+        mode=append: new snapshot = parent's files + new files (no rewrite).
+        Commit protocol: data to a staging dir -> manifest json ->
+        atomic HEAD rename. A crash before HEAD update leaves the previous
+        snapshot intact (resume-safe).
+        """
+        t0 = time.time()
+        tdir = self._tdir(table)
+        os.makedirs(os.path.join(tdir, "snapshots"), exist_ok=True)
+        staging = os.path.join(tdir, f"data-{uuid.uuid4().hex[:12]}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        files = self._scan_files(staging)
+        parent = self.current_snapshot(table)
+        sid = 1 if parent is None else parent + 1
+        if mode == "append" and parent is not None:
+            files = self.read_manifest(table, parent)["files"] + files
+        manifest = {
+            "table": table,
+            "snapshot_id": sid,
+            "parent_snapshot_id": parent,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "mode": mode,
+            "partition_by": partition_by or [],
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "lineage": lineage or {},
+            "metrics": dict(metrics or {}, commit_wall_clock_s=round(
+                time.time() - t0, 3)),
+        }
+        mpath = self._manifest_path(table, sid)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, mpath)
+        htmp = self._head_path(table) + ".tmp"
+        with open(htmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(htmp, self._head_path(table))
+        return sid
+
+    def _scan_files(self, staging):
+        import pyarrow.parquet as pq
+        out = []
+        for dirpath, _, names in os.walk(staging):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, self.root)
+                md = pq.ParquetFile(p).metadata
+                # hive partition values from the path
+                pvals = dict(seg.split("=", 1) for seg in
+                             os.path.relpath(dirpath, staging).split(os.sep)
+                             if "=" in seg)
+                out.append({"path": rel, "rows": md.num_rows,
+                            "bytes": os.path.getsize(p), "partition": pvals})
+        return out
+
+    def load(self, table, snapshot=None):
+        """DataFrame over exactly the manifest's files (time travel)."""
+        man = self.read_manifest(table, snapshot)
+        paths = [os.path.join(self.root, f["path"]) for f in man["files"]]
+        if not paths:
+            raise KeyError(f"snapshot of {table!r} is empty")
+        reader = self.spark.read.option("basePath", self.root)
+        df = reader.parquet(*paths)
+        # hive partition cols resolve against basePath=root, which injects
+        # no columns; re-derive partition columns from the file layout
+        if man["partition_by"]:
+            # read with per-file basePath so partition columns materialize
+            bases = {os.path.join(self.root, f["path"].split(os.sep)[0],
+                                  f["path"].split(os.sep)[1])
+                     for f in man["files"]}
+            df = None
+            for b in sorted(bases):
+                part = self.spark.read.option("basePath", b).parquet(
+                    *[p for p in paths if p.startswith(b + os.sep)])
+                df = part if df is None else df.unionByName(part)
+        return df
+
+    def tables(self):
+        return sorted(
+            t for t in os.listdir(self.root)
+            if os.path.isdir(self._tdir(t)) and os.path.exists(
+                self._head_path(t)))
+
+    # -- dataset metadata registry (reference metadata.py semantics) --------
+
+    def _meta_path(self):
+        return os.path.join(self.root, "dataset_metadata.json")
+
+    def _read_meta(self):
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def add_meta(self, dataset_name, description, key_columns, value_columns,
+                 dataset_type):
+        """register a dataset (metadata.py:45-184): validates names, types,
+        dataset_type; rejects duplicates."""
+        if dataset_type not in VALID_DATASET_TYPES:
+            raise ValueError(
+                f"dataset_type {dataset_type!r} not in {VALID_DATASET_TYPES}")
+        validate_column_name(dataset_name)
+        key_columns = {k: canonical_type(v) for k, v in key_columns.items()}
+        value_columns = {k: canonical_type(v) for k, v in
+                         value_columns.items()}
+        for c in list(key_columns) + list(value_columns):
+            validate_column_name(c)
+        meta = self._read_meta()
+        if dataset_name in meta:
+            raise ValueError(f"dataset {dataset_name!r} already registered")
+        meta[dataset_name] = {
+            "dataset_name": dataset_name,
+            "description": description,
+            "key_columns": key_columns,
+            "value_columns": value_columns,
+            "dataset_type": dataset_type,
+        }
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, self._meta_path())
+
+    def get_ds_metadata(self, dataset_name):
+        """metadata row; raises if unregistered (geomesh.py:188-191)."""
+        meta = self._read_meta()
+        if dataset_name not in meta:
+            raise KeyError(
+                f"dataset {dataset_name!r} not registered in metadata")
+        return meta[dataset_name]
+
+    def show_meta(self):
+        """all metadata rows as a DataFrame (showmeta endpoint,
+        geomesh_router.py:242-248)."""
+        rows = list(self._read_meta().values())
+        from pyspark.sql import Row
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "dataset_name string, description string, "
+                    "key_columns map<string,string>, "
+                    "value_columns map<string,string>, dataset_type string")
+        return self.spark.createDataFrame([Row(**r) for r in rows])
+
+    def ds_interval(self, dataset_name):
+        """time interval inferred from key columns (geomesh.py:225-233):
+        day+month+year -> daily; month+year -> monthly; year -> yearly;
+        none -> one_time."""
+        keys = self.get_ds_metadata(dataset_name)["key_columns"]
+        if "day" in keys:
+            return "daily"
+        if "month" in keys:
+            return "monthly"
+        if "year" in keys:
+            return "yearly"
+        return "one_time"
