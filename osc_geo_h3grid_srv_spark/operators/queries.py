@@ -90,7 +90,13 @@ class DatasetQueries:
         self.dataset = dataset
         self.meta = catalog.get_ds_metadata(dataset)
         self.interval = catalog.ds_interval(dataset)
-        self.value_columns = [c for c in self.meta["value_columns"]]
+        # the reference's projection re-selects latitude/longitude when they
+        # also appear in value_columns (flood datasets do), emitting
+        # duplicate columns that _row_to_cell_out then reads positionally
+        # (geomesh.py:1070-1090); DataFrames name columns, so we emit each
+        # once - same row content, no duplicate names
+        self.value_columns = [c for c in self.meta["value_columns"]
+                              if c not in (CELL_COL, "latitude", "longitude")]
         self.ds_type = self.meta["dataset_type"]
 
     def load(self):
