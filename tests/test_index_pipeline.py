@@ -1,0 +1,98 @@
+"""End-to-end pages -> H3 index pipeline (the north-metric path):
+extract_text invariant, anchor extraction, res0-9 assignment, salted
+partitioned snapshot write, catalog queries over the result, determinism
+across partitioning layouts, snapshot time travel.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osc_geo_h3grid_srv_spark.functions import h3core
+from osc_geo_h3grid_srv_spark.operators.index_pages import (
+    extract_points, index_pages, text_invariant_violations)
+from osc_geo_h3grid_srv_spark.sources.pages import (
+    pages_dataframe, synthesize_pages_pdf)
+
+N_PAGES = 5000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = pages_dataframe(spark, N_PAGES, partitions=8)
+    df.cache().count()
+    return df
+
+
+def test_pages_generation_matches_local(pages):
+    got = pages.orderBy("url").toPandas()
+    want = synthesize_pages_pdf(0, N_PAGES).sort_values("url").reset_index(
+        drop=True)
+    assert (got["text"].values == want["text"].values).all()
+    assert (got["lang"].values == want["lang"].values).all()
+
+
+def test_text_invariant(pages):
+    assert text_invariant_violations(pages) == 0
+
+
+def test_extract_points_counts(pages):
+    pts = extract_points(pages)
+    n = pts.count()
+    # ~90% of pages have >=1 anchor, ~13.5% have 2
+    assert N_PAGES * 0.9 < n < N_PAGES * 1.2
+    # every anchor inside the world clip
+    mm = pts.agg(F.min("latitude"), F.max("latitude")).collect()[0]
+    assert mm[0] >= -60.0 and mm[1] <= 85.0
+
+
+def test_index_pipeline_and_queries(engine, pages):
+    sid, rows = index_pages(engine.catalog, pages, dataset="page_points",
+                            max_res=9, parent_res=1, salt=4)
+    assert rows > N_PAGES * 0.9
+    man = engine.catalog.read_manifest("page_points")
+    assert man["snapshot_id"] == sid
+    assert man["total_rows"] == rows
+    assert all(f["rows"] > 0 for f in man["files"])
+    assert man["lineage"]["stage"] == "index_pages"
+    # partition layout on p1
+    assert man["partition_by"] == ["p1"]
+    assert all("p1" in f["partition"] for f in man["files"])
+
+    # point-dataset radius query around Berlin
+    got = engine.radius("page_points", 52.52, 13.40, 30.0)
+    n_berlin = got.count()
+    assert n_berlin > 50  # Berlin is a skew cluster
+    # res columns present (reference point-dataset convention)
+    assert "res0" in got.columns and "res9" in got.columns
+
+    # verify cells against driver-side kernel on a sample
+    sample = engine.catalog.load("page_points").limit(200).toPandas()
+    want = h3core.cell_to_string(h3core.latlng_to_cell(
+        sample["latitude"].values, sample["longitude"].values, 7))
+    assert (sample["res7"].values == want).all()
+
+
+def test_determinism_across_layouts(engine, spark):
+    """same input partitioned differently -> identical indexed rows
+    (north_rule: identical cell assignments at both parallelism levels)."""
+    a = extract_points(pages_dataframe(spark, 800, partitions=2))
+    b = extract_points(pages_dataframe(spark, 800, partitions=7))
+    from osc_geo_h3grid_srv_spark.operators.index_pages import assign_cells
+    pa = assign_cells(a).orderBy("url", "latitude").toPandas()
+    pb = assign_cells(b).orderBy("url", "latitude").toPandas()
+    assert (pa["res9"].values == pb["res9"].values).all()
+    assert (pa["cell9"].values == pb["cell9"].values).all()
+
+
+def test_snapshot_time_travel(engine, spark):
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    c = engine.catalog
+    s1 = c.write("tt_demo", df1)
+    s2 = c.write("tt_demo", df2, mode="append")
+    assert c.load("tt_demo", snapshot=s1).count() == 1
+    assert c.load("tt_demo", snapshot=s2).count() == 2
+    assert c.load("tt_demo").count() == 2
+    m2 = c.read_manifest("tt_demo", s2)
+    assert m2["parent_snapshot_id"] == s1
