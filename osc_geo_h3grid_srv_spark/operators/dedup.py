@@ -1,0 +1,194 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five dedup families, each with a scale story:
+
+* exact_dedup          - md5(text) hash-groupBy; one shuffle, map-side
+                         partial agg; identical semantics in DuckDB (oracle)
+* ngram_jaccard_pairs  - word n-gram Jaccard via relational set ops only
+                         (posexplode + equi-join + group counts) -> fully
+                         SQL-expressible AND Catalyst-optimizable
+* minhash_lsh_pairs    - MinHash signatures (Arrow UDF) -> banded LSH
+                         bucket join -> candidate pairs + estimated
+                         Jaccard; the scale path for all-pairs near-dup
+* simhash_pairs        - 64-bit simhash, 4x16-bit band blocking, verified
+                         by Hamming distance <= k
+* embedding_dup_pairs  - cosine near-dup over embedding vectors; exact
+                         blocked self-join (JVM-side float math)
+
+Pair semantics: undirected, emitted once with left id < right id.
+`dedup_keep_min` turns any pair list into a keep/drop decision
+(single-link, one pass: drop every row that pairs with a smaller id -
+exactly the "keep first occurrence" policy of common CC pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.spark_udfs import make_minhash, simhash_udf
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """one row per distinct text: the surviving (minimal) id plus the
+    duplicate count. Map-side partial agg -> single shuffle on md5."""
+    return (df
+            .withColumn("text_md5", F.md5(F.col(text_col)))
+            .groupBy("text_md5")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("dup_count")))
+
+
+def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """drop every row whose id appears as the RIGHT (larger) member of a
+    pair - keeps the first occurrence of each duplicate group reachable
+    in one hop (standard keep-first policy)."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int):
+    """distinct word n-grams per doc, relationally (no UDF): posexplode
+    words, self-join on shifted positions."""
+    words = df.select(
+        id_col, F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+        .alias("pos", "w"))
+    g = words
+    out_cols = [F.col("a0.w").alias("w0")]
+    joined = words.alias("a0")
+    for i in range(1, n):
+        nxt = words.alias(f"a{i}")
+        joined = joined.join(
+            nxt,
+            (F.col(f"a0.{id_col}") == F.col(f"a{i}.{id_col}"))
+            & (F.col(f"a{i}.pos") == F.col("a0.pos") + i))
+        out_cols.append(F.col(f"a{i}.w").alias(f"w{i}"))
+    grams = joined.select(
+        F.col(f"a0.{id_col}").alias(id_col),
+        F.concat_ws(" ", *out_cols).alias("gram")).distinct()
+    return grams
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """exact word-n-gram Jaccard similarity pairs >= threshold.
+
+    Pure relational plan: grams (distinct) -> self equi-join on gram ->
+    common counts -> sizes -> |A inter B| / (|A|+|B|-|A inter B|).
+    At 100 TB the gram join would be preceded by the minhash_lsh_pairs
+    candidate filter; this operator is the exact verifier.
+    """
+    grams = _word_ngrams(df, id_col, text_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    common = (a.join(b, "gram")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (common.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+           .filter(F.col("jaccard") >= F.lit(threshold))
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.7, ngram: int = 3) -> DataFrame:
+    """banded-LSH candidate generation + signature-estimated Jaccard.
+
+    bands x rows layout (rows = num_perm/bands); a pair becomes a
+    candidate when any band matches exactly; estimate = fraction of equal
+    signature positions. One Arrow UDF pass for signatures, then pure
+    relational banding: explode bands -> groupBy(band, hash) bucket join.
+    Dense buckets (boilerplate pages) are the skew risk: bucket sizes are
+    bounded by AQE skew-join splitting; at 10^12 docs add a bucket-size
+    cap + salt.
+    """
+    rows_per_band = num_perm // bands
+    mh = make_minhash(num_perm, ngram)
+    sig = df.select(id_col, mh(F.col(text_col)).alias("sig"))
+    sig.cache()
+    banded = sig.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)])).alias("bh"))
+            for b in range(bands)])).alias("bb"))
+    banded = banded.select(id_col, "sig", "bb.band", "bb.bh")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                      "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), "
+        "0, (acc, v) -> acc + v)") / F.lit(float(num_perm))
+    out = (cand.withColumn("est_jaccard", F.round(est, 6))
+           .filter(F.col("est_jaccard") >= F.lit(threshold))
+           .select("id_a", "id_b", "est_jaccard"))
+    return out
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """simhash blocking: 4x16-bit bands (any pair with hamming <= 3 shares
+    at least one exact band - pigeonhole), verified by true Hamming."""
+    s = df.select(id_col, simhash_udf(F.col(text_col)).alias("sh"))
+    s.cache()
+    bands = s.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("sh"), b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+            for b in range(4)])).alias("bb"))
+    bands = bands.select(id_col, "sh", "bb.band", "bb.bh")
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                     "band", "bh")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                     "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        block_col=None) -> DataFrame:
+    """cosine near-duplicate pairs over array<float> embeddings.
+
+    Exact all-pairs within blocks (block_col, e.g. an LSH bucket or a
+    label); with block_col=None a full self-join (correctness baseline -
+    quadratic, for oracle-scale data). Cosine in pure Spark SQL
+    (zip_with/aggregate) -> JVM-side, no Python."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                   *( [F.col(block_col).alias("blk")] if block_col else []))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                   *( [F.col(block_col).alias("blk")] if block_col else []))
+    j = a.join(b, on="blk" if block_col else None) if block_col else \
+        a.crossJoin(b)
+    j = j.filter(F.col("id_a") < F.col("id_b"))
+    dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr("aggregate(v_a, cast(0.0 as double), "
+                       "(acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr("aggregate(v_b, cast(0.0 as double), "
+                       "(acc, v) -> acc + v * v)"))
+    return (j.withColumn("cosine", F.round(dot / (na * nb), 6))
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine"))

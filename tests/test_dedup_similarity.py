@@ -1,0 +1,148 @@
+"""Dedup / similarity / multimodal operators over the driver testdata
+tables (documents, embeddings) and synthetic pages, verified against
+independent pandas/NumPy computations.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osc_geo_h3grid_srv_spark.operators import (dedup, multimodal,
+                                                similarity)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").toPandas()
+    pdf = docs.toPandas()
+    want = pdf.groupby(pdf["text"].map(lambda t: t))["doc_id"].agg(
+        ["min", "count"])
+    assert len(out) == pdf["text"].nunique()
+    assert out["dup_count"].sum() == len(pdf)
+    got_min = set(out["doc_id"])
+    want_min = set(want["min"])
+    assert got_min == want_min
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs.limit(120), "doc_id", "text",
+                                    n=3, threshold=0.5).toPandas()
+    # independent check in pandas
+    pdf = docs.limit(120).toPandas()
+    grams = {r.doc_id: set(zip(*(r.text.lower().split()[i:] for i in
+                                 range(3)))) for r in pdf.itertuples()}
+    want = set()
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = grams[a], grams[b]
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.5:
+                want.add((a, b, round(j, 6)))
+    got = set(map(tuple, out[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert got == want
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
+    pages = pages_dataframe(spark, 3000, partitions=4)
+    pages = pages.withColumn("doc_id",
+                             F.xxhash64("url")).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(pages, "doc_id", "text", num_perm=32,
+                                    bands=8, threshold=0.9)
+    n_pairs = pairs.count()
+    exact = dedup.exact_dedup(pages, "doc_id", "text")
+    n_exact_dups = pages.count() - exact.count()
+    # every exact dup is a (est_jaccard = 1.0) LSH pair
+    assert n_pairs >= n_exact_dups > 0
+    # estimates are sane
+    assert pairs.agg(F.min("est_jaccard")).collect()[0][0] >= 0.9
+
+
+def test_simhash_pairs_on_near_dups(spark):
+    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
+    pages = pages_dataframe(spark, 2000, partitions=4)
+    pages = pages.withColumn("doc_id",
+                             F.xxhash64("url")).select("doc_id", "text")
+    pairs = dedup.simhash_pairs(pages, "doc_id", "text", max_hamming=3)
+    got = pairs.toPandas()
+    assert len(got) > 0
+    assert (got["hamming"] <= 3).all()
+
+
+def test_embedding_dup_pairs_vs_numpy(emb):
+    out = dedup.embedding_dup_pairs(emb.limit(200), "vec_id", "embedding",
+                                    threshold=0.9).toPandas()
+    pdf = emb.limit(200).toPandas()
+    M = np.vstack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = pdf["vec_id"].values
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(S[i, j], 6) >= 0.9:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert got == want
+
+
+def test_ann_topk_exact_vs_numpy(emb):
+    pdf = emb.toPandas()
+    M = np.vstack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+    q = M[7]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].values, -np.round(cos, 6)))
+    want = pdf["vec_id"].values[order[:10]].tolist()
+    got = similarity.ann_topk(emb, q.tolist(), 10).toPandas()
+    assert got["vec_id"].tolist() == want
+
+
+def test_ann_lsh_recall(emb):
+    pdf = emb.toPandas()
+    dim = len(pdf["embedding"].iloc[0])
+    M = np.vstack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+    bucketed = similarity.add_lsh_bucket(emb, dim, bits=8,
+                                         n_tables=4).cache()
+    recall_hits = 0
+    for qi in [3, 17, 42]:
+        q = M[qi]
+        exact = set(similarity.ann_topk(emb, q.tolist(), 5)
+                    .toPandas()["vec_id"])
+        approx = set(similarity.ann_topk_lsh(bucketed, q.tolist(), 5, dim,
+                                             bits=8, n_tables=4)
+                     .toPandas()["vec_id"])
+        recall_hits += len(exact & approx)
+    assert recall_hits == 15  # full recall at bits=8, 4 tables, hamming<=2
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 300, partitions=4).cache()
+    assert media.count() == 300
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == 300
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats["features"])
+    # deterministic across runs
+    feats2 = multimodal.extract_features(media).toPandas()
+    a = feats.sort_values("doc_id")["features"].map(tuple).tolist()
+    b = feats2.sort_values("doc_id")["features"].map(tuple).tolist()
+    assert a == b
+    frames = multimodal.sample_frames(media, every_n=25)
+    vids = media.filter("media_type = 'video'").count()
+    assert frames.count() >= vids
+    small = multimodal.resize_images(media, 16, 16).toPandas()
+    assert (small["payload"].map(len) == 16 * 16).all()
