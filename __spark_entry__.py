@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() cover SURVEY.md SS2 operators that are expressible over the
+driver-provided tables (region nation customer supplier part orders
+lineitem events documents embeddings). Geospatial inputs are DERIVED
+deterministically from integer keys with pure arithmetic (LCG-style),
+so the DuckDB oracle computes byte-identical inputs. H3-kernel operators
+(cell assignment, polyfill, k-ring, page indexing) are not expressible
+in DuckDB -> they appear as rows-only entries (no oracle_sql), with their
+real correctness gates in tests/ against golden vectors.
+
+Float discipline for oracle parity: trig outputs are ROUNDed; sums are
+taken over exact integers (cast before aggregation); top-k orderings
+always carry a unique integer tiebreaker.
 """
 
 from __future__ import annotations
@@ -13,26 +20,572 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# deterministic derived-geo parameters (same numerals in Spark + DuckDB)
+_GEO = dict(alat=9301, blat=49297, mlat=145000, alng=7927, blng=1237,
+            mlng=360000)
+
+_BERLIN = (52.518, 13.405)
+
+
+def _geo_sql(table: str, key: str) -> str:
+    g = _GEO
+    return (f"select {key} as id, "
+            f"(({key} * {g['alat']} + {g['blat']}) % {g['mlat']}) / cast(1000 as double) "
+            f"- 60.0 as lat, "
+            f"(({key} * {g['alng']} + {g['blng']}) % {g['mlng']}) / cast(1000 as double) "
+            f"- 180.0 as lng, "
+            f"({key} * 7919) % 10000 as val "
+            f"from {table}")
+
+
+def _geo_df(spark, sf_dir: str, table: str, key: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/{table}.parquet").createOrReplaceTempView(
+        f"__{table}")
+    return spark.sql(_geo_sql(f"__{table}", key))
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# oracle-checked queries
+# --------------------------------------------------------------------------
+
+def q_radius_reference(spark, sf_dir):
+    """P3: the reference's great-circle radius predicate with its exact
+    constants 0.0175 / 6371 (geomesh.py:1252-1299) over derived customer
+    geo points around Berlin."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        reference_radius_expr)
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    lat, lng = _BERLIN
+    return (geo.filter(
+        reference_radius_expr("lat", "lng", lat, lng) <= F.lit(500.0))
+        .select("id", F.round("lat", 6).alias("lat"),
+                F.round("lng", 6).alias("lng")))
+
+
+def q_bbox_filter(spark, sf_dir):
+    """P5: bounding-box prefilter (geomesh.py:369-380)."""
+    from pyspark.sql import functions as F
+    geo = _geo_df(spark, sf_dir, "supplier", "s_suppkey")
+    return (geo.filter(F.col("lat").between(40.0, 60.0)
+                       & F.col("lng").between(-10.0, 30.0))
+            .select("id", F.round("lat", 6).alias("lat"),
+                    F.round("lng", 6).alias("lng"), "val"))
+
+
+def q_grid_cell_agg(spark, sf_dir):
+    """A4: per-cell aggregates (min/max/mean/count) on an integer surrogate
+    grid (the SQL-expressible stand-in for the H3 grid; H3-keyed variant is
+    kernel-tested)."""
+    from pyspark.sql import functions as F
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    cell = (F.floor(F.col("lat") / 4) * 1000
+            + F.floor(F.col("lng") / 24)).alias("grid_id")
+    return (geo.groupBy(cell)
+            .agg(F.min("val").alias("val_min"),
+                 F.max("val").alias("val_max"),
+                 F.round(F.sum("val") / F.count("*"), 4).alias("val_mean"),
+                 F.count("*").alias("n"))
+            .filter(F.col("n") >= 2))
+
+
+def q_correlator_null_filters(spark, sf_dir):
+    """P8+J1: equi-join with NULL-passing value filters
+    (correlator.py:167-211): every filter keeps NULL."""
+    from pyspark.sql import functions as F
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    o = orders.withColumn(
+        "price_f", F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice")))
+    j = o.join(cust, o.o_custkey == cust.c_custkey, "inner")
+    j = j.filter((F.col("price_f") > 150000.0) | F.col("price_f").isNull())
+    return (j.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum((F.col("price_f").isNull()).cast("long"))
+                 .alias("n_null")))
+
+
+def q_idw_knn(spark, sf_dir):
+    """J5: inverse-distance-weighted kNN interpolation, k=3 power=2
+    (reference constants geomesh.py:44, cli_geospatial.py:36-39), grid
+    candidate join + window top-k - the engine's scale pattern."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.interpolate import (
+        idw_interpolate)
+    pts = _geo_df(spark, sf_dir, "supplier", "s_suppkey").select(
+        F.col("lat").alias("latitude"), F.col("lng").alias("longitude"),
+        F.col("val").cast("double").alias("value"))
+    cells = _geo_df(spark, sf_dir, "nation", "n_nationkey").select(
+        F.col("id").cast("string").alias("h3_cell"),
+        F.col("lat").alias("latitude"), F.col("lng").alias("longitude"))
+    out = idw_interpolate(cells, pts, "value", k=3, power=2.0,
+                          max_dist_km=2000.0)
+    return out.select(
+        "h3_cell", F.round("value", 3).alias("value"), "n_neighbors")
+
+
+def q_raster_tile_agg(spark, sf_dir):
+    """J6/A4 relational skeleton: synthetic raster pixels from lineitem
+    keys -> integer tile -> min/max/mean per tile (H3-keyed variant is
+    kernel-tested in tests/)."""
+    from pyspark.sql import functions as F
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    px = li.select(
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 1000)
+        .alias("r"),
+        ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 3) % 1000)
+        .alias("c"))
+    px = px.withColumn("v", (F.col("r") * 31 + F.col("c") * 17) % 997)
+    tile = (F.floor(F.col("r") / 50) * 100 + F.floor(F.col("c") / 50)).alias(
+        "tile_id")
+    return (px.groupBy(tile)
+            .agg(F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+                 F.round(F.sum("v") / F.count("*"), 4).alias("v_mean"),
+                 F.count("*").alias("n_px")))
+
+
+def q_time_filter_events(spark, sf_dir):
+    """P2: year/month equality time filters (geomesh.py:1140-1186) over the
+    events table + per-type counts."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter((F.year("ts") == 2024) & (F.month("ts") == 1))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """dedup family: exact text dedup via md5 hash-groupBy."""
+    from osc_geo_h3grid_srv_spark.operators.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    """dedup family: exact word-set Jaccard (n=1 n-gram) pairs >= 0.75,
+    pure relational set ops (the n=3 variant is pytest-verified)."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = words.select(F.col("doc_id").alias("id_a"), "w")
+    b = words.select(F.col("doc_id").alias("id_b"), "w")
+    common = (a.join(b, "w").filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+            .filter(F.col("jaccard") >= 0.75)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def q_token_stats(spark, sf_dir):
+    """text analysis: token/char counts per language (quality scoring's
+    SQL-expressible core)."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.max("n_tokens").alias("max_tokens")))
+
+
+def q_embedding_cosine_threshold(spark, sf_dir):
+    """similarity: all vectors with cosine >= 0.8 against vec_id 7
+    (brute-force baseline; LSH path is pytest-verified)."""
+    from pyspark.sql import functions as F
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qv"))
+    j = emb.crossJoin(F.broadcast(q))
+    dot = F.expr("aggregate(zip_with(embedding, qv, (x, y) -> "
+                 "cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    nv = F.sqrt(F.expr("aggregate(embedding, cast(0.0 as double), "
+                       "(acc, v) -> acc + cast(v as double) "
+                       "* cast(v as double))"))
+    nq = F.sqrt(F.expr("aggregate(qv, cast(0.0 as double), "
+                       "(acc, v) -> acc + cast(v as double) "
+                       "* cast(v as double))"))
+    return (j.withColumn("cosine", F.round(dot / (nv * nq), 5))
+            .filter(F.col("cosine") >= 0.8)
+            .select("vec_id", "cosine"))
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """general agg capability anchor (TPC-H Q1 shape); money sums taken
+    over exact integer cents."""
+    from pyspark.sql import functions as F
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                 .alias("sum_base_cents"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_broadcast_join_topn(spark, sf_dir):
+    """broadcast-dim join + deterministic top-n (J1 shape at warehouse
+    scale: fact scans stay columnar, dims broadcast)."""
+    from pyspark.sql import functions as F
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                 .alias("sum_cents"))
+            .orderBy(F.col("sum_cents").desc(), "n_name").limit(10))
+
+
+def q_window_first_event(spark, sf_dir):
+    """window operator: each user's first event (sessionization core)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+def q_minradius_guard_table(spark, sf_dir):
+    """P4: the min-radius guard table (hex side per resolution,
+    geomesh.py:1225-1250) computed from cell counts - constants parity."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions import geo as geomod
+    rows = [(r, round(geomod.min_radius_km(r), 6)) for r in range(16)]
+    return spark.createDataFrame(rows, "resolution int, min_radius_km double")
+
+
+# --------------------------------------------------------------------------
+# kernel-backed queries (no SQL oracle: DuckDB has no H3; their correctness
+# gates are the golden-vector pytest suites)
+# --------------------------------------------------------------------------
+
+def q_h3_index_documents(spark, sf_dir):
+    """F1: H3 cell assignment (res 7 + parent res 2) over derived doc geo
+    points; per-cell counts - the real H3-keyed A4."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        cell_str, make_cell_to_parent, make_latlng_to_cell)
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    to7 = make_latlng_to_cell(7)
+    to2 = make_cell_to_parent(2)
+    df = geo.withColumn("cell7", to7(F.col("lat"), F.col("lng")))
+    df = df.withColumn("parent2", to2(F.col("cell7")))
+    return (df.groupBy(cell_str("parent2").alias("h3_parent2"))
+            .agg(F.count("*").alias("n_points"),
+                 F.sum("val").alias("sum_val"))
+            .filter(F.col("n_points") >= 3))
+
+
+def q_pages_index_pipeline(spark, sf_dir):
+    """the flagship north-metric pipeline on a deterministic pages batch:
+    html -> text -> anchors -> res0..9 cells; returns per-res2-parent
+    counts over the Berlin cluster region."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.index_pages import (
+        assign_cells, extract_points)
+    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
+    pages = pages_dataframe(spark, 2000, partitions=8)
+    pts = assign_cells(extract_points(pages))
+    return (pts.groupBy("res2")
+            .agg(F.count("*").alias("n_points"))
+            .filter(F.col("n_points") >= 5))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """dedup family: MinHash-LSH near-dup candidate pairs on documents."""
+    from osc_geo_h3grid_srv_spark.operators.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32, bands=8,
+                             threshold=0.5, ngram=2)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """dedup family: simhash banded near-dup pairs on documents."""
+    from osc_geo_h3grid_srv_spark.operators.dedup import simhash_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_polyfill_region_cells(spark, sf_dir):
+    """F4: polyfill of a Germany-like polygon at res 5 with the
+    reference's buffer rule (geomesh.py:1318-1329) - cell enumeration."""
+    from osc_geo_h3grid_srv_spark.functions import geo as geomod
+    from osc_geo_h3grid_srv_spark.functions import h3core
+    shell = [(47.0, 6.0), (47.0, 15.0), (55.0, 15.0), (55.0, 6.0)]
+    pp = geomod.PackedPolygons.from_latlng_rings([[shell]], ["box"])
+    cells = h3core.cell_to_string(
+        geomod.polyfill(pp, 5, buffer_deg=geomod.get_buffer_deg(5)))
+    return spark.createDataFrame([(c,) for c in cells.tolist()],
+                                 "cell string")
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """similarity: LSH-bucketed ANN top-20 for one query vector (exact
+    brute-force equivalence is pytest-verified; here rows-only)."""
+    from osc_geo_h3grid_srv_spark.operators.similarity import (
+        add_lsh_bucket, ann_topk_lsh)
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter("vec_id = 7").collect()[0]
+    qv = list(row["embedding"])
+    bucketed = add_lsh_bucket(emb, dim=len(qv))
+    return ann_topk_lsh(bucketed, qv, 20, dim=len(qv))
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index a deterministic pages batch and answer the
+    documented Berlin radius query over the indexed points
+    (docs/README-geospatial.md:142-153 analogue)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        reference_radius_expr)
+    from osc_geo_h3grid_srv_spark.operators.index_pages import (
+        assign_cells, extract_points)
+    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
+    pages = pages_dataframe(spark, 3000, partitions=8)
+    pts = assign_cells(extract_points(pages))
+    lat, lng = _BERLIN
+    return (pts.filter(
+        reference_radius_expr("latitude", "longitude", lat, lng)
+        <= F.lit(30.0))
+        .select("url", "latitude", "longitude", "res7", "res9", "lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "radius_reference": q_radius_reference,
+        "bbox_filter": q_bbox_filter,
+        "grid_cell_agg": q_grid_cell_agg,
+        "correlator_null_filters": q_correlator_null_filters,
+        "idw_knn": q_idw_knn,
+        "raster_tile_agg": q_raster_tile_agg,
+        "time_filter_events": q_time_filter_events,
+        "exact_dedup": q_exact_dedup,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "token_stats": q_token_stats,
+        "embedding_cosine_threshold": q_embedding_cosine_threshold,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "broadcast_join_topn": q_broadcast_join_topn,
+        "window_first_event": q_window_first_event,
+        "minradius_guard_table": q_minradius_guard_table,
+        # kernel-backed (rows-only checks; golden-vector gates in tests/)
+        "h3_index_documents": q_h3_index_documents,
+        "pages_index_pipeline": q_pages_index_pipeline,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "polyfill_region_cells": q_polyfill_region_cells,
+        "ann_topk_lsh": q_ann_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = _GEO
+    lat, lng = _BERLIN
+    geo_cust = _geo_sql("customer", "c_custkey")
+    geo_supp = _geo_sql("supplier", "s_suppkey")
+    geo_nat = _geo_sql("nation", "n_nationkey")
+    return {
+        "radius_reference": f"""
+            with geo as ({geo_cust})
+            select id, round(lat, 6) as lat, round(lng, 6) as lng from geo
+            where acos(sin(lat*0.0175)*sin({lat}*0.0175)
+                  + cos(lat*0.0175)*cos({lat}*0.0175)
+                  * cos(({lng}*0.0175) - (lng*0.0175)))
+                  * 6371 <= 500.0
+        """,
+        "bbox_filter": f"""
+            with geo as ({geo_supp})
+            select id, round(lat, 6) as lat, round(lng, 6) as lng, val
+            from geo
+            where lat between 40.0 and 60.0 and lng between -10.0 and 30.0
+        """,
+        "grid_cell_agg": f"""
+            with geo as ({geo_cust})
+            select cast(floor(lat/4)*1000 + floor(lng/24) as bigint)
+                   as grid_id,
+                   min(val) as val_min, max(val) as val_max,
+                   round(sum(val) / count(*), 4) as val_mean,
+                   count(*) as n
+            from geo group by 1 having count(*) >= 2
+        """,
+        "correlator_null_filters": """
+            with o as (
+                select case when o_orderkey % 7 = 0 then null
+                       else o_totalprice end as price_f, o_custkey
+                from orders)
+            select c_nationkey, count(*) as n_orders,
+                   sum(case when price_f is null then 1 else 0 end)
+                   as n_null
+            from o join customer on o_custkey = c_custkey
+            where price_f > 150000.0 or price_f is null
+            group by c_nationkey
+        """,
+        "idw_knn": f"""
+            with pts as (select lat as p_lat, lng as p_lng,
+                                cast(val as double) as p_val
+                         from ({geo_supp})),
+            cells as (select cast(id as varchar) as h3_cell,
+                             lat as latitude, lng as longitude
+                      from ({geo_nat})),
+            pairs as (
+                select c.h3_cell, c.latitude, c.longitude, p.p_val,
+                       2 * 6371.0088 * asin(sqrt(
+                           pow(sin((radians(p.p_lat)
+                                    - radians(c.latitude))/2), 2)
+                           + cos(radians(c.latitude)) * cos(radians(p.p_lat))
+                           * pow(sin((radians(p.p_lng)
+                                      - radians(c.longitude))/2), 2)))
+                       as dist_km,
+                       p.p_lat, p.p_lng
+                from cells c, pts p),
+            ranked as (
+                select *, row_number() over (
+                    partition by h3_cell
+                    order by dist_km asc, p_lat asc, p_lng asc) as rk
+                from pairs where dist_km <= 2000.0)
+            select h3_cell,
+                   round(sum(p_val / pow(greatest(dist_km, 1e-9), 2.0))
+                         / sum(1.0 / pow(greatest(dist_km, 1e-9), 2.0)), 3)
+                   as value,
+                   count(*) as n_neighbors
+            from ranked where rk <= 3
+            group by h3_cell
+        """,
+        "raster_tile_agg": """
+            with px as (
+                select (l_orderkey * 7 + l_linenumber) % 1000 as r,
+                       (l_orderkey * 13 + l_linenumber * 3) % 1000 as c
+                from lineitem),
+            pv as (select r, c, (r * 31 + c * 17) % 997 as v from px)
+            select cast(floor(r/50)*100 + floor(c/50) as bigint) as tile_id,
+                   min(v) as v_min, max(v) as v_max,
+                   round(sum(v) / count(*), 4) as v_mean,
+                   count(*) as n_px
+            from pv group by 1
+        """,
+        "time_filter_events": """
+            select event_type, count(*) as n,
+                   round(sum(value), 2) as sum_value
+            from events
+            where year(ts) = 2024 and month(ts) = 1
+            group by event_type
+        """,
+        "exact_dedup": """
+            select md5(text) as text_md5, min(doc_id) as doc_id,
+                   count(*) as dup_count
+            from documents group by 1
+        """,
+        "word_jaccard_pairs": """
+            with words as (
+                select distinct doc_id,
+                       unnest(string_split(lower(text), ' ')) as w
+                from documents where doc_id < 150),
+            sizes as (select doc_id, count(*) as sz from words group by 1),
+            common as (
+                select a.doc_id as id_a, b.doc_id as id_b,
+                       count(*) as common
+                from words a join words b using (w)
+                where a.doc_id < b.doc_id
+                group by 1, 2)
+            select id_a, id_b,
+                   round(common / (sa.sz + sb.sz - common), 6) as jaccard
+            from common
+            join sizes sa on sa.doc_id = id_a
+            join sizes sb on sb.doc_id = id_b
+            where common / (sa.sz + sb.sz - common) >= 0.75
+        """,
+        "token_stats": """
+            select lang, count(*) as n_docs,
+                   sum(len(string_split(text, ' '))) as total_tokens,
+                   sum(length(text)) as total_chars,
+                   max(len(string_split(text, ' '))) as max_tokens
+            from documents group by lang
+        """,
+        "embedding_cosine_threshold": """
+            with q as (select embedding as qv from embeddings
+                       where vec_id = 7)
+            select e.vec_id,
+                   round(
+                     list_sum(list_transform(
+                         list_zip(e.embedding, q.qv),
+                         x -> cast(x[1] as double) * cast(x[2] as double)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> cast(x as double) * cast(x as double))))
+                      * sqrt(list_sum(list_transform(q.qv,
+                            x -> cast(x as double) * cast(x as double))))),
+                     5) as cosine
+            from embeddings e, q
+            where
+                   list_sum(list_transform(
+                       list_zip(e.embedding, q.qv),
+                       x -> cast(x[1] as double) * cast(x[2] as double)))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> cast(x as double) * cast(x as double))))
+                    * sqrt(list_sum(list_transform(q.qv,
+                          x -> cast(x as double) * cast(x as double)))))
+                   >= 0.8
+        """,
+        "tpch_q1_pricing": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+                   cast(sum(cast(round(l_extendedprice * 100, 0) as bigint)) as bigint)
+                   as sum_base_cents,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= '1998-09-02'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "broadcast_join_topn": """
+            select n_name, count(*) as n_orders,
+                   cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint) as sum_cents
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            group by n_name
+            order by sum_cents desc, n_name limit 10
+        """,
+        "window_first_event": """
+            select user_id, event_id, event_type from (
+                select user_id, event_id, event_type,
+                       row_number() over (partition by user_id
+                           order by ts asc, event_id asc) as rk
+                from events) t
+            where rk = 1
+        """,
+        "minradius_guard_table": """
+            with rs as (select unnest(range(16)) as resolution)
+            select cast(resolution as int) as resolution,
+                   round(sqrt(2 * ((4 * pi() * 6371.0088 * 6371.0088)
+                         / (2 + 120 * pow(7, resolution)))
+                         / (3 * sqrt(3))), 6) as min_radius_km
+            from rs
+        """,
+    }

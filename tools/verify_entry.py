@@ -1,0 +1,115 @@
+"""Emulate the driver's correctness gate: run every __spark_entry__
+queries() entry at sf0.01 on Spark AND its oracle_sql() in DuckDB over the
+same parquet tables; compare row count, sorted column names, and an
+order-insensitive value hash.
+
+Usage: python tools/verify_entry.py [sf_dir]
+"""
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def value_hash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(
+        "|".join(_norm(v) for v in row) for row in pdf.values.tolist())
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def _norm(v):
+    import numpy as np
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (np.floating,)):
+        return _norm(float(v))
+    return str(v)
+
+
+def main(sf_dir="/root/testdata/sf0.01"):
+    import __spark_entry__ as entrymod
+    from osc_geo_h3grid_srv_spark.engine import make_spark
+    spark = make_spark(cores=8, shuffle_partitions=16,
+                       extra_conf={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(got)} rows  [{dt:.1f}s]")
+            n_ok += 1
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_bad += 1
+            continue
+        gcols = sorted(got.columns)
+        wcols = sorted(want.columns)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            n_bad += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_bad += 1
+            continue
+        gh, wh = value_hash(got), value_hash(want)
+        if gh != wh:
+            print(f"FAIL {name}: value hash {gh} vs {wh} ({len(got)} rows)")
+            # show a diff sample
+            import pandas as pd
+            g2 = got.reindex(sorted(got.columns), axis=1)
+            w2 = want.reindex(sorted(want.columns), axis=1)
+            gs = set(map(tuple, g2.astype(str).values.tolist()))
+            ws = set(map(tuple, w2.astype(str).values.tolist()))
+            print("   only-spark:", list(gs - ws)[:2])
+            print("   only-oracle:", list(ws - gs)[:2])
+            n_bad += 1
+            continue
+        print(f"OK {name}: {len(got)} rows hash={gh}  [{dt:.1f}s]")
+        n_ok += 1
+    # entry smoke
+    e = entrymod.entry(spark)
+    n = e.count()
+    print(f"entry(): {n} rows, schema: {[f.name for f in e.schema.fields]}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    spark.stop()
+    return n_bad
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
