@@ -1,0 +1,150 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE json
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "pages_per_sec": ...}.
+
+The flagship measures the BASELINE.json north metric end to end:
+deterministic pages -> extract_text -> geo anchors -> H3 cells res 0-9 ->
+point-in-polygon clip -> IDW kNN interpolation onto res-5 cell centroids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages scale: ~600k lineitem rows at sf0.1 -> 200k pages
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(2_000_000 * _SF))))
+
+
+def prepare_pages(spark, n_pages):
+    """materialize the deterministic pages table once (data prep, not part
+    of the measured pipeline - production reads pages from the lake)."""
+    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
+    path = f"/tmp/spark_graft_pages_{n_pages}.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        pages_dataframe(spark, n_pages, partitions=CPUS * 2) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def _flagship_pipeline(spark, pages_path):
+    """returns (clipped_count, interpolated_count) after full compute.
+
+    Single fused Python stage (extract + assign res0-9 + PIP flag); all
+    downstream work (clip filter, parent rollup, IDW join) is JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    from osc_geo_h3grid_srv_spark.functions import geo
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        cell_lat, cell_lng)
+    from osc_geo_h3grid_srv_spark.operators.index_pages import (
+        extract_index_clip)
+    from osc_geo_h3grid_srv_spark.operators.interpolate import idw_interpolate
+
+    pages = spark.read.parquet(pages_path)
+    # Germany-like region with a hole (broadcast polygons)
+    shell = [(47.0, 5.5), (47.0, 15.5), (55.5, 15.5), (55.5, 5.5)]
+    hole = [(49.0, 8.0), (49.0, 9.0), (50.0, 9.0), (50.0, 8.0)]
+    pp = geo.PackedPolygons.from_latlng_rings([[shell, hole]], ["germany"])
+    bc = spark.sparkContext.broadcast(pp.to_arrays())
+    pts = extract_index_clip(pages, max_res=9, parent_res=1, packed_bc=bc,
+                             bbox=pp.bounds(), clip_filter=False)
+    clipped = pts.filter(F.col("in_region")).cache()
+    n_clip = clipped.count()
+
+    # IDW kNN (k=3, power=2) of a per-point value onto res-5 cells;
+    # parent rollup is pure JVM bit math (cell_to_parent_expr), only the
+    # 274-row centroid lookup touches Python
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        cell_str, cell_to_parent_expr)
+    cells = (clipped.select(cell_to_parent_expr("cell9", 5).alias("c5"))
+             .distinct()
+             .select(cell_str("c5").alias("h3_cell"),
+                     cell_lat("c5").alias("latitude"),
+                     cell_lng("c5").alias("longitude")))
+    pts_v = clipped.select(
+        "latitude", "longitude",
+        (F.xxhash64("url") % 1000).cast("double").alias("value"))
+    interp = idw_interpolate(cells, pts_v, "value", k=3, power=2.0,
+                             max_dist_km=60.0)
+    n_interp = interp.count()
+    clipped.unpersist()
+    return n_clip, n_interp
+
+
+def main():
+    t_start = time.time()
+    from osc_geo_h3grid_srv_spark.engine import make_spark
+    spark = make_spark(cores=CPUS, shuffle_partitions=max(CPUS * 2, 32),
+                       extra_conf={"spark.ui.enabled": "false",
+                                   "spark.driver.memory": "48g"})
+    import __spark_entry__ as em
+
+    timings = {}
+    extras = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # north-metric flagship (pages materialized untimed: production reads
+    # the pages table from the lake; the metric is indexing throughput)
+    t0 = time.time()
+    pages_path = prepare_pages(spark, N_PAGES)
+    extras["pages_prep_sec"] = round(time.time() - t0, 3)
+
+    # warm the python workers (spawn + kernel imports), untimed - a real
+    # cluster's executors are long-lived
+    t0 = time.time()
+    _flagship_pipeline(spark, prepare_pages(spark, 2000))
+    extras["warmup_sec"] = round(time.time() - t0, 3)
+    n_clip, n_interp = run(
+        "flagship_index_pip_idw",
+        lambda: _flagship_pipeline(spark, pages_path))
+    extras["flagship_pages"] = N_PAGES
+    extras["flagship_clipped_points"] = n_clip
+    extras["flagship_interp_cells"] = n_interp
+    extras["pages_per_sec"] = round(
+        N_PAGES / timings["flagship_index_pip_idw"], 1)
+
+    # headline operator queries (shared with the correctness gate)
+    heads = ["radius_reference", "grid_cell_agg", "correlator_null_filters",
+             "idw_knn", "raster_tile_agg", "exact_dedup",
+             "minhash_lsh_pairs", "simhash_pairs", "token_stats",
+             "embedding_cosine_threshold", "tpch_q1_pricing",
+             "broadcast_join_topn", "window_first_event",
+             "h3_index_documents", "polyfill_region_cells", "ann_topk_lsh"]
+    qs = em.queries()
+    for name in heads:
+        run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "H3-indexed pages/sec (cell assign + PIP + kNN "
+                  "interpolate) + operator suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "cpus": CPUS,
+        **extras,
+        "wall_total": round(time.time() - t_start, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

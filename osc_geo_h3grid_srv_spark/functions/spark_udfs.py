@@ -179,3 +179,17 @@ def reference_radius_expr(lat_col, lng_col, center_lat, center_lng):
     return F.acos(
         F.sin(la) * F.sin(cla) + F.cos(la) * F.cos(cla) * F.cos(clo - lo)
     ) * F.lit(6371.0)
+
+
+def cell_to_parent_expr(cell_col, parent_res: int):
+    """cell_to_parent as PURE JVM bit math (no Python stage): clear the
+    res nibble, set parent_res, fill digits below parent_res with 7s.
+    Works on int64-encoded cells; bit-identical to h3core.cell_to_parent."""
+    res_mask = 0xF << 52
+    fill = 0
+    for r in range(parent_res + 1, 16):
+        fill |= 7 << ((15 - r) * 3)
+    col = cell_col if not isinstance(cell_col, str) else F.col(cell_col)
+    return (col.bitwiseAND(F.lit(~res_mask))
+            .bitwiseOR(F.lit(parent_res << 52))
+            .bitwiseOR(F.lit(fill)))
