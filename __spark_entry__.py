@@ -26,6 +26,48 @@ _GEO = dict(alat=9301, blat=49297, mlat=145000, alng=7927, blng=1237,
 
 _BERLIN = (52.518, 13.405)
 
+# shared concave test polygon with a hole (lat, lng), vertices on .5/.0
+# grid so 3-decimal derived points never sit on an edge; used by the
+# oracle-checked exact-PIP query (J3/J4) and kernel geometry queries
+_PIP_SHELL = [(47.0, 5.5), (49.5, 10.0), (47.0, 15.5), (52.0, 13.0),
+              (55.5, 15.5), (55.5, 5.5), (51.0, 8.0)]
+_PIP_HOLE = [(52.5, 9.0), (52.5, 10.5), (54.0, 10.5), (54.0, 9.0)]
+
+
+def _ring_edges(ring):
+    """(y1,x1,y2,x2) closed-edge tuples of a (lat,lng) ring."""
+    n = len(ring)
+    return [(ring[i][0], ring[i][1], ring[(i + 1) % n][0],
+             ring[(i + 1) % n][1]) for i in range(n)]
+
+
+def _pip_oracle_sql(geo_cte: str) -> str:
+    """DuckDB even-odd ray cast over the polygon edge list - the same
+    arithmetic as geo.points_in_polys (straddle + intersection-lng > lng),
+    so results match the kernel bit-for-bit away from edges."""
+    edges = _ring_edges(_PIP_SHELL) + _ring_edges(_PIP_HOLE)
+    vals = ", ".join(f"({y1}, {x1}, {y2}, {x2})"
+                     for (y1, x1, y2, x2) in edges)
+    lats = [p[0] for p in _PIP_SHELL]
+    lngs = [p[1] for p in _PIP_SHELL]
+    return f"""
+        with pts as (
+            select * from ({geo_cte})
+            where lat between {min(lats)} and {max(lats)}
+              and lng between {min(lngs)} and {max(lngs)}),
+        edges(y1, x1, y2, x2) as (values {vals}),
+        hits as (
+            select p.id, count(*) as c
+            from pts p join edges e
+              on ((e.y1 > p.lat) <> (e.y2 > p.lat))
+             and (e.x1 + (p.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                  > p.lng)
+            group by p.id)
+        select p.id, round(p.lat, 6) as lat, round(p.lng, 6) as lng
+        from pts p join hits h on p.id = h.id
+        where h.c % 2 = 1
+    """
+
 
 def _geo_sql(table: str, key: str) -> str:
     g = _GEO
@@ -280,10 +322,238 @@ def q_minradius_guard_table(spark, sf_dir):
     return spark.createDataFrame(rows, "resolution int, min_radius_km double")
 
 
+def q_pip_raycast_clip(spark, sf_dir):
+    """J3/J4: EXACT point-in-polygon (concave shell + hole) via the
+    engine's vectorized ray-cast kernel (geo.points_in_polys), with the
+    bbox prefilter written into the plan (P5 two-phase pattern,
+    geomesh.py:369-380). Oracle: the identical even-odd ray cast
+    expressed relationally over the polygon's edge list."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions import geo as geomod
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import pip_udf_for
+    pts = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    pp = geomod.PackedPolygons.from_latlng_rings(
+        [[_PIP_SHELL, _PIP_HOLE]], ["region"])
+    la_min, la_max, lo_min, lo_max = pp.bounds()
+    bc = spark.sparkContext.broadcast(pp.to_arrays())
+    pip = pip_udf_for(bc)
+    return (pts.filter(F.col("lat").between(la_min, la_max)
+                       & F.col("lng").between(lo_min, lo_max))
+            .filter(pip(F.col("lat"), F.col("lng")))
+            .select("id", F.round("lat", 6).alias("lat"),
+                    F.round("lng", 6).alias("lng")))
+
+
+def q_shape_attr_stats(spark, sf_dir):
+    """A1 (shape.py:74-90): per-category attribute statistics - count,
+    distinct, mean/median/min/max of a numeric column - over documents
+    grouped by lang (value_counts + describe analogue)."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("len", F.length("text").cast("long"))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("doc_id").alias("n_distinct"),
+                 F.round(F.avg("len"), 4).alias("len_mean"),
+                 F.round(F.expr("median(len)"), 4).alias("len_median"),
+                 F.min("len").alias("len_min"),
+                 F.max("len").alias("len_max")))
+
+
+def q_doc_quality_scores(spark, sf_dir):
+    """text analysis: per-document quality features (length, token count,
+    sentence-period count, stopword hits) - SQL-expressible core of the
+    quality scorer (the pUDF variant is pytest-verified)."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    n_periods = (F.length("text")
+                 - F.length(F.regexp_replace("text", r"\.", ""))).cast("long")
+    the_hits = ((F.length(F.lower("text"))
+                 - F.length(F.replace(F.lower("text"), F.lit(" the "))))
+                / 5).cast("long")
+    return (docs.select("doc_id",
+                        n_chars.alias("n_chars"),
+                        n_tokens.alias("n_tokens"),
+                        n_periods.alias("n_periods"),
+                        the_hits.alias("n_the"))
+            .withColumn("score", F.round(
+                (F.col("n_the") * 5.0 + F.col("n_periods"))
+                / F.col("n_tokens"), 6)))
+
+
+def q_region_semi_join(spark, sf_dir):
+    """J2/P10: region cell set -> semi join. The reference chunks cell ids
+    into <=20k IN-lists (geomesh.py:238-288); here the driver-enumerated
+    cell set filters the fact side in one broadcast semi join."""
+    from pyspark.sql import functions as F
+    ids = sorted({b * 1000 + l for b in range(10, 15)
+                  for l in range(-1, 2)})
+    geo = _geo_df(spark, sf_dir, "orders", "o_orderkey")
+    cell = (F.floor(F.col("lat") / 4) * 1000
+            + F.floor(F.col("lng") / 24)).cast("long")
+    return (geo.withColumn("grid_id", cell)
+            .filter(F.col("grid_id").isin(ids))
+            .groupBy("grid_id")
+            .agg(F.count("*").alias("n"), F.sum("val").alias("sum_val")))
+
+
+def q_correlate_two_datasets(spark, sf_dir):
+    """J1: the correlator's chained multi-dataset equi-join on cell ids
+    with NULL-passing value filters (correlator.py:97-241), surrogate
+    integer cells so DuckDB can oracle it (H3-keyed variant is the
+    correlator golden suite in tests/)."""
+    from pyspark.sql import functions as F
+
+    def geo_cells(table, key):
+        g = _geo_df(spark, sf_dir, table, key)
+        return g.withColumn(
+            "cell", (F.floor(F.col("lat") / 4) * 1000
+                     + F.floor(F.col("lng") / 24)).cast("long"))
+
+    assets = geo_cells("customer", "c_custkey").select(
+        F.col("id").alias("asset_id"), "cell")
+    ds1 = (geo_cells("supplier", "s_suppkey")
+           .groupBy("cell")
+           .agg(F.round(F.avg("val"), 4).alias("s_avg"))
+           .withColumn("s_val", F.when(F.col("cell") % 10 == 0, None)
+                       .otherwise(F.col("s_avg"))).drop("s_avg"))
+    ds2 = (geo_cells("part", "p_partkey")
+           .groupBy("cell").agg(F.max("val").alias("p_max")))
+    j = (assets.join(ds1, "cell", "inner").join(ds2, "cell", "inner")
+         .filter((F.col("s_val") > 3000.0) | F.col("s_val").isNull()))
+    return j.select("asset_id", "cell", "s_val", "p_max")
+
+
+def q_month_name_rollup(spark, sf_dir):
+    """F14: the reference's INT_TO_MONTH month-name map
+    (geomesh.py:29-42) applied as a rollup dimension over events."""
+    from pyspark.sql import functions as F
+    names = ["January", "February", "March", "April", "May", "June",
+             "July", "August", "September", "October", "November",
+             "December"]
+    case = "CASE " + " ".join(
+        f"WHEN month(ts) = {i + 1} THEN '{n}'"
+        for i, n in enumerate(names)) + " END"
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("month_name", F.expr(case))
+            .groupBy("month_name")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 # --------------------------------------------------------------------------
 # kernel-backed queries (no SQL oracle: DuckDB has no H3; their correctness
 # gates are the golden-vector pytest suites)
 # --------------------------------------------------------------------------
+
+
+def q_kring_cells(spark, sf_dir):
+    """F6: k-ring (grid disk) retrieval - all cells within grid distance 2
+    of the Berlin res-7 cell, with centroids."""
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions import h3core
+    lat, lng = _BERLIN
+    c = h3core.latlng_to_cell(np.array([lat]), np.array([lng]), 7)
+    ring = np.unique(h3core.k_ring(c, 2).ravel())
+    la, lo = h3core.cell_to_latlng(ring)
+    cells = h3core.cell_to_string(ring)
+    rows = [(str(cells[i]), round(float(la[i]), 6), round(float(lo[i]), 6))
+            for i in range(len(ring))]
+    return spark.createDataFrame(
+        rows, "cell string, latitude double, longitude double")
+
+
+def q_geometry_stats(spark, sf_dir):
+    """A2 (shape.py:92-155): per-polygon complexity stats - vertex count,
+    area, perimeter, area/perimeter, shape index, hole count."""
+    from osc_geo_h3grid_srv_spark.functions import geo as geomod
+    pp = geomod.PackedPolygons.from_latlng_rings(
+        [[_PIP_SHELL, _PIP_HOLE],
+         [[(10.0, 20.0), (10.0, 24.0), (13.0, 24.0), (13.0, 20.0)]]],
+        ["region", "box"])
+    rows = [(s["name"], int(s["num_vertices"]), round(s["area"], 6),
+             round(s["perimeter"], 6), round(s["area_perimeter_ratio"], 6),
+             round(s["shape_index"], 6), int(s["num_holes"]))
+            for s in geomod.polygon_stats(pp)]
+    return spark.createDataFrame(
+        rows, "name string, num_vertices int, area double, perimeter double,"
+              " area_perimeter_ratio double, shape_index double,"
+              " num_holes int")
+
+
+def q_cell_overlap_region(spark, sf_dir):
+    """A5 (geomesh.py:1332-1365): fraction of each res-5 cell covered by
+    the region polygon (planar clip area x 110^2 cos(lat) / avg cell
+    km2), over the region's polyfill."""
+    from osc_geo_h3grid_srv_spark.functions import geo as geomod
+    from osc_geo_h3grid_srv_spark.functions import h3core
+    pp = geomod.PackedPolygons.from_latlng_rings(
+        [[_PIP_SHELL, _PIP_HOLE]], ["region"])
+    cells = geomod.polyfill(pp, 5, buffer_deg=geomod.get_buffer_deg(5))
+    frac = geomod.cell_overlap(pp, cells)
+    names = h3core.cell_to_string(cells)
+    rows = [(str(names[i]), round(float(frac[i]), 6))
+            for i in range(len(cells)) if frac[i] > 0.0]
+    return spark.createDataFrame(rows, "cell string, overlap double")
+
+
+def q_langid_agreement(spark, sf_dir):
+    """text analysis: n-gram-heuristic language ID (pUDF) vs the stored
+    lang label - agreement matrix counts."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import lang_id_udf
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("lang_pred", lang_id_udf(F.col("text")))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count("*").alias("n")))
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """text analysis: rolling-hash document fingerprints (winnowing-style)
+    - distinct fingerprints and dup groups per lang."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import fingerprint_udf
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.withColumn("fp", fingerprint_udf(F.col("text")))
+    return (fp.groupBy("lang")
+            .agg(F.countDistinct("fp").alias("n_fingerprints"),
+                 F.count("*").alias("n_docs")))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """multimodal plumbing: binary payload + typed metadata -> stubbed
+    decode -> fixed-dim feature vector via mapInPandas; per-kind counts
+    and mean feature norm (deterministic fake decode; real codecs slot
+    into _decode_image_stub)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        extract_features, synth_media)
+    media = synth_media(spark, 400, partitions=8)
+    feats = extract_features(media)
+    norm = F.sqrt(F.expr(
+        "aggregate(features, cast(0.0 as double), (a, v) -> a + v * v)"))
+    return (feats.withColumn("norm", norm)
+            .groupBy("media_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("norm"), 4).alias("avg_norm")))
+
+
+def q_simplify_polygon(spark, sf_dir):
+    """F9 (shape.py:180-198): Douglas-Peucker ring simplification of a
+    deterministic 120-vertex noisy ring; returns surviving vertices."""
+    import math as _m
+    from osc_geo_h3grid_srv_spark.functions import geo as geomod
+    ring = []
+    for i in range(120):
+        ang = 2 * _m.pi * i / 120
+        r = 3.0 + 0.25 * _m.sin(7 * ang) + 0.001 * ((i * 37) % 11)
+        ring.append((50.0 + r * _m.sin(ang), 10.0 + r * _m.cos(ang)))
+    simp = geomod.douglas_peucker(ring, tolerance=0.05)
+    rows = [(i, round(float(p[0]), 6), round(float(p[1]), 6))
+            for i, p in enumerate(simp)]
+    return spark.createDataFrame(rows, "idx int, lat double, lng double")
 
 def q_h3_index_documents(spark, sf_dir):
     """F1: H3 cell assignment (res 7 + parent res 2) over derived doc geo
@@ -395,6 +665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_topn": q_broadcast_join_topn,
         "window_first_event": q_window_first_event,
         "minradius_guard_table": q_minradius_guard_table,
+        "pip_raycast_clip": q_pip_raycast_clip,
+        "shape_attr_stats": q_shape_attr_stats,
+        "doc_quality_scores": q_doc_quality_scores,
+        "region_semi_join": q_region_semi_join,
+        "correlate_two_datasets": q_correlate_two_datasets,
+        "month_name_rollup": q_month_name_rollup,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -402,6 +678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "polyfill_region_cells": q_polyfill_region_cells,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "kring_cells": q_kring_cells,
+        "geometry_stats": q_geometry_stats,
+        "cell_overlap_region": q_cell_overlap_region,
+        "langid_agreement": q_langid_agreement,
+        "fingerprint_docs": q_fingerprint_docs,
+        "multimodal_features": q_multimodal_features,
+        "simplify_polygon": q_simplify_polygon,
     }
 
 
@@ -587,5 +870,89 @@ def oracle_sql() -> dict[str, str]:
                          / (2 + 120 * pow(7, resolution)))
                          / (3 * sqrt(3))), 6) as min_radius_km
             from rs
+        """,
+        "pip_raycast_clip": _pip_oracle_sql(geo_cust),
+        "shape_attr_stats": """
+            select lang, count(*) as n,
+                   count(distinct doc_id) as n_distinct,
+                   round(avg(cast(length(text) as bigint)), 4) as len_mean,
+                   round(median(cast(length(text) as bigint)), 4)
+                   as len_median,
+                   min(cast(length(text) as bigint)) as len_min,
+                   max(cast(length(text) as bigint)) as len_max
+            from documents group by lang
+        """,
+        "doc_quality_scores": """
+            select doc_id,
+                   cast(length(text) as bigint) as n_chars,
+                   cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+                   cast(length(text) - length(replace(text, '.', ''))
+                        as bigint) as n_periods,
+                   cast((length(lower(text))
+                         - length(replace(lower(text), ' the ', ''))) / 5
+                        as bigint) as n_the,
+                   round((cast((length(lower(text))
+                          - length(replace(lower(text), ' the ', ''))) / 5
+                          as bigint) * 5.0
+                          + cast(length(text)
+                                 - length(replace(text, '.', ''))
+                                 as bigint))
+                         / cast(len(string_split(text, ' ')) as bigint), 6)
+                   as score
+            from documents where doc_id < 300
+        """,
+        "region_semi_join": f"""
+            with geo as ({_geo_sql('orders', 'o_orderkey')})
+            select cast(floor(lat/4)*1000 + floor(lng/24) as bigint)
+                   as grid_id,
+                   count(*) as n, sum(val) as sum_val
+            from geo
+            where cast(floor(lat/4)*1000 + floor(lng/24) as bigint) in (
+                {', '.join(str(i) for i in sorted(
+                    {b * 1000 + l for b in range(10, 15)
+                     for l in range(-1, 2)}))})
+            group by 1
+        """,
+        "correlate_two_datasets": f"""
+            with assets as (
+                select id as asset_id,
+                       cast(floor(lat/4)*1000 + floor(lng/24) as bigint)
+                       as cell
+                from ({geo_cust})),
+            ds1 as (
+                select cell, case when cell % 10 = 0 then null
+                       else s_avg end as s_val
+                from (select cast(floor(lat/4)*1000 + floor(lng/24)
+                             as bigint) as cell,
+                             round(avg(val), 4) as s_avg
+                      from ({_geo_sql('supplier', 's_suppkey')})
+                      group by 1)),
+            ds2 as (
+                select cast(floor(lat/4)*1000 + floor(lng/24) as bigint)
+                       as cell, max(val) as p_max
+                from ({_geo_sql('part', 'p_partkey')})
+                group by 1)
+            select asset_id, assets.cell as cell, s_val, p_max
+            from assets
+            join ds1 on assets.cell = ds1.cell
+            join ds2 on assets.cell = ds2.cell
+            where s_val > 3000.0 or s_val is null
+        """,
+        "month_name_rollup": """
+            select case when month(ts) = 1 then 'January'
+                        when month(ts) = 2 then 'February'
+                        when month(ts) = 3 then 'March'
+                        when month(ts) = 4 then 'April'
+                        when month(ts) = 5 then 'May'
+                        when month(ts) = 6 then 'June'
+                        when month(ts) = 7 then 'July'
+                        when month(ts) = 8 then 'August'
+                        when month(ts) = 9 then 'September'
+                        when month(ts) = 10 then 'October'
+                        when month(ts) = 11 then 'November'
+                        when month(ts) = 12 then 'December' end
+                   as month_name,
+                   count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1
         """,
     }

@@ -347,6 +347,83 @@ def polygon_stats(packed: PackedPolygons):
 # Douglas-Peucker simplification (F9: shape.py:180-198)
 # ---------------------------------------------------------------------------
 
+def _clip_ring_convex(subject, clipper):
+    """Sutherland-Hodgman: clip (K,2) subject ring by a CONVEX (M,2)
+    clipper ring (both lat,lng, any winding). Returns clipped ring
+    (possibly empty). Subject may be concave."""
+    subject = np.asarray(subject, dtype=np.float64)
+    clipper = np.asarray(clipper, dtype=np.float64)
+    # ensure counter-clockwise clipper (positive shoelace in (x=lng, y=lat))
+    x = clipper[:, 1]; y = clipper[:, 0]
+    if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        clipper = clipper[::-1]
+    out = subject
+    m = len(clipper)
+    for e in range(m):
+        if len(out) == 0:
+            return out
+        ay, ax = clipper[e]
+        by, bx = clipper[(e + 1) % m]
+        # inside = left of edge a->b
+        py = out[:, 0]; px = out[:, 1]
+        side = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        inside = side >= 0
+        nxt = np.roll(np.arange(len(out)), -1)
+        res = []
+        for i in range(len(out)):
+            j = nxt[i]
+            if inside[i]:
+                res.append(out[i])
+                if not inside[j]:
+                    res.append(_seg_intersect(out[i], out[j],
+                                              (ay, ax), (by, bx)))
+            elif inside[j]:
+                res.append(_seg_intersect(out[i], out[j], (ay, ax), (by, bx)))
+        out = np.asarray(res, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def _seg_intersect(p1, p2, a, b):
+    """intersection of segment p1-p2 with infinite line a-b (lat,lng)."""
+    p1y, p1x = float(p1[0]), float(p1[1])
+    p2y, p2x = float(p2[0]), float(p2[1])
+    ay, ax = a; by, bx = b
+    d1 = (bx - ax) * (p1y - ay) - (by - ay) * (p1x - ax)
+    d2 = (bx - ax) * (p2y - ay) - (by - ay) * (p2x - ax)
+    t = d1 / (d1 - d2) if d1 != d2 else 0.0
+    return np.array([p1y + t * (p2y - p1y), p1x + t * (p2x - p1x)])
+
+
+def cell_overlap(packed: PackedPolygons, cells):
+    """A5 (geomesh.py:1332-1365): fraction of each H3 cell covered by the
+    polygon set. intersection area (planar deg^2, shell minus holes) x
+    scale factor 110^2 * cos(mean boundary latitude) / mean cell area km2.
+    Reproduces the reference's KM_PER_DEGREE=110 and avg-cell-area
+    constants (geomesh.py:45,107-124)."""
+    from . import h3core
+    cells = np.asarray(cells, dtype=np.uint64).ravel()
+    if cells.size == 0:
+        return np.empty(0)
+    res = int(h3core.get_resolution(cells[:1])[0])
+    cell_km2 = h3core.AVG_CELL_AREA_KM2[res]
+    bounds = h3core.cell_boundary(cells)  # (N, 6, 2)
+    out = np.zeros(cells.shape[0], dtype=np.float64)
+    for i in range(cells.shape[0]):
+        hexring = bounds[i]
+        factor = (110.0 * 110.0
+                  * math.cos(math.radians(float(hexring[:, 0].mean()))))
+        area = 0.0
+        for r in range(len(packed.ring_start)):
+            ring = packed.coords[packed.ring_start[r]:packed.ring_end[r]]
+            clipped = _clip_ring_convex(ring, hexring)
+            if len(clipped) < 3:
+                continue
+            a, _ = ring_area_perimeter(clipped)
+            area += -a if packed.ring_hole[r] else a
+        out[i] = max(area, 0.0) * factor / cell_km2
+    return out
+
+
 def douglas_peucker(ring, tolerance):
     """iterative DP on a (K,2) open ring; returns simplified open ring."""
     ring = np.asarray(ring, dtype=np.float64)

@@ -1084,6 +1084,33 @@ def grid_disk(h, k):
     return k_ring(h, k)
 
 
+def cell_boundary(h):
+    """(N,) cells -> (N, 6, 2) hexagon vertex (lat_deg, lng_deg).
+
+    Reference analogue: h3.h3_to_geo_boundary (geomesh.py:1335,1354 - used
+    only by the overlap calc, SURVEY.md F5/A5). Vertices are placed in the
+    cell's face-local lattice plane (the same plane k_ring uses, where
+    adjacent centers sit at unit distance): circumradius 1/sqrt(3) at
+    angles 30 + 60k degrees, then projected back to the sphere. Exact
+    within a face; near icosahedron edges the true H3 boundary bends at
+    the edge while this stays planar (documented approximation; adequate
+    for the area-overlap use, which the reference never calls upstream).
+    """
+    h = np.asarray(h, dtype=np.uint64).ravel()
+    res = int(get_resolution(h[:1])[0])
+    lat, lng = cell_to_latlng(h)
+    face, x, y = _geo_to_hex2d(np.radians(lat), np.radians(lng), res)
+    ang = np.radians(30.0 + 60.0 * np.arange(6))
+    vx = np.cos(ang) / math.sqrt(3.0)
+    vy = np.sin(ang) / math.sqrt(3.0)
+    X = x[:, None] + vx[None, :]
+    Y = y[:, None] + vy[None, :]
+    F = np.repeat(face, 6).reshape(-1, 6)
+    la, lo = _hex2d_to_geo(F.ravel(), X.ravel(), Y.ravel(), res)
+    out = np.stack([np.degrees(la), np.degrees(lo)], axis=-1)
+    return out.reshape(h.shape[0], 6, 2)
+
+
 def polyfill_candidates(lat_min, lat_max, lng_min, lng_max, res,
                         max_samples=20_000_000):
     """all cells whose centroid might lie in the given bbox: dense sample

@@ -1,0 +1,104 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json).
+
+The rule requires >=0.8 throughput scaling efficiency from N to 4N
+executors. No real cluster exists in this sandbox, so (per BASELINE.md
+"Sandbox realization") we run the IDENTICAL flagship job on IDENTICAL
+input at two parallelism levels -- local[8] and local[32] -- and report
+pages/sec at both plus efficiency = throughput(32) / (4 x throughput(8)).
+
+Each level runs in its own subprocess (fresh JVM, fresh executor pool) so
+nothing leaks between measurements. The pages parquet is materialized once
+and shared; python-worker warmup (process spawn + kernel imports) is
+untimed at both levels, mirroring long-lived executors on a real cluster.
+
+Usage:
+    python tools/bench_scaling.py                 # full report (JSON line)
+    python tools/bench_scaling.py --cores 8       # one level (internal)
+
+Env: SPARK_GRAFT_PAGES (default 200000), SPARK_GRAFT_REPS (default 3,
+best-of to damp single-box jitter).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+
+
+def run_level(cores: int, n_pages: int, reps: int) -> dict:
+    """run the flagship pipeline at local[cores]; return best-of timings."""
+    from bench import _flagship_pipeline, prepare_pages
+    from osc_geo_h3grid_srv_spark.engine import make_spark
+
+    spark = make_spark(cores=cores,
+                       shuffle_partitions=max(cores * 2, 16),
+                       extra_conf={"spark.ui.enabled": "false",
+                                   "spark.driver.memory": "24g"})
+    pages_path = prepare_pages(spark, n_pages)
+    _flagship_pipeline(spark, prepare_pages(spark, 2000))  # warmup, untimed
+    best = None
+    counts = None
+    for _ in range(reps):
+        t0 = time.time()
+        counts = _flagship_pipeline(spark, pages_path)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    spark.stop()
+    return {"cores": cores, "sec": round(best, 3),
+            "pages_per_sec": round(n_pages / best, 1),
+            "clipped": counts[0], "interp_cells": counts[1]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cores:  # child: one level, print one JSON line
+        print("RESULT " + json.dumps(run_level(args.cores, N_PAGES, REPS)))
+        return
+
+    levels = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores",
+             str(cores)],
+            capture_output=True, text=True, cwd=REPO, env=os.environ)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout + out.stderr)
+            raise SystemExit(f"level local[{cores}] failed")
+        levels[cores] = json.loads(line[-1][len("RESULT "):])
+
+    t8, t32 = levels[8]["pages_per_sec"], levels[32]["pages_per_sec"]
+    eff = round(t32 / (4.0 * t8), 3)
+    report = {
+        "metric": "flagship H3-indexed pages/sec at local[8] vs local[32]",
+        "n_pages": N_PAGES,
+        "reps_best_of": REPS,
+        "local8": levels[8],
+        "local32": levels[32],
+        "scaling_efficiency_8_to_32": eff,
+        "meets_north_rule_0.8": eff >= 0.8,
+        "identical_output": (levels[8]["clipped"] == levels[32]["clipped"]
+                             and levels[8]["interp_cells"]
+                             == levels[32]["interp_cells"]),
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH-SCALING.json"), "w") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()
