@@ -23,6 +23,18 @@ def make_spark(app="osc-geo-h3grid-spark", cores=None, shuffle_partitions=32,
     master = f"local[{cores}]" if cores else "local[*]"
     b = (SparkSession.builder.appName(app).master(master)
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         # shuffle temp-block names come from UUID.randomUUID ->
+         # SecureRandom; the default NativePRNG holds a GLOBAL lock around
+         # an entropy read that is slow on VM kernels, and the bypass-merge
+         # shuffle writer calls it once per reduce partition per map task
+         # -- at local[32] every task thread convoys on that one lock
+         # (observed: 3x slowdown vs local[8]). The egd override switches
+         # to pure-Java SHA1PRNG (no syscall in the critical section);
+         # bypassMergeThreshold=0 keeps the sort writer (1 temp file per
+         # map task instead of numPartitions).
+         .config("spark.driver.extraJavaOptions",
+                 "-Djava.security.egd=file:/dev/./urandom")
+         .config("spark.shuffle.sort.bypassMergeThreshold", "0")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

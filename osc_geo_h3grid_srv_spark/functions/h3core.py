@@ -173,7 +173,9 @@ def _geo_azimuth(lat1, lng1, lat2, lng2):
 
 
 def _closest_face(xyz):
-    return np.argmax(xyz @ FACE_CENTER_XYZ.T, axis=-1)
+    # .dot dispatches to BLAS gemm; the @ operator takes a ~35x slower
+    # inner-loop path for this (N,3)x(3,20) shape. Result identical.
+    return xyz.dot(FACE_CENTER_XYZ.T).argmax(axis=-1)
 
 
 def _geo_to_hex2d(lat, lng, res, face=None):
@@ -227,23 +229,14 @@ def _hex2d_to_geo(face, x, y, res):
 # ---------------------------------------------------------------------------
 
 def _ijk_normalize(i, j, k):
-    i = np.asarray(i, dtype=np.int64).copy()
-    j = np.asarray(j, dtype=np.int64).copy()
-    k = np.asarray(k, dtype=np.int64).copy()
-    m = i < 0
-    j = np.where(m, j - i, j)
-    k = np.where(m, k - i, k)
-    i = np.where(m, 0, i)
-    m = j < 0
-    i = np.where(m, i - j, i)
-    k = np.where(m, k - j, k)
-    j = np.where(m, 0, j)
-    m = k < 0
-    i = np.where(m, i - k, i)
-    j = np.where(m, j - k, j)
-    k = np.where(m, 0, k)
-    mn = np.minimum(np.minimum(i, j), k)
-    return i - mn, j - mn, k - mn
+    # the published normalize (fold each negative axis, then subtract the
+    # min) is a sequence of uniform subtractions ending with min == 0 --
+    # algebraically identical to subtracting min(i,j,k) once
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    k = np.asarray(k, dtype=np.int64)
+    m = np.minimum(np.minimum(i, j), k)
+    return i - m, j - m, k - m
 
 
 def _ijk_to_hex2d(i, j, k):
@@ -303,9 +296,9 @@ def _hex2d_to_ijk(x, y):
 
 
 def _lround_div7(n):
-    """lround(n / 7.0) for integer arrays; exact .5 cannot occur."""
-    nf = n.astype(np.float64) / 7.0
-    return np.where(nf >= 0, np.floor(nf + 0.5), np.ceil(nf - 0.5)).astype(np.int64)
+    """lround(n / 7.0) for integer arrays; exact .5 cannot occur, so
+    nearest-int == floor((n+3)/7) in pure integer math (no float trip)."""
+    return (n + 3) // 7
 
 
 def _up_ap7(i, j, k):  # ccw (into Class III parent)
@@ -360,13 +353,19 @@ def _ijk_rotate60_cw(i, j, k):
     return _ijk_normalize(i + j, j + k, i + k)
 
 
+_UNIT_LUT = np.full(8, -1, dtype=np.int8)
+for _d in range(7):
+    _UNIT_LUT[(_UNIT_VECS[_d, 0] << 2) | (_UNIT_VECS[_d, 1] << 1)
+              | _UNIT_VECS[_d, 2]] = _d
+
+
 def _unit_ijk_to_digit(i, j, k):
-    """map normalized unit ijk to digit 0-6 (invalid -> -1)."""
-    digit = np.full(np.shape(i), -1, dtype=np.int8)
-    for d in range(7):
-        m = (i == _UNIT_VECS[d, 0]) & (j == _UNIT_VECS[d, 1]) & (k == _UNIT_VECS[d, 2])
-        digit = np.where(m, np.int8(d), digit)
-    return digit
+    """map normalized unit ijk to digit 0-6 (invalid -> -1); single LUT
+    gather instead of 7 compare passes."""
+    key = (i << 2) | (j << 1) | k
+    valid = ((i | j | k) >> 1) == 0  # all components in {0,1}
+    key = np.where(valid, key, 0)
+    return np.where(valid, _UNIT_LUT[key], np.int8(-1))
 
 
 def _is_class_iii(res):
@@ -758,8 +757,48 @@ def latlng_to_cell(lat_deg, lng_deg, res):
     """
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64)).ravel()
     lng = np.radians(np.asarray(lng_deg, dtype=np.float64)).ravel()
-    n = lat.shape[0]
     face, x, y = _geo_to_hex2d(lat, lng, res)
+    return _hex2d_to_cell(face, x, y, res)
+
+
+def latlng_to_cells_multi(lat_deg, lng_deg, res_list):
+    """independent cell assignment at EVERY res in res_list, sharing the
+    expensive spherical work (xyz, face pick, arccos, azimuth, tan and the
+    two Class II/III trig pairs) across resolutions — bit-identical to
+    calling latlng_to_cell once per res, ~3x cheaper for res 0..9.
+
+    Returns {res: uint64 array}."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64)).ravel()
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64)).ravel()
+    xyz = _geo_to_xyz(lat, lng)
+    face = _closest_face(xyz)
+    dot = np.clip((xyz * FACE_CENTER_XYZ[face]).sum(axis=-1), -1.0, 1.0)
+    r = np.arccos(dot)
+    az = _geo_azimuth(FACE_CENTER_GEO[face, 0], FACE_CENTER_GEO[face, 1],
+                      lat, lng)
+    theta_even = np.mod(
+        FACE_AXES_AZ_RADS_CII[face, 0] - np.mod(az, 2 * math.pi),
+        2 * math.pi)
+    tanr = np.tan(r) / RES0_U_GNOMONIC
+    zero = r < 1e-16
+    trig = {False: (np.cos(theta_even), np.sin(theta_even))}
+    if any(res % 2 == 1 for res in res_list):
+        theta_odd = np.mod(theta_even - M_AP7_ROT_RADS, 2 * math.pi)
+        trig[True] = (np.cos(theta_odd), np.sin(theta_odd))
+    out = {}
+    for res in res_list:
+        ct, st = trig[res % 2 == 1]
+        rg = tanr * (M_SQRT7 ** res)
+        x = np.where(zero, 0.0, rg * ct)
+        y = np.where(zero, 0.0, rg * st)
+        out[res] = _hex2d_to_cell(face, x, y, res)
+    return out
+
+
+def _hex2d_to_cell(face, x, y, res):
+    """(face, hex-plane x, y at res) -> packed H3 index (the published
+    _faceIjkToH3 digit walk + base-cell/pentagon rotations)."""
+    n = np.asarray(x).shape[0]
     i, j, k = _hex2d_to_ijk(x, y)
 
     digits = np.zeros((n, 15), dtype=np.int8)

@@ -89,6 +89,49 @@ def extract_text(html: pd.Series) -> pd.Series:
     return html.map(_one)
 
 
+GEO_ANCHOR_RE_B = re.compile(
+    rb'<span class="geo">(-?\d+\.\d{6}),(-?\d+\.\d{6})</span>')
+
+
+def extract_geo_anchors_arrow(arr):
+    """Arrow-native anchor extraction: ONE regex scan over the batch's raw
+    data buffer (no per-page decode, no Python bytes objects per row),
+    match offsets -> row ids via searchsorted on the value offsets.
+
+    arr: pyarrow BinaryArray / LargeBinaryArray of html.
+    Returns (row_idx int64, lat float64, lng float64) — identical output
+    to extract_geo_anchors on the same rows."""
+    import pyarrow as pa
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0), np.empty(0))
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                         count=n + 1 + arr.offset)[arr.offset:]
+    data = memoryview(arr.buffers()[2])
+    lo, hi = int(offs[0]), int(offs[-1])
+    starts, ends_l, lats, lngs = [], [], [], []
+    for m in GEO_ANCHOR_RE_B.finditer(data, lo, hi):
+        starts.append(m.start())
+        ends_l.append(m.end())
+        lats.append(m.group(1))
+        lngs.append(m.group(2))
+    if not starts:
+        return (np.empty(0, np.int64), np.empty(0), np.empty(0))
+    pos = np.array(starts, dtype=np.int64)
+    offs64 = offs.astype(np.int64)
+    rows = np.searchsorted(offs64, pos, side="right") - 1
+    # drop any match that spans a row boundary (cannot occur with
+    # well-formed pages; guard keeps row mapping exact regardless)
+    keep = np.array(ends_l, dtype=np.int64) <= offs64[rows + 1]
+    # bytes -> float via NumPy's C parser (no per-value Python float())
+    lat = np.array(lats, dtype="S24").astype(np.float64)
+    lng = np.array(lngs, dtype="S24").astype(np.float64)
+    if not keep.all():
+        rows, lat, lng = rows[keep], lat[keep], lng[keep]
+    return rows.astype(np.int64), lat, lng
+
+
 def extract_geo_anchors(html: pd.Series):
     """html binary -> (row_idx, lat, lng) arrays for every geo anchor
     '<span class="geo">{lat:.6f},{lon:.6f}</span>' (multiple per page)."""

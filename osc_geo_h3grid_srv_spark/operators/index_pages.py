@@ -41,14 +41,45 @@ def extract_points(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(gen, schema=POINTS_SCHEMA)
 
 
+def _hex_str(col):
+    """JVM-side H3 string form of an int64 cell: hex() strips the single
+    leading zero nibble (valid mode-1 indexes always have bit 63..60 = 0),
+    lower() matches h3 v3 string case — bit-identical to
+    h3core.cell_to_string, zero Python string objects."""
+    return F.lower(F.hex(col))
+
+
+def _with_res_strings(df: DataFrame, max_res: int, parent_res: int,
+                      keep_int_cells: bool = False) -> DataFrame:
+    """render res0..res{max_res} string columns from the int64 cell
+    columns emitted by the Python stage, preserving the legacy column
+    order (POINTS_SCHEMA, res0..res{max_res}, cell{max_res},
+    p{parent_res}[, extras])."""
+    base = ["url", "warc_ts", "lang", "latitude", "longitude"]
+    extras = [c for c in df.columns
+              if c not in base and not c.startswith("icell")
+              and c != f"cell{max_res}" and c != f"p{parent_res}"]
+    cols = ([F.col(c) for c in base]
+            + [_hex_str(F.col(f"icell{r}")).alias(f"res{r}")
+               for r in range(max_res + 1)]
+            + ([F.col(f"icell{r}").alias(f"cell{r}")
+                for r in range(max_res)] if keep_int_cells else [])
+            + [F.col(f"icell{max_res}").alias(f"cell{max_res}"),
+               F.col(f"p{parent_res}")]
+            + [F.col(c) for c in extras])
+    return df.select(*cols)
+
+
 def assign_cells(points: DataFrame, max_res: int = 9,
                  parent_res: int = 1) -> DataFrame:
     """add res0..res{max_res} hex columns + int64 cell{max_res} and parent
-    partition keys, all in ONE mapInPandas pass (one Arrow round trip
-    instead of max_res+1 UDF scans)."""
-    res_fields = ", ".join(f"res{r} string" for r in range(max_res + 1))
-    schema = (f"{POINTS_SCHEMA}, {res_fields}, cell{max_res} long, "
-              f"p{parent_res} long")
+    partition keys. ONE mapInPandas pass emits int64 cells only (shared
+    spherical projection across resolutions, each res still assigned
+    independently — the reference's point-dataset convention); the string
+    renderings are JVM `lower(hex(...))` projections, so they cost nothing
+    when pruned and no Python string objects ever cross Arrow."""
+    int_fields = ", ".join(f"icell{r} long" for r in range(max_res + 1))
+    schema = f"{POINTS_SCHEMA}, {int_fields}, p{parent_res} long"
 
     def gen(batches):
         import numpy as np
@@ -56,18 +87,16 @@ def assign_cells(points: DataFrame, max_res: int = 9,
             la = pdf["latitude"].to_numpy(dtype="float64")
             lo = pdf["longitude"].to_numpy(dtype="float64")
             out = pdf.copy()
-            fine = None
+            cells = h3core.latlng_to_cells_multi(
+                la, lo, list(range(max_res + 1)))
             for r in range(max_res + 1):
-                cells = h3core.latlng_to_cell(la, lo, r)
-                out[f"res{r}"] = h3core.cell_to_string(cells)
-                if r == max_res:
-                    fine = cells
-            out[f"cell{max_res}"] = fine.view(np.int64)
+                out[f"icell{r}"] = cells[r].view(np.int64)
             out[f"p{parent_res}"] = h3core.cell_to_parent(
-                fine, parent_res).view(np.int64)
+                cells[max_res], parent_res).view(np.int64)
             yield out
 
-    return points.mapInPandas(gen, schema=schema)
+    raw = points.mapInPandas(gen, schema=schema)
+    return _with_res_strings(raw, max_res, parent_res)
 
 
 def index_pages(catalog, pages: DataFrame, dataset="page_points",
@@ -128,17 +157,21 @@ def extract_index_clip(pages: DataFrame, max_res: int = 9,
     and emits an `in_region` flag instead (full-index + query pattern).
     """
     import numpy as np
-    res_fields = ", ".join(f"res{r} string" for r in range(max_res + 1))
-    schema = (f"{POINTS_SCHEMA}, {res_fields}, cell{max_res} long, "
-              f"p{parent_res} long")
-    if packed_bc is not None and not clip_filter:
+    int_fields = ", ".join(f"icell{r} long" for r in range(max_res + 1))
+    schema = f"{POINTS_SCHEMA}, {int_fields}, p{parent_res} long"
+    flagged = packed_bc is not None and not clip_filter
+    if flagged:
         schema += ", in_region boolean"
+    res_list = list(range(max_res + 1))
 
     def gen(batches):
+        import pyarrow as pa
         from ..functions import geo as geomod
         pp = geomod.PackedPolygons(*packed_bc.value) if packed_bc else None
-        for pdf in batches:
-            rows, la, lo = textf.extract_geo_anchors(pdf["html"])
+        for batch in batches:
+            sch = batch.schema
+            html = batch.column(sch.get_field_index("html"))
+            rows, la, lo = textf.extract_geo_anchors_arrow(html)
             flag = None
             if pp is not None:
                 m = np.zeros(len(rows), dtype=bool)
@@ -151,21 +184,29 @@ def extract_index_clip(pages: DataFrame, max_res: int = 9,
                     rows, la, lo = rows[m], la[m], lo[m]
                 else:
                     flag = m
-            out = pdf.iloc[rows][["url", "warc_ts", "lang"]].reset_index(
-                drop=True)
-            out["latitude"] = la
-            out["longitude"] = lo
-            fine = None
-            for r in range(max_res + 1):
-                cells = h3core.latlng_to_cell(la, lo, r)
-                out[f"res{r}"] = h3core.cell_to_string(cells)
-                if r == max_res:
-                    fine = cells
-            out[f"cell{max_res}"] = fine.view(np.int64)
-            out[f"p{parent_res}"] = h3core.cell_to_parent(
-                fine, parent_res).view(np.int64)
+            take = pa.array(rows, type=pa.int64())
+            cols = [batch.column(sch.get_field_index(c)).take(take)
+                    for c in ("url", "warc_ts", "lang")]
+            names = ["url", "warc_ts", "lang", "latitude", "longitude"]
+            cols += [pa.array(la), pa.array(lo)]
+            cells = h3core.latlng_to_cells_multi(la, lo, res_list)
+            for r in res_list:
+                cols.append(pa.array(cells[r].view(np.int64)))
+                names.append(f"icell{r}")
+            cols.append(pa.array(h3core.cell_to_parent(
+                cells[max_res], parent_res).view(np.int64)))
+            names.append(f"p{parent_res}")
             if flag is not None:
-                out["in_region"] = flag
-            yield out
+                cols.append(pa.array(flag))
+                names.append("in_region")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return pages.mapInPandas(gen, schema=schema)
+    # Arrow end to end: ONE regex scan per batch over the raw html buffer
+    # (extract_geo_anchors_arrow), url/warc_ts/lang passthrough via Arrow
+    # take (never materialized as Python objects), numeric outputs
+    # zero-copy from NumPy. The .select prunes the scan to the consumed
+    # columns (mapInArrow is opaque to Catalyst, so an unpruned input
+    # would read+ship the `text` column for nothing).
+    raw = pages.select("url", "warc_ts", "lang", "html").mapInArrow(
+        gen, schema=schema)
+    return _with_res_strings(raw, max_res, parent_res)
