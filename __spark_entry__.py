@@ -313,6 +313,54 @@ def q_window_first_event(spark, sf_dir):
             .select("user_id", "event_id", "event_type"))
 
 
+_CSV_FIXTURE = "/tmp/spark_graft_giss.csv"
+
+
+def _ensure_csv_fixture(path=_CSV_FIXTURE, n=20000):
+    """deterministic GISS-style CSV (S6: the sister repo's CSVLoader input,
+    examples/getting-started/giss_2022_12.yml): id,latitude,longitude,
+    temperature written once; same arithmetic as _GEO so both Spark and
+    DuckDB parse identical text."""
+    import os
+    if os.path.exists(path):
+        return path
+    g = _GEO
+    lines = ["id,latitude,longitude,temperature"]
+    for i in range(1, n + 1):
+        lat = ((g["alat"] * i + g["blat"]) % g["mlat"]) / 1000.0 - 72.5
+        lng = ((g["alng"] * i + g["blng"]) % g["mlng"]) / 1000.0 - 180.0
+        temp = (i * 37) % 7000 - 3000  # integer-scaled centi-degrees
+        lines.append(f"{i},{lat:.3f},{lng:.3f},{temp}")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def q_csv_loader_index(spark, sf_dir):
+    """S6: CSV loader path — typed spark.read.csv with declared schema,
+    the reference's world clip lat in [-60, 85] (geomesh.py:47-48), then
+    per-grid-cell aggregates (the loader's index step on a SQL surrogate
+    grid; the H3-keyed variant is kernel-tested)."""
+    from pyspark.sql import functions as F
+    path = _ensure_csv_fixture()
+    df = spark.read.csv(
+        path, header=True,
+        schema="id long, latitude double, longitude double, "
+               "temperature long")
+    df = df.filter((F.col("latitude") >= -60) & (F.col("latitude") <= 85))
+    cell = (F.floor(F.col("latitude")) * 1000
+            + F.floor(F.col("longitude"))).alias("grid_id")
+    return (df.groupBy(cell)
+            .agg(F.count("*").alias("n"),
+                 F.min("temperature").alias("t_min"),
+                 F.max("temperature").alias("t_max"),
+                 F.round(F.sum("temperature") / F.count("*"), 4)
+                 .alias("t_mean"))
+            .filter(F.col("n") >= 2))
+
+
 def q_minradius_guard_table(spark, sf_dir):
     """P4: the min-radius guard table (hex side per resolution,
     geomesh.py:1225-1250) computed from cell counts - constants parity."""
@@ -665,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_topn": q_broadcast_join_topn,
         "window_first_event": q_window_first_event,
         "minradius_guard_table": q_minradius_guard_table,
+        "csv_loader_index": q_csv_loader_index,
         "pip_raycast_clip": q_pip_raycast_clip,
         "shape_attr_stats": q_shape_attr_stats,
         "doc_quality_scores": q_doc_quality_scores,
@@ -937,6 +986,20 @@ def oracle_sql() -> dict[str, str]:
             join ds1 on assets.cell = ds1.cell
             join ds2 on assets.cell = ds2.cell
             where s_val > 3000.0 or s_val is null
+        """,
+        "csv_loader_index": f"""
+            select cast(floor(latitude) * 1000 + floor(longitude)
+                        as bigint) as grid_id,
+                   count(*) as n,
+                   min(temperature) as t_min,
+                   max(temperature) as t_max,
+                   round(sum(temperature) / count(*), 4) as t_mean
+            from read_csv('{_ensure_csv_fixture()}', header=true,
+                          columns={{'id': 'BIGINT', 'latitude': 'DOUBLE',
+                                    'longitude': 'DOUBLE',
+                                    'temperature': 'BIGINT'}})
+            where latitude between -60 and 85
+            group by 1 having count(*) >= 2
         """,
         "month_name_rollup": """
             select case when month(ts) = 1 then 'January'

@@ -220,6 +220,28 @@ class Catalog:
             if os.path.isdir(self._tdir(t)) and os.path.exists(
                 self._head_path(t)))
 
+    def partition_metrics(self, table, snapshot=None):
+        """per-partition lineage/metrics rollup from the manifest
+        (north_rule: per-partition lineage and row-count metrics):
+        {partition_values_json: {rows, bytes, files}} plus __total__."""
+        man = self.read_manifest(table, snapshot)
+        out = {}
+        for f in man["files"]:
+            key = json.dumps(f["partition"], sort_keys=True)
+            agg = out.setdefault(key, {"rows": 0, "bytes": 0, "files": 0})
+            agg["rows"] += f["rows"]
+            agg["bytes"] += f["bytes"]
+            agg["files"] += 1
+        out["__total__"] = {
+            "rows": man["total_rows"],
+            "bytes": sum(f["bytes"] for f in man["files"]),
+            "files": len(man["files"]),
+            "snapshot": man["snapshot_id"],
+            "lineage": man.get("lineage", {}),
+            "metrics": man.get("metrics", {}),
+        }
+        return out
+
     # -- dataset metadata registry (reference metadata.py semantics) --------
 
     def _meta_path(self):

@@ -179,10 +179,13 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
-def pages_dataframe(spark, n_rows: int, partitions: int = 32):
+def pages_dataframe(spark, n_rows: int, partitions: int = 32,
+                    start: int = 0):
     """distributed deterministic generation: each partition materializes
-    its own id range via mapInPandas (no driver-side data)."""
-    bounds = spark.range(0, n_rows, 1, partitions)
+    its own id range via mapInPandas (no driver-side data). `start`
+    offsets the id range — rows [start, start+n_rows) are byte-identical
+    to the same rows of any larger run (splitmix64 per id)."""
+    bounds = spark.range(start, start + n_rows, 1, partitions)
 
     def gen(batches):
         for pdf in batches:

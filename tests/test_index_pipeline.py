@@ -96,3 +96,16 @@ def test_snapshot_time_travel(engine, spark):
     assert c.load("tt_demo").count() == 2
     m2 = c.read_manifest("tt_demo", s2)
     assert m2["parent_snapshot_id"] == s1
+
+
+def test_partition_metrics_rollup(engine, pages):
+    index_pages(engine.catalog, pages, dataset="pp_metrics",
+                max_res=9, parent_res=1, salt=4)
+    pm = engine.catalog.partition_metrics("pp_metrics")
+    tot = pm.pop("__total__")
+    assert tot["rows"] == sum(v["rows"] for v in pm.values())
+    assert tot["lineage"]["stage"] == "index_pages"
+    assert "commit_wall_clock_s" in tot["metrics"]
+    # every partition key is a p1 parent cell with positive rows
+    for key, v in pm.items():
+        assert "p1" in key and v["rows"] > 0 and v["files"] >= 1

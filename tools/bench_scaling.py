@@ -49,15 +49,15 @@ def run_level(cores: int, n_pages: int, reps: int) -> dict:
     # pool, JIT-compiles the exact generated code for this plan, and warms
     # the OS page cache -- all states a long-lived cluster executor holds
     _flagship_pipeline(spark, pages_path)
-    best = None
+    times = []
     counts = None
     for _ in range(reps):
         t0 = time.time()
         counts = _flagship_pipeline(spark, pages_path)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        times.append(round(time.time() - t0, 3))
     spark.stop()
-    return {"cores": cores, "sec": round(best, 3),
+    best = min(times)
+    return {"cores": cores, "sec": best, "rep_secs": times,
             "pages_per_sec": round(n_pages / best, 1),
             "clipped": counts[0], "interp_cells": counts[1]}
 
@@ -71,8 +71,12 @@ def main():
         print("RESULT " + json.dumps(run_level(args.cores, N_PAGES, REPS)))
         return
 
+    # palindrome visit order: the sandbox host's CPU capacity varies over
+    # time (burstable VM), so each level gets two separate JVM visits at
+    # different times; best-of across both dodges slow host epochs and the
+    # symmetric order cancels monotone drift between levels.
     levels = {}
-    for cores in (2, 8, 32):
+    for cores in (2, 8, 32, 32, 8, 2):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores",
              str(cores)],
@@ -82,7 +86,14 @@ def main():
         if not line:
             sys.stderr.write(out.stdout + out.stderr)
             raise SystemExit(f"level local[{cores}] failed")
-        levels[cores] = json.loads(line[-1][len("RESULT "):])
+        res = json.loads(line[-1][len("RESULT "):])
+        prev = levels.get(cores)
+        if prev is not None:
+            res["rep_secs"] = prev["rep_secs"] + res["rep_secs"]
+            if prev["sec"] < res["sec"]:
+                res.update({k: prev[k] for k in
+                            ("sec", "pages_per_sec")})
+        levels[cores] = res
 
     # two N -> 4N pairs on the same box. 2 -> 8 isolates the engine's
     # scaling (no memory-bus contention); 8 -> 32 additionally saturates
