@@ -69,15 +69,17 @@ def _flagship_pipeline(spark, pages_path):
     from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
         cell_str, cell_to_parent_expr)
     cells = (clipped.select(cell_to_parent_expr("cell9", 5).alias("c5"))
-             .distinct()
+             .distinct().coalesce(1)
              .select(cell_str("c5").alias("h3_cell"),
                      cell_lat("c5").alias("latitude"),
                      cell_lng("c5").alias("longitude")))
     pts_v = clipped.select(
         "latitude", "longitude",
         (F.xxhash64("url") % 1000).cast("double").alias("value"))
+    # region-bounded res-5 grid -> broadcast side of the join; the big
+    # points side is never shuffled for the join
     interp = idw_interpolate(cells, pts_v, "value", k=3, power=2.0,
-                             max_dist_km=60.0)
+                             max_dist_km=60.0, broadcast_cells=True)
     n_interp = interp.count()
     clipped.unpersist()
     return n_clip, n_interp

@@ -30,10 +30,18 @@ def _bucket(lat_col, lng_col, pitch_deg):
 def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
                     k: int = 3, power: float = 2.0,
                     max_dist_km: float = 50.0,
-                    cell_col: str = "h3_cell") -> DataFrame:
+                    cell_col: str = "h3_cell",
+                    broadcast_cells: bool = False) -> DataFrame:
     """cells: (cell_col, latitude, longitude); points: (latitude,
     longitude, value_col). Returns (cell_col, latitude, longitude,
-    {value_col} interpolated, n_neighbors)."""
+    {value_col} interpolated, n_neighbors).
+
+    broadcast_cells=True hints the cell side into a broadcast hash join:
+    the (usually much larger) points side is never shuffled for the
+    join, and the window + final aggregate then share ONE shuffle on
+    cell_col (HashPartitioning(cell) satisfies both). Use when the cell
+    grid is region-bounded (e.g. a country at res 5-7 is << executor
+    memory); leave False to let AQE choose for unbounded grids."""
     pitch = max_dist_km / 111.32 * 1.2  # deg; >= max_dist in lat terms
     cy, cx = _bucket(F.col("c.latitude"), F.col("c.longitude"), pitch)
 
@@ -55,6 +63,8 @@ def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
     ).drop("off")
 
     c = cells.alias("c").withColumn("by", cy).withColumn("bx", cx)
+    if broadcast_cells:
+        c = F.broadcast(c)
     j = c.join(pts, on=["by", "bx"], how="inner")
     # haversine distance in km (built-in trig only)
     la1 = F.radians(F.col("c.latitude"))

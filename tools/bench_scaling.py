@@ -102,6 +102,32 @@ def main():
     t2, t8, t32 = (levels[c]["pages_per_sec"] for c in (2, 8, 32))
     eff_2_8 = round(t8 / (4.0 * t2), 3)
     eff_8_32 = round(t32 / (4.0 * t8), 3)
+
+    # Amdahl decomposition from the 3 levels: T(c) = S + P/c fitted on
+    # (2, 8); then P32 = 32*(T(32)-S) measures how much extra parallel
+    # work 32-way concurrency costs (memory-bandwidth inflation on one
+    # box). parallel_eff_* is the efficiency of the PARALLEL component
+    # alone — the part that 4x's with executors on a real cluster, where
+    # the serial floor (driver/stage latency, fixed per job) does not
+    # grow with data and the parallel part is hours, not seconds.
+    s2, s8, s32 = (levels[c]["sec"] for c in (2, 8, 32))
+    P = (s2 - s8) / (1 / 2 - 1 / 8)
+    amdahl = {}
+    if P > 0:
+        S = max(s2 - P / 2, 0.0)
+        p32 = 32 * max(s32 - S, 1e-9)
+        amdahl = {
+            "serial_s": round(S, 2),
+            "parallel_core_s_fit_2_8": round(P, 2),
+            "parallel_core_s_at_32": round(p32, 2),
+            "t32_predicted_if_parallel_perfect": round(S + P / 32, 2),
+            "t32_measured": s32,
+            "parallel_eff_8_to_32": round(min(P / p32, 1.0), 3),
+            "note": "T(c)=S+P/c fit on local[2]/local[8] bests (exact on "
+                    "those 2 points); the 32-level is the out-of-sample "
+                    "check. See BASELINE.md for why the serial floor "
+                    "vanishes at production scale.",
+        }
     report = {
         "metric": "flagship H3-indexed pages/sec at local[2]/[8]/[32]",
         "n_pages": N_PAGES,
@@ -111,6 +137,7 @@ def main():
         "local32": levels[32],
         "scaling_efficiency_2_to_8": eff_2_8,
         "scaling_efficiency_8_to_32": eff_8_32,
+        "amdahl": amdahl,
         "meets_north_rule_0.8": eff_2_8 >= 0.8,
         "identical_output": all(
             levels[c]["clipped"] == levels[2]["clipped"]
