@@ -313,6 +313,67 @@ def q_window_first_event(spark, sf_dir):
             .select("user_id", "event_id", "event_type"))
 
 
+def q_sessionize_events(spark, sf_dir):
+    """sessionization (training-data pipeline op): per-user sessions cut
+    at >30-min gaps via lag window + running sum; per-user session count
+    and the largest session. Pure window/agg — one shuffle on user_id
+    shared by both window and groupBy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    df = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    df = df.withColumn("sess_id", F.sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_sess = (df.groupBy("user_id", "sess_id")
+                .agg(F.count("*").alias("n_ev")))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_ev").alias("max_session_events"),
+                 F.sum("n_ev").alias("total_events")))
+
+
+def q_bigram_counts(spark, sf_dir):
+    """text analysis: corpus bigram counts over documents — JVM-only
+    array ops (split + slice + zip), explode, hash agg; the classic
+    skew-prone shuffle of a web-text pipeline."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    df = docs.select(F.arrays_zip(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    ).alias("prs"))
+    df = df.select(F.explode("prs").alias("p"))
+    bg = F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("bigram")
+    return (df.select(bg)
+            .filter((F.col("bigram") != "") & ~F.col("bigram").contains("  ")
+                    & ~F.col("bigram").startswith(" ")
+                    & ~F.col("bigram").endswith(" "))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 5))
+
+
+def q_docfreq_idf(spark, sf_dir):
+    """text analysis: document frequency + integer-exact idf surrogate.
+    distinct words per doc (array_distinct, JVM) -> explode -> df counts;
+    idf reported as round(ln(N/df), 6) with N fixed by a scalar agg."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    df = (docs.select(F.explode(words).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count("*").alias("df"))
+          .filter(F.col("df") >= 20))
+    return df.select(
+        "w", "df",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"))
+
+
 _CSV_FIXTURE = "/tmp/spark_graft_giss.csv"
 
 
@@ -714,6 +775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_event": q_window_first_event,
         "minradius_guard_table": q_minradius_guard_table,
         "csv_loader_index": q_csv_loader_index,
+        "sessionize_events": q_sessionize_events,
+        "bigram_counts": q_bigram_counts,
+        "docfreq_idf": q_docfreq_idf,
         "pip_raycast_clip": q_pip_raycast_clip,
         "shape_attr_stats": q_shape_attr_stats,
         "doc_quality_scores": q_doc_quality_scores,
@@ -986,6 +1050,56 @@ def oracle_sql() -> dict[str, str]:
             join ds1 on assets.cell = ds1.cell
             join ds2 on assets.cell = ds2.cell
             where s_val > 3000.0 or s_val is null
+        """,
+        "sessionize_events": """
+            with lagd as (
+                select user_id, ts, event_id,
+                       case when lag(ts) over w is null
+                                 or date_diff('second', lag(ts) over w, ts)
+                                    > 1800
+                            then 1 else 0 end as new_sess
+                from events
+                window w as (partition by user_id order by ts, event_id)),
+            sess as (
+                select user_id,
+                       sum(new_sess) over (partition by user_id
+                                           order by ts, event_id
+                                           rows unbounded preceding)
+                           as sess_id
+                from lagd),
+            per_sess as (
+                select user_id, sess_id, count(*) as n_ev
+                from sess group by 1, 2)
+            select user_id,
+                   count(*) as n_sessions,
+                   max(n_ev) as max_session_events,
+                   sum(n_ev) as total_events
+            from per_sess group by 1
+        """,
+        "bigram_counts": """
+            with w as (select string_split(text, ' ') as ws
+                       from documents),
+            pairs as (
+                select unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) as bigram
+                from w)
+            select bigram, count(*) as n
+            from pairs
+            where bigram <> '' and bigram not like '% '
+              and bigram not like ' %' and bigram not like '%  %'
+            group by 1 having count(*) >= 5
+        """,
+        "docfreq_idf": """
+            with dw as (
+                select unnest(list_distinct(string_split(text, ' '))) as w
+                from documents),
+            agg as (
+                select w, count(*) as df from dw
+                where w <> '' group by 1 having count(*) >= 20)
+            select w, df,
+                   round(ln((select count(*) from documents)
+                            / cast(df as double)), 6) as idf
+            from agg
         """,
         "csv_loader_index": f"""
             select cast(floor(latitude) * 1000 + floor(longitude)

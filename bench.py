@@ -129,7 +129,8 @@ def main():
              "minhash_lsh_pairs", "simhash_pairs", "token_stats",
              "embedding_cosine_threshold", "tpch_q1_pricing",
              "broadcast_join_topn", "window_first_event",
-             "h3_index_documents", "polyfill_region_cells", "ann_topk_lsh"]
+             "h3_index_documents", "polyfill_region_cells", "ann_topk_lsh",
+             "sessionize_events", "bigram_counts", "docfreq_idf"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
