@@ -105,6 +105,34 @@ class DatasetQueries:
     def _timed(self, year, month, day):
         return _time_filter(self.load(), self.interval, year, month, day)
 
+    def _partition_prune(self, df, la_min, la_max, lo_min, lo_max):
+        """manual partition pruning through the UDF boundary (SURVEY.md
+        SS4.2 item 2): when the dataset is laid out partitioned by a
+        parent-cell column p{r} (index_pages), compute the parent cells
+        that can intersect the query bbox in the DRIVER (tiny kernel
+        call) and filter with an IN-list of literals — Spark prunes
+        whole partition directories before reading any footer.
+        polyfill_candidates over-covers (every cell intersecting the
+        bbox holds a sample point), so pruning never drops a matching
+        row."""
+        import re as _re
+        try:
+            pb = self.catalog.read_manifest(self.dataset).get(
+                "partition_by") or []
+        except (KeyError, FileNotFoundError):
+            return df
+        la_min, la_max = max(la_min, -90.0), min(la_max, 90.0)
+        lo_min, lo_max = max(lo_min, -180.0), min(lo_max, 180.0)
+        for col in pb:
+            m = _re.fullmatch(r"p(\d{1,2})", col)
+            if not m or col not in df.columns:
+                continue
+            cells = h3core.polyfill_candidates(
+                la_min, la_max, lo_min, lo_max, int(m.group(1)))
+            vals = [int(v) for v in cells.view(np.int64)]
+            df = df.filter(F.col(col).isin(vals))
+        return df
+
     # -- radius queries (geomesh.py:539-576 / 480-537 / 417-478) ------------
 
     def latlong_radius(self, lat, lng, radius_km, resolution=3,
@@ -129,6 +157,14 @@ class DatasetQueries:
         df = self._timed(year, month, day)
         r = _radius_guard(radius_km, 0, is_point_dataset=True)
         if r is not None:
+            # KM_PER_DEGREE=110 (reference geomesh.py:45); widen by the
+            # cos(lat) longitude stretch, clamped near the poles
+            dla = r / 110.0
+            coslat = max(np.cos(np.radians(min(abs(lat) + dla, 89.0))),
+                         0.02)
+            dlo = r / (110.0 * coslat)
+            df = self._partition_prune(df, lat - dla, lat + dla,
+                                       lng - dlo, lng + dlo)
             df = df.filter(
                 reference_radius_expr("latitude", "longitude", lat, lng)
                 <= F.lit(r))
@@ -171,6 +207,10 @@ class DatasetQueries:
         col = f"res{res}"
         if col not in df.columns:
             raise ValueError(f"dataset has no {col} column")
+        bverts = h3core.cell_boundary(cid)[0]  # (6, 2) lat,lng
+        df = self._partition_prune(
+            df, float(bverts[:, 0].min()), float(bverts[:, 0].max()),
+            float(bverts[:, 1].min()), float(bverts[:, 1].max()))
         df = df.filter(F.col(col) == F.lit(cell_hex))
         return _select_points(df, self.value_columns)
 
@@ -195,6 +235,8 @@ class DatasetQueries:
         exact_cells=False (cheap path). exact_cells=True reproduces the
         polyfill->membership semantics (centroid-in-bbox of cells)."""
         df = self._timed(year, month, day)
+        df = self._partition_prune(df, float(lat_min), float(lat_max),
+                                   float(lng_min), float(lng_max))
         cond = (F.col("latitude").between(float(lat_min), float(lat_max))
                 & F.col("longitude").between(float(lng_min), float(lng_max)))
         df = df.filter(cond)
@@ -236,6 +278,8 @@ class DatasetQueries:
             polygons = polygons.filter_name(region)
         la_min, la_max, lo_min, lo_max = polygons.bounds()
         df = self._timed(year, month, day)
+        df = self._partition_prune(df, float(la_min), float(la_max),
+                                   float(lo_min), float(lo_max))
         df = df.filter(
             F.col("latitude").between(float(la_min), float(la_max))
             & F.col("longitude").between(float(lo_min), float(lo_max)))

@@ -109,3 +109,29 @@ def test_partition_metrics_rollup(engine, pages):
     # every partition key is a p1 parent cell with positive rows
     for key, v in pm.items():
         assert "p1" in key and v["rows"] > 0 and v["files"] >= 1
+
+
+def test_partition_pruning_radius(engine, pages, capsys):
+    """SURVEY §4.2 item 2: point-dataset radius queries compute the
+    query region's parent cells driver-side and filter on the p{r}
+    partition column — same rows, and the filter reaches the scan as a
+    PartitionFilters entry (directory-level pruning)."""
+    import io
+    from contextlib import redirect_stdout
+    index_pages(engine.catalog, pages, dataset="pp_prune",
+                max_res=9, parent_res=1, salt=2)
+    q = engine.queries("pp_prune")
+    df = q.latlong_radius_point(52.52, 13.40, 500.0)
+    # parity: pruned plan returns the same rows as a brute filter
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        reference_radius_expr)
+    brute = (q.load().filter(
+        reference_radius_expr("latitude", "longitude", 52.52, 13.40)
+        <= F.lit(500.0)))
+    assert df.count() == brute.count() > 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "p1" in plan.split(
+        "PartitionFilters", 1)[1][:400]
