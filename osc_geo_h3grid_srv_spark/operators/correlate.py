@@ -66,10 +66,18 @@ def compile_filters(df: DataFrame, filters) -> DataFrame:
 
 def correlate(catalog, assets: DataFrame, dataset_specs, resolution=7,
               lat_col="lat", lng_col="long",
-              broadcast_datasets=True) -> DataFrame:
+              broadcast_datasets=True, salt: int = 0,
+              salt_src="id") -> DataFrame:
     """get_correlated_data (correlator.py:47-155).
 
     dataset_specs: [{"name": str, "filters": [...]}, ...]
+
+    broadcast_datasets=True: each dataset hash-broadcast (the reference's
+    24k-row flood sets). For big+skewed datasets set
+    broadcast_datasets=False and salt=S>0: the assets side is salted on
+    a row-unique column (salt_src, default the reference's asset `id`)
+    and each dataset exploded S ways, spreading hot city cells over S
+    tasks (plans/skew.py; AQE skew splitting remains on as backstop).
     """
     out = add_cell_columns(assets, lat_col=lat_col, lng_col=lng_col)
     key = f"cell_{resolution}"
@@ -87,5 +95,12 @@ def correlate(catalog, assets: DataFrame, dataset_specs, resolution=7,
         cell_col = rename.get("h3_cell", "h3_cell")
         if broadcast_datasets:
             ds = F.broadcast(ds)
-        out = out.join(ds, out[key] == ds[cell_col], "inner")
+            out = out.join(ds, out[key] == ds[cell_col], "inner")
+        elif salt > 0:
+            from ..plans.skew import salted_equi_join
+            out = salted_equi_join(out, ds, key, cell_col, salt=salt,
+                                   salt_src=salt_src if salt_src in
+                                   out.columns else None)
+        else:
+            out = out.join(ds, out[key] == ds[cell_col], "inner")
     return out
