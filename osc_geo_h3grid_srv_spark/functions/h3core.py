@@ -720,7 +720,10 @@ def _rotate_digits(digits, n, pentagon=False):
 
 
 def _leading_nonzero_digit(digits):
-    """per-row first nonzero digit (0 if none)."""
+    """per-row first nonzero digit (0 if none; res-0 cells have zero
+    digit columns -> all 0)."""
+    if digits.shape[1] == 0:
+        return np.zeros(digits.shape[0], dtype=np.int8)
     nz = digits != 0
     first = np.argmax(nz, axis=1)
     has = nz.any(axis=1)
