@@ -123,3 +123,9 @@ class GeoMeshEngine:
         return correlate_op.correlate(self.catalog, assets_df, dataset_specs,
                                       resolution, **kw)
 
+    def shapefile_repository(self, path):
+        """named shapefile-bundle store (reference CLI `repository`
+        register/unregister/inventory verbs; SURVEY.md K5)."""
+        from .sources.repository import ShapefileRepository
+        return ShapefileRepository(path)
+

@@ -135,3 +135,22 @@ def test_partition_pruning_radius(engine, pages, capsys):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "p1" in plan.split(
         "PartitionFilters", 1)[1][:400]
+
+
+def test_jvm_hex_equals_kernel_strings(spark):
+    """the fused path renders H3 strings JVM-side as lower(hex(cell));
+    must equal h3core.cell_to_string for every res incl. res-0 and
+    pentagon cells."""
+    rng = np.random.RandomState(11)
+    la = rng.uniform(-89, 89, 2000)
+    lo = rng.uniform(-180, 180, 2000)
+    rows = []
+    want = []
+    for r in (0, 1, 5, 9, 15):
+        cells = h3core.latlng_to_cell(la, lo, r)
+        rows += [(int(c),) for c in cells.view(np.int64)]
+        want += h3core.cell_to_string(cells).tolist()
+    df = spark.createDataFrame(rows, "cell long")
+    got = [r["s"] for r in
+           df.select(F.lower(F.hex("cell")).alias("s")).collect()]
+    assert got == want
