@@ -374,6 +374,48 @@ def q_docfreq_idf(spark, sf_dir):
         F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"))
 
 
+_IVF_DIM, _IVF_LISTS = 64, 8
+
+
+def _ivf_centroids():
+    from osc_geo_h3grid_srv_spark.operators.similarity import (
+        ivf_seed_centroids)
+    return ivf_seed_centroids(_IVF_DIM, _IVF_LISTS)
+
+
+def q_ivf_assign_counts(spark, sf_dir):
+    """IVF coarse quantizer (the ANN scale path): nearest seed centroid
+    per embedding via pure JVM zip_with dot products; per-list count +
+    exact-integer label sum. Oracle replays the same argmax with DuckDB
+    list_dot_product over identical centroid literals."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.similarity import ivf_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    a = ivf_assign(emb, _ivf_centroids())
+    return (a.groupBy("ivf_list")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("label").cast("long")).alias("sum_label")))
+
+
+def _ivf_oracle_sql():
+    C = _ivf_centroids()
+    dots = []
+    for i, c in enumerate(C):
+        lit = ", ".join(f"cast('{float(x)!r}' as double)" for x in c)
+        dots.append(f"list_dot_product(embedding, [{lit}]) as d{i}")
+    whens = " ".join(
+        f"when d{i} = m then {i}" for i in range(len(C)))
+    return f"""
+        with d as (select label, {', '.join(dots)} from embeddings),
+        m as (select *, greatest({', '.join(f'd{i}' for i in range(len(C)))})
+                  as m from d),
+        a as (select label, case {whens} end as ivf_list from m)
+        select ivf_list, count(*) as n,
+               sum(cast(label as bigint)) as sum_label
+        from a group by 1
+    """
+
+
 _CSV_FIXTURE = "/tmp/spark_graft_giss.csv"
 
 
@@ -776,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minradius_guard_table": q_minradius_guard_table,
         "csv_loader_index": q_csv_loader_index,
         "sessionize_events": q_sessionize_events,
+        "ivf_assign_counts": q_ivf_assign_counts,
         "bigram_counts": q_bigram_counts,
         "docfreq_idf": q_docfreq_idf,
         "pip_raycast_clip": q_pip_raycast_clip,
@@ -1051,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
             join ds2 on assets.cell = ds2.cell
             where s_val > 3000.0 or s_val is null
         """,
+        "ivf_assign_counts": _ivf_oracle_sql(),
         "sessionize_events": """
             with lagd as (
                 select user_id, ts, event_id,

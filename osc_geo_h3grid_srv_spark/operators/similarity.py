@@ -110,3 +110,95 @@ def ann_topk_lsh(emb_bucketed: DataFrame, query_vec, k: int, dim: int,
     cand = emb_bucketed.filter(
         F.arrays_overlap(F.col(bucket_col), probe_arr))
     return ann_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def ivf_seed_centroids(dim: int, n_lists: int, seed: int = 1234):
+    """deterministic unit-norm seed centroids (n_lists x dim) from
+    splitmix64 — same numerals on any machine (no RNG state)."""
+    idx = (np.arange(n_lists * dim, dtype=np.uint64)
+           + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    u = (mix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    c = (u.reshape(n_lists, dim) - 0.5)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _dot_expr(vec_col, centroid):
+    # string-literal casts: immune to repr()'s scientific notation
+    clit = ", ".join(f"cast('{float(x)!r}' as double)" for x in centroid)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({clit}), (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def ivf_assign(emb: DataFrame, centroids, vec_col="embedding",
+               out_col="ivf_list") -> DataFrame:
+    """nearest-centroid (max dot product; centroids unit-norm so this is
+    max cosine for any input norm ranking) — pure JVM expressions, one
+    pass, no shuffle. Ties break to the lower list id."""
+    dots = [_dot_expr(vec_col, c) for c in centroids]
+    best = dots[0]
+    best_i = F.lit(0)
+    for i in range(1, len(centroids)):
+        cond = dots[i] > best
+        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        best = F.when(cond, dots[i]).otherwise(best)
+    return emb.withColumn(out_col, best_i.cast("int"))
+
+
+def ivf_refine(emb: DataFrame, centroids, iters: int = 3,
+               vec_col="embedding") -> np.ndarray:
+    """Lloyd refinement on DataFrames: assign (JVM) -> per-list mean via
+    posexplode + groupBy(list, pos) avg (partial aggregation; scales to
+    any row count) -> renormalize. Empty lists keep their centroid."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    for _ in range(int(iters)):
+        a = ivf_assign(emb, cents, vec_col=vec_col)
+        rows = (a.select("ivf_list",
+                         F.posexplode(vec_col).alias("pos", "v"))
+                .groupBy("ivf_list", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect())
+        nxt = cents.copy()
+        seen = set()
+        for r in rows:
+            nxt[r["ivf_list"], r["pos"]] = r["m"]
+            seen.add(r["ivf_list"])
+        for li in seen:
+            n = np.linalg.norm(nxt[li])
+            if n > 0:
+                nxt[li] = nxt[li] / n
+        cents = nxt
+    return cents
+
+
+def ivf_inertia(emb: DataFrame, centroids, vec_col="embedding") -> float:
+    """sum over rows of (1 - cos(row, nearest centroid)) — the quantity
+    Lloyd iterations must not increase (test invariant)."""
+    a = ivf_assign(emb, centroids, vec_col=vec_col)
+    dots = [_dot_expr(vec_col, c) for c in centroids]
+    best = dots[0]
+    for i in range(1, len(centroids)):
+        best = F.when(dots[i] > best, dots[i]).otherwise(best)
+    nv = F.sqrt(F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double), "
+        "(acc, v) -> acc + v*v)"))
+    return float(a.select(
+        F.sum(F.lit(1.0) - best / nv).alias("s")).collect()[0]["s"])
+
+
+def ann_topk_ivf(emb_assigned: DataFrame, query_vec, centroids, k: int,
+                 n_probe: int = 4, id_col="vec_id",
+                 vec_col="embedding", list_col="ivf_list") -> DataFrame:
+    """IVF search: rank lists by centroid dot with the query, scan only
+    the n_probe nearest lists (an IN-filter on the list column -> file
+    pruning when the table is partitioned by it), exact cosine re-rank
+    inside the candidates."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(np.asarray(centroids) @ q))
+    probes = [int(i) for i in order[:int(n_probe)]]
+    cand = emb_assigned.filter(F.col(list_col).isin(probes))
+    return ann_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

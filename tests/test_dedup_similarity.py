@@ -146,3 +146,40 @@ def test_multimodal_plumbing(spark):
     assert frames.count() >= vids
     small = multimodal.resize_images(media, 16, 16).toPandas()
     assert (small["payload"].map(len) == 16 * 16).all()
+
+
+def test_ivf_assign_matches_numpy(spark):
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    C = sim.ivf_seed_centroids(V.shape[1], 8)
+    want = (V @ C.T).argmax(axis=1)
+    got = (sim.ivf_assign(emb, C).select("vec_id", "ivf_list")
+           .toPandas().set_index("vec_id").loc[pdf["vec_id"]]["ivf_list"]
+           .to_numpy())
+    assert (got == want).all()
+
+
+def test_ivf_refine_monotone_and_search(spark):
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    c0 = sim.ivf_seed_centroids(dim, 8)
+    i0 = sim.ivf_inertia(emb, c0)
+    c1 = sim.ivf_refine(emb, c0, iters=1)
+    i1 = sim.ivf_inertia(emb, c1)
+    c2 = sim.ivf_refine(emb, c1, iters=1)
+    i2 = sim.ivf_inertia(emb, c2)
+    assert i1 <= i0 + 1e-9 and i2 <= i1 + 1e-9
+
+    # search: probing half the lists recovers most of the exact top-10
+    q = np.asarray(emb.select("embedding").first()[0], dtype=np.float64)
+    assigned = sim.ivf_assign(emb, c2)
+    exact = {r["vec_id"] for r in
+             sim.ann_topk(emb, q, 10).collect()}
+    ivf = {r["vec_id"] for r in
+           sim.ann_topk_ivf(assigned, q, c2, 10, n_probe=4).collect()}
+    assert len(exact & ivf) >= 6
