@@ -374,6 +374,29 @@ def q_docfreq_idf(spark, sf_dir):
         F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"))
 
 
+def _langid_oracle_sql():
+    """replay the marker-word heuristic (functions/text.py lang_id) in
+    DuckDB: per-language regex word counts, argmax with tie-to-first in
+    LANGS order, 'und' when all scores are zero."""
+    from osc_geo_h3grid_srv_spark.functions.text import LANGS, _LANG_MARKERS
+    scores = []
+    for lang in LANGS:
+        terms = " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in _LANG_MARKERS[lang])
+        scores.append(f"({terms}) as s_{lang}")
+    smax = ", ".join(f"s_{lang}" for lang in LANGS)
+    whens = " ".join(f"when s_{lang} = m then '{lang}'" for lang in LANGS)
+    return f"""
+        with s as (select lang, {', '.join(scores)} from documents),
+        m as (select *, greatest({smax}) as m from s),
+        p as (select lang,
+                     case when m = 0 then 'und' {whens} end as lang_pred
+              from m)
+        select lang, lang_pred, count(*) as n from p group by 1, 2
+    """
+
+
 _IVF_DIM, _IVF_LISTS = 64, 8
 
 
@@ -1095,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
             where s_val > 3000.0 or s_val is null
         """,
         "ivf_assign_counts": _ivf_oracle_sql(),
+        "langid_agreement": _langid_oracle_sql(),
         "sessionize_events": """
             with lagd as (
                 select user_id, ts, event_id,
