@@ -139,7 +139,8 @@ def main():
              "embedding_cosine_threshold", "tpch_q1_pricing",
              "broadcast_join_topn", "window_first_event",
              "h3_index_documents", "polyfill_region_cells", "ann_topk_lsh",
-             "sessionize_events", "bigram_counts", "docfreq_idf"]
+             "sessionize_events", "bigram_counts", "docfreq_idf",
+             "csv_loader_index", "ivf_assign_counts"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
