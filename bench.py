@@ -132,6 +132,45 @@ def main():
     extras["pages_per_sec"] = round(
         N_PAGES / timings["flagship_index_pip_idw"], 1)
 
+    # the reference's largest shipped workload: 1,000,000 assets through
+    # filter-assets (docs/README-geospatial.md:333-360, single-process
+    # pandas + in-memory DuckDB there) — here: distributed cell
+    # assignment at res 7 + broadcast equi-join + NULL-pass filter
+    def correlator_1m():
+        from pyspark.sql import functions as F
+        from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+            make_latlng_to_cell)
+        n = 1_000_000
+        assets = spark.range(0, n, 1, CPUS * 2).select(
+            F.col("id"),
+            ((F.col("id") * 9301 + 49297) % 800000 / 100000.0 + 47.0)
+            .alias("lat"),
+            ((F.col("id") * 7927 + 1237) % 900000 / 100000.0 + 6.0)
+            .alias("long"))
+        to7 = make_latlng_to_cell(7)
+        assets = assets.withColumn(
+            "cell_7",
+            F.lower(F.hex(to7(F.col("lat"), F.col("long")))))
+        # flood-like h3 dataset: res-7 cells covering the same box
+        from osc_geo_h3grid_srv_spark.functions import geo as geomod
+        from osc_geo_h3grid_srv_spark.functions import h3core
+        shell = [(47.0, 6.0), (47.0, 15.0), (55.0, 15.0), (55.0, 6.0)]
+        pp = geomod.PackedPolygons.from_latlng_rings([[shell]], ["box"])
+        cells = h3core.cell_to_string(geomod.polyfill(pp, 7))
+        ds = spark.createDataFrame(
+            [(c, float(i % 100) / 10.0 if i % 11 else None)
+             for i, c in enumerate(cells.tolist())],
+            "h3_cell string, flood_risk_mean double")
+        j = assets.join(F.broadcast(ds),
+                        assets.cell_7 == ds.h3_cell, "inner")
+        j = j.filter((F.col("flood_risk_mean") > 5.0)
+                     | F.col("flood_risk_mean").isNull())
+        return j.count()
+
+    correlator_1m()  # warm (worker pool for the res-7 UDF)
+    extras["correlator_1m_matched"] = run("correlator_1m_assets",
+                                          correlator_1m)
+
     # headline operator queries (shared with the correctness gate)
     heads = ["radius_reference", "grid_cell_agg", "correlator_null_filters",
              "idw_knn", "raster_tile_agg", "exact_dedup",

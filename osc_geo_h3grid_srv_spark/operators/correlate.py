@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.spark_udfs import cell_str, make_latlng_to_cell
+from ..functions.spark_udfs import make_latlng_to_cell
 
 FILTER_OPS = {
     "greater_than": "__gt__",
@@ -40,12 +40,16 @@ FILTER_OPS = {
 def add_cell_columns(assets: DataFrame, resolutions=range(16),
                      lat_col="lat", lng_col="long") -> DataFrame:
     """cell_{r} hex columns for every resolution (correlator._add_cells,
-    minus the per-row loop)."""
+    minus the per-row loop). The pandas UDF emits int64 cells; the hex
+    string rendering is a JVM lower(hex(...)) projection (bit-identical
+    to h3core.cell_to_string — tested), so no Python string objects
+    cross Arrow."""
     out = assets
     for r in resolutions:
         udf = make_latlng_to_cell(r)
         out = out.withColumn(
-            f"cell_{r}", cell_str(udf(F.col(lat_col), F.col(lng_col))))
+            f"cell_{r}",
+            F.lower(F.hex(udf(F.col(lat_col), F.col(lng_col)))))
     return out
 
 
