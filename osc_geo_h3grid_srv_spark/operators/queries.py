@@ -114,23 +114,38 @@ class DatasetQueries:
         whole partition directories before reading any footer.
         polyfill_candidates over-covers (every cell intersecting the
         bbox holds a sample point), so pruning never drops a matching
-        row."""
+        row.
+
+        Wrap handling: a bbox that crosses the antimeridian (lo_min <
+        -180 or lo_max > 180) is split into both longitude segments; a
+        bbox reaching over a pole covers every longitude."""
         import re as _re
         try:
             pb = self.catalog.read_manifest(self.dataset).get(
                 "partition_by") or []
         except (KeyError, FileNotFoundError):
             return df
-        la_min, la_max = max(la_min, -90.0), min(la_max, 90.0)
-        lo_min, lo_max = max(lo_min, -180.0), min(lo_max, 180.0)
+        if la_max > 90.0 or la_min < -90.0:  # over a pole: all lngs
+            lo_min, lo_max = -180.0, 180.0
+            la_min, la_max = max(la_min, -90.0), min(la_max, 90.0)
+        boxes = []
+        if lo_min < -180.0:
+            boxes.append((la_min, la_max, lo_min + 360.0, 180.0))
+            lo_min = -180.0
+        if lo_max > 180.0:
+            boxes.append((la_min, la_max, -180.0, lo_max - 360.0))
+            lo_max = 180.0
+        boxes.append((la_min, la_max, lo_min, lo_max))
         for col in pb:
             m = _re.fullmatch(r"p(\d{1,2})", col)
             if not m or col not in df.columns:
                 continue
-            cells = h3core.polyfill_candidates(
-                la_min, la_max, lo_min, lo_max, int(m.group(1)))
-            vals = [int(v) for v in cells.view(np.int64)]
-            df = df.filter(F.col(col).isin(vals))
+            vals = set()
+            for (a0, a1, o0, o1) in boxes:
+                cells = h3core.polyfill_candidates(
+                    a0, a1, o0, o1, int(m.group(1)))
+                vals.update(int(v) for v in cells.view(np.int64))
+            df = df.filter(F.col(col).isin(sorted(vals)))
         return df
 
     # -- radius queries (geomesh.py:539-576 / 480-537 / 417-478) ------------

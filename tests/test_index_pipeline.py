@@ -154,3 +154,46 @@ def test_jvm_hex_equals_kernel_strings(spark):
     got = [r["s"] for r in
            df.select(F.lower(F.hex("cell")).alias("s")).collect()]
     assert got == want
+
+
+def test_partition_pruning_dateline_radius(engine, spark):
+    """pruning must not drop rows across the antimeridian: a radius
+    query at lng~180 splits its bbox into both longitude segments."""
+    import pandas as pd
+    las = np.arange(-2.0, 2.01, 0.25)
+    lns = np.concatenate([np.arange(177.0, 180.0, 0.25),
+                          np.arange(-180.0, -177.0, 0.25)])
+    ga, go = np.meshgrid(las, lns)
+    la, lo = ga.ravel(), go.ravel()
+    cells9 = h3core.latlng_to_cell(la, lo, 9)
+    pdf = pd.DataFrame({
+        "latitude": la, "longitude": lo,
+        "res9": h3core.cell_to_string(cells9),
+        "cell9": cells9.view(np.int64),
+        "p1": h3core.cell_to_parent(cells9, 1).view(np.int64),
+        "val": np.arange(len(la), dtype=np.float64)})
+    df = spark.createDataFrame(pdf)
+    engine.catalog.write("dateline_pts", df, mode="overwrite",
+                         partition_by=["p1"])
+    try:
+        engine.catalog.add_meta(
+            "dateline_pts", "dateline test points",
+            key_columns={"latitude": "REAL", "longitude": "REAL"},
+            value_columns={"val": "REAL"}, dataset_type="point")
+    except ValueError:
+        pass
+    q = engine.queries("dateline_pts")
+    got = q.latlong_radius_point(0.0, 179.9, 150.0)
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        reference_radius_expr)
+    brute = q.load().filter(
+        reference_radius_expr("latitude", "longitude", 0.0, 179.9)
+        <= F.lit(150.0))
+    n_got, n_brute = got.count(), brute.count()
+    assert n_got == n_brute
+    assert n_brute > 0
+    # and rows exist on BOTH sides of the antimeridian
+    sides = got.select(
+        F.sum((F.col("longitude") > 0).cast("int")).alias("e"),
+        F.sum((F.col("longitude") < 0).cast("int")).alias("w")).collect()[0]
+    assert sides["e"] > 0 and sides["w"] > 0
