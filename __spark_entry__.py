@@ -783,10 +783,10 @@ def q_polyfill_region_cells(spark, sf_dir):
     from osc_geo_h3grid_srv_spark.functions import h3core
     shell = [(47.0, 6.0), (47.0, 15.0), (55.0, 15.0), (55.0, 6.0)]
     pp = geomod.PackedPolygons.from_latlng_rings([[shell]], ["box"])
+    import pandas as pd
     cells = h3core.cell_to_string(
         geomod.polyfill(pp, 5, buffer_deg=geomod.get_buffer_deg(5)))
-    return spark.createDataFrame([(c,) for c in cells.tolist()],
-                                 "cell string")
+    return spark.createDataFrame(pd.DataFrame({"cell": cells}))
 
 
 def q_ann_topk_lsh(spark, sf_dir):

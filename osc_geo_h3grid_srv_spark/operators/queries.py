@@ -270,11 +270,12 @@ class DatasetQueries:
                 raise ValueError(f"region {region!r} not in shapefile")
             polygons = polygons.filter_name(region)
         buffer_deg = geo.get_buffer_deg(resolution)
+        import pandas as pd
         cells = h3core.cell_to_string(
             geo.polyfill(polygons, resolution, buffer_deg=buffer_deg))
         spark = self.catalog.spark
         cells_df = spark.createDataFrame(
-            [(c,) for c in cells.tolist()], f"{CELL_COL} string")
+            pd.DataFrame({CELL_COL: cells}))
         df = self._timed(year, month, day)
         df = df.join(F.broadcast(cells_df), on=CELL_COL, how="left_semi")
         return _select_cells(df, self.value_columns)
@@ -319,7 +320,7 @@ def enumerate_region_cells(spark, polygons: geo.PackedPolygons, region=None,
     if region is not None:
         polygons = polygons.filter_name(region)
     buffer_deg = geo.get_buffer_deg(resolution)
+    import pandas as pd
     cells = h3core.cell_to_string(
         geo.polyfill(polygons, resolution, buffer_deg=buffer_deg))
-    return spark.createDataFrame([(c,) for c in cells.tolist()],
-                                 "cell string")
+    return spark.createDataFrame(pd.DataFrame({"cell": cells}))
