@@ -434,7 +434,7 @@ def _ivf_oracle_sql():
                   as m from d),
         a as (select label, case {whens} end as ivf_list from m)
         select ivf_list, count(*) as n,
-               sum(cast(label as bigint)) as sum_label
+               cast(sum(cast(label as bigint)) as bigint) as sum_label
         from a group by 1
     """
 
@@ -903,8 +903,8 @@ def oracle_sql() -> dict[str, str]:
                        else o_totalprice end as price_f, o_custkey
                 from orders)
             select c_nationkey, count(*) as n_orders,
-                   sum(case when price_f is null then 1 else 0 end)
-                   as n_null
+                   cast(sum(case when price_f is null then 1 else 0 end)
+                        as bigint) as n_null
             from o join customer on o_custkey = c_custkey
             where price_f > 150000.0 or price_f is null
             group by c_nationkey
@@ -985,8 +985,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             select lang, count(*) as n_docs,
-                   sum(len(string_split(text, ' '))) as total_tokens,
-                   sum(length(text)) as total_chars,
+                   cast(sum(len(string_split(text, ' '))) as bigint)
+                   as total_tokens,
+                   cast(sum(length(text)) as bigint) as total_chars,
                    max(len(string_split(text, ' '))) as max_tokens
             from documents group by lang
         """,
@@ -1084,7 +1085,7 @@ def oracle_sql() -> dict[str, str]:
             with geo as ({_geo_sql('orders', 'o_orderkey')})
             select cast(floor(lat/4)*1000 + floor(lng/24) as bigint)
                    as grid_id,
-                   count(*) as n, sum(val) as sum_val
+                   count(*) as n, cast(sum(val) as bigint) as sum_val
             from geo
             where cast(floor(lat/4)*1000 + floor(lng/24) as bigint) in (
                 {', '.join(str(i) for i in sorted(
@@ -1141,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             select user_id,
                    count(*) as n_sessions,
                    max(n_ev) as max_session_events,
-                   sum(n_ev) as total_events
+                   cast(sum(n_ev) as bigint) as total_events
             from per_sess group by 1
         """,
         "bigram_counts": """

@@ -108,8 +108,12 @@ def extract_geo_anchors_arrow(arr):
     off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
                          count=n + 1 + arr.offset)[arr.offset:]
-    data = memoryview(arr.buffers()[2])
     lo, hi = int(offs[0]), int(offs[-1])
+    buf = arr.buffers()[2]
+    if buf is None or hi == lo:
+        # all-null / all-empty batch: Arrow may omit the data buffer
+        return (np.empty(0, np.int64), np.empty(0), np.empty(0))
+    data = memoryview(buf)
     starts, ends_l, lats, lngs = [], [], [], []
     for m in GEO_ANCHOR_RE_B.finditer(data, lo, hi):
         starts.append(m.start())

@@ -119,8 +119,8 @@ def ann_topk_lsh(emb_bucketed: DataFrame, query_vec, k: int, dim: int,
 def ivf_seed_centroids(dim: int, n_lists: int, seed: int = 1234):
     """deterministic unit-norm seed centroids (n_lists x dim) from
     splitmix64 — same numerals on any machine (no RNG state)."""
-    idx = (np.arange(n_lists * dim, dtype=np.uint64)
-           + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    base = (int(seed) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    idx = (np.arange(n_lists * dim, dtype=np.uint64) + np.uint64(base))
     u = (mix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     c = (u.reshape(n_lists, dim) - 0.5)
     return c / np.linalg.norm(c, axis=1, keepdims=True)

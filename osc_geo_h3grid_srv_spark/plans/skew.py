@@ -31,6 +31,13 @@ def salted_equi_join(big: DataFrame, small: DataFrame, big_key, small_key,
     layout, and safe regardless: any salt assignment yields the same
     join rows, it only affects balance.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # exploding the small side S ways would duplicate its unmatched
+        # rows S times under right/full outer semantics
+        raise ValueError(
+            f"salted_equi_join supports inner/left/semi/anti joins, "
+            f"not {how!r}")
     if salt_src is None:
         salt_col = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                           F.lit(int(salt)))
@@ -41,7 +48,9 @@ def salted_equi_join(big: DataFrame, small: DataFrame, big_key, small_key,
     b = big.withColumn("__salt", salt_col.cast("int"))
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(int(salt))])))
-    bk = F.col(big_key) if isinstance(big_key, str) else big_key
-    sk = F.col(small_key) if isinstance(small_key, str) else small_key
+    # qualify the keys via the per-side frames so a shared column name
+    # does not raise AMBIGUOUS_REFERENCE
+    bk = b[big_key] if isinstance(big_key, str) else big_key
+    sk = s[small_key] if isinstance(small_key, str) else small_key
     out = b.join(s, (bk == sk) & (b["__salt"] == s["__salt"]), how)
     return out.drop("__salt")

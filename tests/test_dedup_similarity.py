@@ -84,6 +84,36 @@ def test_simhash_pairs_on_near_dups(spark):
     assert (got["hamming"] <= 3).all()
 
 
+def test_simhash_recall_complete_vs_bruteforce(spark):
+    """pigeonhole contract (VERDICT r01 what's-wrong #2): at the entry's
+    max_hamming=8 the banded candidate set must contain EVERY pair with
+    true hamming <= 8 — zero missed pairs vs brute force."""
+    from osc_geo_h3grid_srv_spark.functions.text import hamming64, simhash64
+    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
+    pages = pages_dataframe(spark, 1200, partitions=4)
+    pages = pages.withColumn("doc_id",
+                             F.xxhash64("url")).select("doc_id", "text")
+    for mh in (3, 8):
+        got = dedup.simhash_pairs(pages, "doc_id", "text",
+                                  max_hamming=mh).toPandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        pdf = pages.toPandas()
+        sh = simhash64(pdf["text"])
+        ids = pdf["doc_id"].to_numpy()
+        want = set()
+        for i in range(len(ids)):
+            d = hamming64(sh[i], sh)
+            for j in np.nonzero(d <= mh)[0]:
+                if ids[i] < ids[j]:
+                    want.add((ids[i], ids[j]))
+        assert got_pairs == want, (
+            f"max_hamming={mh}: missed {len(want - got_pairs)}, "
+            f"extra {len(got_pairs - want)}")
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(pages, "doc_id", "text", max_hamming=8,
+                            n_bands=4)
+
+
 def test_embedding_dup_pairs_vs_numpy(emb):
     out = dedup.embedding_dup_pairs(emb.limit(200), "vec_id", "embedding",
                                     threshold=0.9).toPandas()

@@ -197,3 +197,44 @@ def test_partition_pruning_dateline_radius(engine, spark):
         F.sum((F.col("longitude") > 0).cast("int")).alias("e"),
         F.sum((F.col("longitude") < 0).cast("int")).alias("w")).collect()[0]
     assert sides["e"] > 0 and sides["w"] > 0
+
+
+def test_partition_pruning_near_pole_radius(engine, spark):
+    """ADVICE r01: a disk near (not over) a pole needs the spherical-cap
+    longitude half-width asin(sin(c)/cos(lat)) — the linear r/(110 cos)
+    bbox under-covers (lat 89, r=100 km: 45.5 deg linear vs 64 needed)
+    and pruning on p{r} silently dropped matching rows."""
+    import pandas as pd
+    las = np.arange(88.2, 89.81, 0.1)
+    lns = np.arange(-180.0, 180.0, 2.5)
+    ga, go = np.meshgrid(las, lns)
+    la, lo = ga.ravel(), go.ravel()
+    cells9 = h3core.latlng_to_cell(la, lo, 9)
+    pdf = pd.DataFrame({
+        "latitude": la, "longitude": lo,
+        "res9": h3core.cell_to_string(cells9),
+        "cell9": cells9.view(np.int64),
+        "p1": h3core.cell_to_parent(cells9, 1).view(np.int64),
+        "val": np.arange(len(la), dtype=np.float64)})
+    df = spark.createDataFrame(pdf)
+    engine.catalog.write("polar_pts", df, mode="overwrite",
+                         partition_by=["p1"])
+    try:
+        engine.catalog.add_meta(
+            "polar_pts", "near-pole test points",
+            key_columns={"latitude": "REAL", "longitude": "REAL"},
+            value_columns={"val": "REAL"}, dataset_type="point")
+    except ValueError:
+        pass
+    q = engine.queries("polar_pts")
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        reference_radius_expr)
+    for qlat, qlng, r in ((89.0, 10.0, 100.0), (89.5, -120.0, 80.0),
+                          (88.6, 179.0, 200.0)):
+        got = q.latlong_radius_point(qlat, qlng, r)
+        brute = q.load().filter(
+            reference_radius_expr("latitude", "longitude", qlat, qlng)
+            <= F.lit(r))
+        n_got, n_brute = got.count(), brute.count()
+        assert n_got == n_brute, (qlat, qlng, r, n_got, n_brute)
+        assert n_brute > 0
