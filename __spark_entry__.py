@@ -397,6 +397,354 @@ def _langid_oracle_sql():
     """
 
 
+# -- DuckDB replays of the engine's hash/geometry kernels -------------------
+# uint64 arithmetic in DuckDB: keep values as HUGEINT in [0, 2^64); a
+# 64x64-bit wraparound multiply is split into 32-bit halves so no
+# intermediate exceeds 2^96 (HUGEINT holds 2^127-1).
+
+_M64 = 1 << 64
+
+
+def _mulmod64_sql(x: str, c: int) -> str:
+    """(x * c) % 2^64 for a HUGEINT sql expr x in [0,2^64) and constant c."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"(((({x}) * {cl}::hugeint) % {_M64}::hugeint"
+            f" + (((({x}) * {ch}::hugeint) % 4294967296::hugeint)"
+            f" * 4294967296::hugeint)) % {_M64}::hugeint)")
+
+
+def _mix64_sql(x: str) -> str:
+    """splitmix64 finalizer (functions/text.py mix64) over a HUGEINT expr.
+    x should be a plain column reference — it is expanded many times."""
+    a = f"((({x}) + 11400714819323198485::hugeint) % {_M64}::hugeint)"
+    b = _mulmod64_sql(f"xor({a}, ({a}) >> 30)", 0xBF58476D1CE4E5B9)
+    c = _mulmod64_sql(f"xor({b}, ({b}) >> 27)", 0x94D049BB133111EB)
+    return f"xor({c}, ({c}) >> 31)"
+
+
+def _fnv_sql(s: str) -> str:
+    """FNV-1a over the chars of string expr s (functions/text.py
+    hash_str_series) — valid because the documents table is pure ASCII
+    (code point == utf-8 byte); prime 0x100000001B3 < 2^41 so the fold
+    multiply stays under 2^105."""
+    return ("list_reduce(list_prepend(14695981039346656037::hugeint, "
+            f"list_transform(range(1, length({s}) + 1), "
+            f"i -> unicode(({s})[i])::hugeint)), "
+            f"(h, c) -> (xor(h, c) * 1099511628211::hugeint) "
+            f"% {_M64}::hugeint)")
+
+
+def _simhash_oracle_sql(max_hamming=8):
+    """brute-force replay of simhash_pairs: with pigeonhole-correct
+    banding (operators/dedup.py) the banded output IS exactly {pairs with
+    hamming <= h}, so the oracle needs no LSH — token FNV + 64-bit
+    majority vote + all-pairs bit_count(xor) filter."""
+    votes = ", ".join(
+        f"sum(case when ((h // {1 << b}::hugeint) % 2) = 1 "
+        f"then 1 else -1 end) as v{b}" for b in range(64))
+    sh_terms = " + ".join(
+        f"(case when v{b} > 0 then {1 << b}::hugeint else 0::hugeint end)"
+        for b in range(64))
+    return f"""
+        with toks as (
+            select doc_id, t from (
+                select doc_id,
+                       unnest(string_split(lower(text), ' ')) as t
+                from documents)
+            where t <> ''),
+        th as (select doc_id, {_fnv_sql('t')} as h from toks),
+        votes as (select doc_id, {votes} from th group by doc_id),
+        sh as (select d.doc_id, ({sh_terms}) as sh
+               from documents d left join votes v on d.doc_id = v.doc_id)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               bit_count(xor(a.sh, b.sh))::int as hamming
+        from sh a join sh b on a.doc_id < b.doc_id
+        where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _fingerprint_oracle_sql(window=16):
+    """replay of rolling_fingerprint (functions/text.py): min rolling
+    polynomial hash over {window}-byte windows, splitmix64-finalized;
+    short docs hash their length. Counts are representation-invariant so
+    signed-vs-unsigned fp rendering cannot matter."""
+    base = 1000003
+    pows = [1]
+    for _ in range(window - 1):
+        pows.append((pows[-1] * base) % _M64)
+    terms = " + ".join(
+        f"unicode(text[i + {j}])::hugeint * {pows[window - 1 - j]}::hugeint"
+        for j in range(window))
+    win_list = (f"list_transform(range(1, length(text) - {window - 2}), "
+                f"i -> ({terms}) % {_M64}::hugeint)")
+    return f"""
+        with rh as (
+            select doc_id, lang, length(text) as n,
+                   list_min({win_list}) as mn
+            from documents),
+        fp as (select doc_id, lang,
+                      case when n < {window}
+                           then {_mix64_sql('n::hugeint')}
+                           else {_mix64_sql('mn')} end as fp
+               from rh)
+        select lang, count(distinct fp) as n_fingerprints,
+               count(*) as n_docs
+        from fp group by lang
+    """
+
+
+def _ann_lsh_oracle_sql(dim=64, bits=8, n_tables=4, probe_hamming=2, k=20):
+    """replay of add_lsh_bucket + ann_topk_lsh (operators/similarity.py):
+    sign-LSH buckets from the same literal splitmix64 hyperplanes, the
+    multiprobe radius expressed as bit_count(xor(bucket, query_bucket))
+    <= r, exact cosine re-rank inside the candidate union."""
+    from osc_geo_h3grid_srv_spark.operators.similarity import hyperplanes
+
+    def bucket_expr(vcol, t):
+        H = hyperplanes(dim, bits, t)
+        parts = []
+        for b in range(bits):
+            lit = ", ".join(f"cast('{float(x)!r}' as double)" for x in H[b])
+            parts.append(
+                f"(case when list_dot_product({vcol}, [{lit}]) > 0 "
+                f"then {1 << b} else 0 end)")
+        return "(" + " + ".join(parts) + ")"
+
+    row_buckets = ", ".join(
+        f"{bucket_expr('emb_d', t)} as rb{t}" for t in range(n_tables))
+    q_buckets = ", ".join(
+        f"{bucket_expr('q_d', t)} as qb{t}" for t in range(n_tables))
+    cond = " or ".join(
+        f"bit_count(xor(e.rb{t}::bigint, q.qb{t}::bigint)) "
+        f"<= {probe_hamming}" for t in range(n_tables))
+    return f"""
+        with q0 as (
+            select list_transform(embedding, x -> x::double) as q_d
+            from embeddings where vec_id = 7),
+        q as (select q_d, {q_buckets} from q0),
+        e0 as (
+            select vec_id,
+                   list_transform(embedding, x -> x::double) as emb_d
+            from embeddings),
+        e as (select vec_id, emb_d, {row_buckets} from e0),
+        cand as (
+            select e.vec_id, e.emb_d, q.q_d
+            from e, q where {cond})
+        select vec_id,
+               round(list_dot_product(emb_d, q_d)
+                     / (sqrt(list_dot_product(emb_d, emb_d))
+                        * sqrt(list_dot_product(q_d, q_d))), 6) as cosine
+        from cand
+        order by cosine desc, vec_id asc limit {k}
+    """
+
+
+def _minhash_oracle_sql(num_perm=32, bands=8, threshold=0.5, ngram=2):
+    """replay of minhash_lsh_pairs: FNV word-{ngram}-shingle hashes,
+    permutations (a_i x + b_i) mod 2^61-1 with the same splitmix64-seeded
+    a/b literals, banded candidate condition = all rows of some band
+    equal (xxhash64 band-bucket equality reduces to slot equality),
+    signature-estimated Jaccard >= threshold."""
+    import numpy as np
+
+    from osc_geo_h3grid_srv_spark.functions.text import mix64 as _mx
+    p = (1 << 61) - 1
+    seeds = _mx(np.arange(1, num_perm * 2 + 1, dtype=np.uint64))
+    av = (seeds[:num_perm] | np.uint64(1)) % np.uint64(p)
+    bv = seeds[num_perm:] % np.uint64(p)
+    rows_per_band = num_perm // bands
+    # the kernel computes (a*x + b) in wrapping uint64 arithmetic BEFORE
+    # the mod-p (numpy semantics) — replay the 2^64 wrap, not exact math
+    sig_cols = ", ".join(
+        "coalesce(min((({ax} + {b}::hugeint) % {m}::hugeint)"
+        " % {p}::hugeint), {mx}::hugeint) as s{i}".format(
+            ax=_mulmod64_sql("x", int(av[i])), b=int(bv[i]),
+            m=_M64, p=p, mx=_M64 - 1, i=i)
+        for i in range(num_perm))
+    band_eq = " or ".join(
+        "(" + " and ".join(
+            f"a.s{m * rows_per_band + r} = b.s{m * rows_per_band + r}"
+            for r in range(rows_per_band)) + ")"
+        for m in range(bands))
+    eq_sum = " + ".join(
+        f"(case when a.s{i} = b.s{i} then 1 else 0 end)"
+        for i in range(num_perm))
+    return f"""
+        with ws as (select doc_id, string_split(lower(text), ' ') as w
+                    from documents),
+        grams as (
+            select doc_id,
+                   unnest(list_transform(range(1, len(w) - {ngram - 2}),
+                          i -> {" || ' ' || ".join(f"w[i + {j}]" for j in range(ngram))}))
+                   as g
+            from ws where len(w) >= {ngram}),
+        xs as (select doc_id, ({_fnv_sql('g')}) % {p}::hugeint as x
+               from grams),
+        sig as (
+            select d.doc_id, {sig_cols}
+            from documents d left join xs on d.doc_id = xs.doc_id
+            group by d.doc_id)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               round(({eq_sum}) / {float(num_perm)}, 6) as est_jaccard
+        from sig a join sig b on a.doc_id < b.doc_id
+        where ({band_eq})
+          and ({eq_sum}) / {float(num_perm)} >= {threshold}
+    """
+
+
+def _multimodal_oracle_sql(n_rows=400, dim=32):
+    """replay of synth_media + extract_features + the per-type norm
+    rollup (operators/multimodal.py): media type and payload derive from
+    splitmix64 of the row id; features are the unit-normalized byte
+    histogram of the payload (payload = mix64(j+id) uint64s, j < id%97+16,
+    little-endian bytes)."""
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        hm as (select id, {_mix64_sql('id')} as h from ids),
+        mt as (select id,
+                      case (h % 3) when 0 then 'image'
+                           when 1 then 'audio' else 'video' end as media_type
+               from hm),
+        seeds as (
+            select id,
+                   unnest(list_transform(range(0, (id % 97 + 16)::int),
+                          j -> j::hugeint + id)) as s
+            from ids),
+        vs as (select id, {_mix64_sql('s')} as v from seeds),
+        bytes as (
+            select id,
+                   unnest(list_transform(range(0, 8),
+                          k -> ((v // (256::hugeint ** k)) % 256)::int))
+                   as b
+            from vs),
+        cnt as (select id, b % {dim} as d, count(*)::double as c
+                from bytes group by 1, 2),
+        s2 as (select id, sum(c * c) as ss from cnt group by 1),
+        nrm as (
+            select cnt.id,
+                   sqrt(sum((c / sqrt(ss)) * (c / sqrt(ss)))) as norm
+            from cnt join s2 on cnt.id = s2.id
+            group by cnt.id)
+        select media_type, count(*) as n,
+               round(avg(norm), 4) as avg_norm
+        from mt join nrm on mt.id = nrm.id
+        group by media_type
+    """
+
+
+def _geometry_stats_oracle_sql():
+    """replay of geo.polygon_stats over the same literal rings: planar
+    shoelace area (shell minus holes), shell perimeter, P/(2 sqrt(pi A))
+    shape index."""
+    polys = [("region", [( _PIP_SHELL, False), (_PIP_HOLE, True)]),
+             ("box", [([(10.0, 20.0), (10.0, 24.0), (13.0, 24.0),
+                        (13.0, 20.0)], False)])]
+    rows = []
+    rid = 0
+    for name, rings in polys:
+        for ring, is_hole in rings:
+            for (y1, x1, y2, x2) in _ring_edges(ring):
+                rows.append(f"('{name}', {rid}, {str(is_hole).lower()}, "
+                            f"{y1}, {x1}, {y2}, {x2})")
+            rid += 1
+    vals = ", ".join(rows)
+    return f"""
+        with edges(name, rid, is_hole, y1, x1, y2, x2) as (values {vals}),
+        rs as (
+            select name, rid, is_hole, count(*) as nv,
+                   0.5 * abs(sum(x1 * y2 - x2 * y1)) as area,
+                   sum(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))) as perim
+            from edges group by 1, 2, 3),
+        poly as (
+            select name,
+                   sum(nv)::int as num_vertices,
+                   sum(case when is_hole then -area else area end) as area,
+                   sum(case when is_hole then 0 else perim end) as perimeter,
+                   sum(case when is_hole then 1 else 0 end)::int as num_holes
+            from rs group by 1)
+        select name, num_vertices,
+               round(area, 6) as area,
+               round(perimeter, 6) as perimeter,
+               round(case when perimeter <> 0 then area / perimeter
+                     else 0.0 end, 6) as area_perimeter_ratio,
+               round(case when area > 0
+                     then perimeter / (2 * sqrt(pi() * area))
+                     else 0.0 end, 6) as shape_index,
+               num_holes
+        from poly
+    """
+
+
+def _simplify_ring():
+    """the deterministic 120-vertex noisy ring used by q_simplify_polygon
+    (single source for the Spark query and the oracle literals)."""
+    import math as _m
+    ring = []
+    for i in range(120):
+        ang = 2 * _m.pi * i / 120
+        r = 3.0 + 0.25 * _m.sin(7 * ang) + 0.001 * ((i * 37) % 11)
+        ring.append((50.0 + r * _m.sin(ang), 10.0 + r * _m.cos(ang)))
+    return ring
+
+
+def _simplify_oracle_sql(tolerance=0.05):
+    """replay of geo.douglas_peucker via a recursive CTE: each iteration
+    splits every pending segment at its max-perpendicular-distance vertex
+    (first index on ties, like np.argmax) when that distance exceeds the
+    tolerance; kept vertices = the endpoints of every segment ever
+    emitted."""
+    ring = _simplify_ring()
+    closed = ring + [ring[0]]
+    pts = ", ".join(f"({i}, {y!r}, {x!r})"
+                    for i, (y, x) in enumerate(closed))
+    n_last = len(closed) - 1
+    # perpendicular distance of pts row p from chord (a..b), both looked
+    # up in pts; matches geo.douglas_peucker's formula
+    dist = """
+        case when ((pb.y - pa.y)*(pb.y - pa.y)
+                   + (pb.x - pa.x)*(pb.x - pa.x)) = 0
+             then sqrt((p.y - pa.y)*(p.y - pa.y)
+                       + (p.x - pa.x)*(p.x - pa.x))
+             else abs((pb.y - pa.y)*(p.x - pa.x)
+                      - (pb.x - pa.x)*(p.y - pa.y))
+                  / sqrt((pb.y - pa.y)*(pb.y - pa.y)
+                         + (pb.x - pa.x)*(pb.x - pa.x)) end
+    """
+    return f"""
+        with recursive pts(i, y, x) as (values {pts}),
+        segs(a, b) as (
+            select 0, {n_last}
+            union all
+            select case when lr.s = 0 then t.a else t.m end,
+                   case when lr.s = 0 then t.m else t.b end
+            from (
+                select seg.a, seg.b,
+                       (select p.i
+                        from pts p, pts pa, pts pb
+                        where pa.i = seg.a and pb.i = seg.b
+                          and p.i > seg.a and p.i < seg.b
+                        order by ({dist}) desc, p.i asc
+                        limit 1) as m
+                from segs seg
+                where seg.b - seg.a >= 2) t,
+                 (values (0), (1)) lr(s)
+            where t.m is not null
+              and (select {dist}
+                   from pts p, pts pa, pts pb
+                   where p.i = t.m and pa.i = t.a and pb.i = t.b)
+                  > {tolerance}),
+        kept as (
+            select distinct i from (
+                select a as i from segs
+                union all select b as i from segs)
+            where i < {n_last})
+        select (row_number() over (order by k.i) - 1)::int as idx,
+               round(p.y, 6) as lat, round(p.x, 6) as lng
+        from kept k join pts p on p.i = k.i
+        order by idx
+    """
+
+
 _IVF_DIM, _IVF_LISTS = 64, 8
 
 
@@ -716,15 +1064,11 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_simplify_polygon(spark, sf_dir):
     """F9 (shape.py:180-198): Douglas-Peucker ring simplification of a
-    deterministic 120-vertex noisy ring; returns surviving vertices."""
-    import math as _m
+    deterministic 120-vertex noisy ring; returns surviving vertices.
+    Oracle: the same DP recursion as a recursive CTE over the literal
+    ring (_simplify_oracle_sql)."""
     from osc_geo_h3grid_srv_spark.functions import geo as geomod
-    ring = []
-    for i in range(120):
-        ang = 2 * _m.pi * i / 120
-        r = 3.0 + 0.25 * _m.sin(7 * ang) + 0.001 * ((i * 37) % 11)
-        ring.append((50.0 + r * _m.sin(ang), 10.0 + r * _m.cos(ang)))
-    simp = geomod.douglas_peucker(ring, tolerance=0.05)
+    simp = geomod.douglas_peucker(_simplify_ring(), tolerance=0.05)
     rows = [(i, round(float(p[0]), 6), round(float(p[1]), 6))
             for i, p in enumerate(simp)]
     return spark.createDataFrame(rows, "idx int, lat double, lng double")
@@ -1201,4 +1545,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n, round(sum(value), 2) as sum_value
             from events group by 1
         """,
+        # kernel-hash replays (round 2: formerly rows-only)
+        "simhash_pairs": _simhash_oracle_sql(),
+        "fingerprint_docs": _fingerprint_oracle_sql(),
+        "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "geometry_stats": _geometry_stats_oracle_sql(),
+        "simplify_polygon": _simplify_oracle_sql(),
+        "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -3,7 +3,7 @@ queries() entry at sf0.01 on Spark AND its oracle_sql() in DuckDB over the
 same parquet tables; compare row count, sorted column names, and an
 order-insensitive value hash.
 
-Usage: python tools/verify_entry.py [sf_dir]
+Usage: python tools/verify_entry.py [sf_dir] [only_query1,only_query2,...]
 """
 
 import hashlib
@@ -51,7 +51,7 @@ def _norm(v):
     return str(v)
 
 
-def main(sf_dir="/root/testdata/sf0.01"):
+def main(sf_dir="/root/testdata/sf0.01", only=None):
     import __spark_entry__ as entrymod
     from osc_geo_h3grid_srv_spark.engine import make_spark
     spark = make_spark(cores=8, shuffle_partitions=16,
@@ -62,6 +62,9 @@ def main(sf_dir="/root/testdata/sf0.01"):
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        names = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in names}
     n_ok = n_bad = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -107,10 +110,11 @@ def main(sf_dir="/root/testdata/sf0.01"):
             continue
         print(f"OK {name}: {len(got)} rows hash={gh}  [{dt:.1f}s]")
         n_ok += 1
-    # entry smoke
-    e = entrymod.entry(spark)
-    n = e.count()
-    print(f"entry(): {n} rows, schema: {[f.name for f in e.schema.fields]}")
+    if not only:  # entry smoke
+        e = entrymod.entry(spark)
+        n = e.count()
+        print(f"entry(): {n} rows, "
+              f"schema: {[f.name for f in e.schema.fields]}")
     print(f"\n{n_ok} ok, {n_bad} bad")
     spark.stop()
     return n_bad
