@@ -48,16 +48,26 @@ class ShapefileRepository:
                 if os.path.isdir(os.path.join(self.repository, e))]
 
     def load(self, name: str):
-        """bundle -> PackedPolygons (first .geojson in the bundle)."""
+        """bundle -> PackedPolygons. Resolution order mirrors the
+        reference's geopandas loader (shape.py:40): a real ESRI `.shp`
+        (with its sibling `.dbf` names, parsed by sources/shapefile.py)
+        wins; `.geojson`/`.json` is the fallback."""
         from ..functions import geo
+        from .shapefile import packed_from_shapefile
         target = os.path.join(self.repository, name)
         if not os.path.isdir(target):
             raise ValueError(
                 f"Shapefile name:{name} is not registered in the "
                 f"repository:{self.repository}")
+        geojson = None
         for dirpath, _, names in sorted(os.walk(target)):
             for n in sorted(names):
-                if n.endswith(".geojson") or n.endswith(".json"):
-                    return geo.PackedPolygons.from_geojson(
-                        os.path.join(dirpath, n))
-        raise ValueError(f"no geojson polygon file in bundle {name!r}")
+                if n.lower().endswith(".shp"):
+                    return packed_from_shapefile(os.path.join(dirpath, n))
+                if geojson is None and (n.endswith(".geojson")
+                                        or n.endswith(".json")):
+                    geojson = os.path.join(dirpath, n)
+        if geojson is not None:
+            return geo.PackedPolygons.from_geojson(geojson)
+        raise ValueError(f"no .shp or geojson polygon file in "
+                         f"bundle {name!r}")

@@ -108,6 +108,34 @@ def test_shapefile_get_matches_polyfill_membership(engine, oracle):
     assert _rowset(got) == _rowset(want)
 
 
+def test_shapefile_get_from_real_shp_bundle(engine, oracle, tmp_path):
+    """S4 e2e: the same shapefile query driven from a registered zip
+    containing only real .shp/.shx/.dbf (no geojson) must answer
+    identically to the in-memory polygon path."""
+    import zipfile
+
+    from osc_geo_h3grid_srv_spark.sources import shapefile as shpio
+    from osc_geo_h3grid_srv_spark.sources.repository import (
+        ShapefileRepository)
+    shell = [(50.0, 8.0), (50.0, 11.0), (52.0, 11.0), (52.0, 8.0)]
+    base = str(tmp_path / "box")
+    shpio.write_shapefile([[(shell, False)]], base, names=["box"])
+    z = tmp_path / "box.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for ext in (".shp", ".shx", ".dbf"):
+            zf.write(base + ext, "box" + ext)
+    repo = ShapefileRepository(str(tmp_path / "repo"))
+    repo.register("box", str(z))
+    pp = repo.load("box")
+    got = engine.shapefile_get("flood_0010y", pp, region="box",
+                               resolution=7)
+    pp_mem = geo.PackedPolygons.from_latlng_rings([[shell]], ["box"])
+    want = engine.shapefile_get("flood_0010y", pp_mem, region="box",
+                                resolution=7)
+    assert got.count() > 100
+    assert _rowset(got) == _rowset(want)
+
+
 def test_time_filter_inference_errors(engine, spark):
     """monthly dataset requires year+month (geomesh.py:1140-1186)."""
     pdf = pd.DataFrame({
