@@ -73,9 +73,10 @@ def test_multiple_datasets_no_filters_39_columns(engine, assets_df):
 
 
 def test_two_datasets_filters_null_semantics(engine, assets_df):
-    """Cologne has NULL risks in 0010y: NULLs pass every filter
-    (correlator.py:209); it joins, then the 1000y min>0.03 filter drops
-    its cell rows -> only Bremen survives."""
+    """two chained datasets with filters -> only Bremen survives
+    (Brunsbuettel fails the 1000y max>4, Cologne's cell is absent from
+    0010y, Berlin/Frankfurt fail the 0010y filters); NULL-passes-filter
+    (correlator.py:209) is covered by correlator_null_filters."""
     out = _correlate(engine, assets_df, [
         {"name": "flood_0010y",
          "filters": [
