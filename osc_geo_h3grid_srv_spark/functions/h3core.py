@@ -1099,9 +1099,11 @@ def k_ring(h, k):
 
     Implementation: lattice offsets in the owning face's hex plane,
     re-indexed through latlng_to_cell. Exact within a face; near icosa
-    edges the re-indexing keeps results valid cells (the rare off-by-one
-    ring membership at extreme distortion is documented; the reference
-    itself never calls k_ring - SURVEY.md F6).
+    edges the re-indexing keeps results valid cells (the reference
+    itself never calls k_ring - SURVEY.md F6). Pentagon-adjacent
+    exactness is golden-tested: k=1 around every pentagon dedupes to the
+    pentagon + its 5 true neighbors
+    (tests/test_h3core_properties.py::test_pentagon_k_ring_exact).
     """
     h = np.asarray(h, dtype=np.uint64).ravel()
     res = int(get_resolution(h[:1])[0])

@@ -323,12 +323,26 @@ class DatasetQueries:
 
 
 def enumerate_region_cells(spark, polygons: geo.PackedPolygons, region=None,
-                           resolution=7, tolerance=None):
+                           resolution=7, tolerance=None, distributed=None):
     """`filter` CLI verb (geomesh.py:905-949): region -> cell id list.
-    `tolerance` accepted and ignored (reference defect D9)."""
+    `tolerance` accepted and ignored (reference defect D9).
+
+    Above ~4M driver sample-grid points (continent-scale regions at fine
+    res) the enumeration switches to operators.polyfill.
+    polyfill_distributed — per-parent refinement on executors, identical
+    cell set (VERDICT r01 next-step #10). Force with distributed=True/
+    False."""
     if region is not None:
         polygons = polygons.filter_name(region)
     buffer_deg = geo.get_buffer_deg(resolution)
+    from .polyfill import (DRIVER_SAMPLE_LIMIT, estimate_driver_samples,
+                           polyfill_distributed)
+    if distributed is None:
+        distributed = estimate_driver_samples(
+            polygons, resolution, buffer_deg) > DRIVER_SAMPLE_LIMIT
+    if distributed:
+        df = polyfill_distributed(spark, polygons, resolution, buffer_deg)
+        return df.select(F.lower(F.hex("cell")).alias("cell"))
     import pandas as pd
     cells = h3core.cell_to_string(
         geo.polyfill(polygons, resolution, buffer_deg=buffer_deg))
