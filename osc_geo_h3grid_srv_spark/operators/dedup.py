@@ -157,7 +157,14 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     distance h differs in <= h chunks, so with n_bands >= h + 1 it shares
     at least one exact chunk — NO recall gap at the requested threshold
     (round-1 hardcoded 4 bands, silently incomplete for max_hamming > 3).
-    Candidates are verified by true Hamming distance."""
+    Candidates are verified by true Hamming distance.
+
+    Scale note: band width is 64/n_bands bits, so each band has only
+    2^(64/(h+1)) buckets — at max_hamming=3 (4x16-bit bands, 65k buckets
+    per band) the candidate count stays near-linear on web corpora, but
+    h=8 (9x7-bit bands, 128 buckets) goes quadratic as the corpus grows.
+    Keep h <= 4 at 10^12-document scale; larger h is for moderate
+    corpora or post-MinHash candidate verification."""
     if n_bands is None:
         n_bands = max(4, max_hamming + 1)
     if n_bands < max_hamming + 1:

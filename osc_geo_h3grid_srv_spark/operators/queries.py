@@ -159,10 +159,34 @@ class DatasetQueries:
         df = self._timed(year, month, day)
         r = _radius_guard(radius_km, resolution, is_point_dataset=False)
         if r is not None:
+            # h3 datasets carry cell-centroid latitude/longitude, so the
+            # same cap-bbox partition pruning as the point path applies
+            # (round 2: previously only the point path pruned)
+            df = self._partition_prune(df, *self._radius_bbox(lat, lng, r))
             df = df.filter(
                 reference_radius_expr("latitude", "longitude", lat, lng)
                 <= F.lit(r))
         return _select_cells(df, self.value_columns)
+
+    @staticmethod
+    def _radius_bbox(lat, lng, r):
+        """(la_min, la_max, lo_min, lo_max) covering the r-km disk.
+        KM_PER_DEGREE=110 (reference geomesh.py:45) gives the lat
+        half-width; the longitude half-width of a spherical cap is
+        asin(sin(c)/cos(lat)) with c the angular radius — the bbox
+        extreme sits at the tangent latitude, not the center, so a
+        linear r/(110*cos) under-covers near the poles (a disk at
+        lat 89 / r=100km needs 64 deg, linear gives 45.5). c uses
+        110 km/deg (> true 111.19) so it over-covers; if the cap
+        touches a pole (sin c >= cos lat) every longitude matches."""
+        dla = r / 110.0
+        sin_c = np.sin(np.radians(min(dla, 90.0)))
+        cos_lat = np.cos(np.radians(min(abs(lat), 90.0)))
+        if sin_c >= cos_lat:
+            dlo = 360.0
+        else:
+            dlo = np.degrees(np.arcsin(sin_c / cos_lat)) * 1.01
+        return lat - dla, lat + dla, lng - dlo, lng + dlo
 
     def latlong_radius_point(self, lat, lng, radius_km,
                              year=None, month=None, day=None):
@@ -172,23 +196,7 @@ class DatasetQueries:
         df = self._timed(year, month, day)
         r = _radius_guard(radius_km, 0, is_point_dataset=True)
         if r is not None:
-            # KM_PER_DEGREE=110 (reference geomesh.py:45) gives the lat
-            # half-width; the longitude half-width of a spherical cap is
-            # asin(sin(c)/cos(lat)) with c the angular radius — the bbox
-            # extreme sits at the tangent latitude, not the center, so a
-            # linear r/(110*cos) under-covers near the poles (a disk at
-            # lat 89 / r=100km needs 64 deg, linear gives 45.5). c uses
-            # 110 km/deg (> true 111.19) so it over-covers; if the cap
-            # touches a pole (sin c >= cos lat) every longitude matches.
-            dla = r / 110.0
-            sin_c = np.sin(np.radians(min(dla, 90.0)))
-            cos_lat = np.cos(np.radians(min(abs(lat), 90.0)))
-            if sin_c >= cos_lat:
-                dlo = 360.0
-            else:
-                dlo = np.degrees(np.arcsin(sin_c / cos_lat)) * 1.01
-            df = self._partition_prune(df, lat - dla, lat + dla,
-                                       lng - dlo, lng + dlo)
+            df = self._partition_prune(df, *self._radius_bbox(lat, lng, r))
             df = df.filter(
                 reference_radius_expr("latitude", "longitude", lat, lng)
                 <= F.lit(r))
