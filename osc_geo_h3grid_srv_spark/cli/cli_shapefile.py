@@ -94,10 +94,14 @@ def _simplify(args):
 
 
 def _buffer(args):
+    # method="utm" mirrors the reference's metric round-trip
+    # (shape.py:240-255): project to the UTM zone, buffer in meters,
+    # project back
     from ..functions import geo
     pp = load_polygons(args.shapefile)
     try:
-        buffered = geo.buffer_polygon(pp, float(args.distance), args.units)
+        buffered = geo.buffer_polygon(pp, float(args.distance), args.units,
+                                      method="utm")
     except ValueError as e:
         raise SystemExit(f"Error: {e}")
     if args.path:

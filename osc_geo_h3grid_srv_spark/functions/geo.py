@@ -424,19 +424,88 @@ def cell_overlap(packed: PackedPolygons, cells):
     return out
 
 
+def _offset_ring(ring, d, is_hole, step):
+    """offset one (K,2) planar (y,x) ring outward (shell) / inward
+    (hole) by d, with round joins at convex corners (arc every `step`
+    rad) and miter-trim joins at reflex corners. Returns the offset ring
+    or None if it collapses (< 3 points)."""
+    # normalize winding in (x, y): shell CCW, hole CW -> the polygon
+    # interior is always LEFT of travel, offset goes RIGHT
+    x = ring[:, 1]; y = ring[:, 0]
+    ccw = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) > 0
+    if ccw == is_hole:
+        ring = ring[::-1]
+    n = len(ring)
+    pts_out = []
+    v = np.diff(np.vstack([ring, ring[:1]]), axis=0)  # (n, 2) y,x steps
+    dy, dx = v[:, 0], v[:, 1]
+    L = np.hypot(dy, dx)
+    keep = L > 0
+    if keep.sum() < 3:
+        return None
+    # right normal of (dx, dy) is (dy, -dx)/L -> in (y, x) rows:
+    ny = -dx / np.where(L == 0, 1, L)
+    nx = dy / np.where(L == 0, 1, L)
+    idxs = [i for i in range(n) if keep[i]]
+    m = len(idxs)
+    starts = [ring[i] + d * np.array([ny[i], nx[i]]) for i in idxs]
+    ends = [ring[(i + 1) % n] + d * np.array([ny[i], nx[i]])
+            for i in idxs]
+    arcs = [[] for _ in range(m)]  # join points AFTER edge k
+    for k in range(m):
+        i = idxs[k]
+        j = idxs[(k + 1) % m]
+        vtx = ring[(i + 1) % n]  # shared vertex between edges i, j
+        cross = dx[i] * dy[j] - dy[i] * dx[j]  # z of dir_i x dir_j
+        if cross > 0:
+            # left turn (convex on the outward side): round join —
+            # sweep the outward normal from edge i's angle to edge j's
+            a0 = math.atan2(ny[i], nx[i])
+            a1 = math.atan2(ny[j], nx[j])
+            sweep = a1 - a0
+            while sweep < 0:
+                sweep += 2 * math.pi
+            arcs[k] = [vtx + d * np.array(
+                [math.sin(a0 + t), math.cos(a0 + t)])
+                for t in np.arange(step, sweep, step)]
+        elif cross < 0:
+            # reflex: trim both edges to the offset-line intersection
+            p_int = _seg_intersect(
+                starts[k], ends[k],
+                (starts[(k + 1) % m][0], starts[(k + 1) % m][1]),
+                (ends[(k + 1) % m][0], ends[(k + 1) % m][1]))
+            ends[k] = p_int
+            starts[(k + 1) % m] = p_int
+    for k in range(m):
+        pts_out.append(starts[k])
+        pts_out.append(ends[k])
+        pts_out.extend(arcs[k])
+    out = np.asarray(pts_out, dtype=np.float64)
+    if len(out) >= 2:  # drop consecutive duplicates
+        dup = np.all(np.isclose(out, np.roll(out, 1, axis=0)), axis=1)
+        out = out[~dup]
+    return out if len(out) >= 3 else None
+
+
 def buffer_polygon(packed: PackedPolygons, distance: float,
                    units: str = "degrees",
-                   arc_step_deg: float = 12.0) -> PackedPolygons:
+                   arc_step_deg: float = 12.0,
+                   method: str = "planar") -> PackedPolygons:
     """true geometric outward buffer of every polygon (reference
     shape.py:200-266 `Shape.buffer`): shells grow by `distance`, holes
-    shrink. Planar offsetting in degree space with ROUND joins at convex
-    corners (arc sampled every `arc_step_deg`) and miter-trim joins at
-    reflex corners — the planar analogue of shapely's default round
-    buffer, minus the reference's UTM round-trip (we stay in EPSG:4326;
-    `meters` converts at the reference's 111 km/deg, shape.py:223-227).
-    Thin concavities buffered by large distances can self-touch, as with
-    any local offset method; downstream even-odd containment treats such
-    slivers conservatively.
+    shrink, with round joins at convex corners (arc sampled every
+    `arc_step_deg`) and miter-trim joins at reflex corners — shapely's
+    default round buffer shape. Thin concavities buffered by large
+    distances can self-touch, as with any local offset method;
+    downstream even-odd containment treats such slivers conservatively.
+
+    method="planar" (default): offset directly in degree space
+    (`meters` converts at the reference's 111 km/deg, shape.py:223-227).
+    method="utm": the reference's metric round-trip (shape.py:240-255,
+    to_crs UTM -> buffer -> back) — rings project to the UTM zone of
+    the polygon-set centroid (functions/crs.py), offset in true meters,
+    and project back; distance in `degrees` converts to meters first,
+    mirroring the reference exactly.
 
     distance must be non-negative (reference raises too); units in
     {"degrees", "meters"}."""
@@ -444,74 +513,34 @@ def buffer_polygon(packed: PackedPolygons, distance: float,
         raise ValueError("Distance must be non-negative.")
     if units not in ("degrees", "meters"):
         raise ValueError("Units must be one of:['degrees', 'meters']")
-    d = distance / 111_000.0 if units == "meters" else distance
+    if method not in ("planar", "utm"):
+        raise ValueError("method must be one of:['planar', 'utm']")
+    if method == "utm":
+        d = distance * 111_000.0 if units == "degrees" else distance
+    else:
+        d = distance / 111_000.0 if units == "meters" else distance
     if d == 0:
         return packed
+    if method == "utm":
+        from . import crs
+        la_min, la_max, lo_min, lo_max = packed.bounds()
+        zone = crs.utm_zone((lo_min + lo_max) / 2.0)
+        south = (la_min + la_max) / 2.0 < 0
     coords, rs, re_, rp, rh = [], [], [], [], []
     pos = 0
     step = math.radians(arc_step_deg)
     for r in range(len(packed.ring_start)):
         ring = packed.coords[packed.ring_start[r]:packed.ring_end[r]]
         is_hole = bool(packed.ring_hole[r])
-        # normalize winding in (x=lng, y=lat): shell CCW, hole CW ->
-        # polygon interior is always LEFT of travel, offset goes RIGHT
-        x = ring[:, 1]; y = ring[:, 0]
-        ccw = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) > 0
-        if ccw == is_hole:
-            ring = ring[::-1]
-        n = len(ring)
-        pts_out = []
-        v = np.diff(np.vstack([ring, ring[:1]]), axis=0)  # (n, 2) lat,lng
-        dy, dx = v[:, 0], v[:, 1]
-        L = np.hypot(dy, dx)
-        keep = L > 0
-        if keep.sum() < 3:
-            continue
-        # right normal of (dx, dy) is (dy, -dx)/L -> in (lat, lng) rows:
-        nlat = -dx / np.where(L == 0, 1, L)
-        nlng = dy / np.where(L == 0, 1, L)
-        idxs = [i for i in range(n) if keep[i]]
-        m = len(idxs)
-        starts = [ring[i] + d * np.array([nlat[i], nlng[i]]) for i in idxs]
-        ends = [ring[(i + 1) % n] + d * np.array([nlat[i], nlng[i]])
-                for i in idxs]
-        arcs = [[] for _ in range(m)]  # join points AFTER edge k
-        for k in range(m):
-            i = idxs[k]
-            j = idxs[(k + 1) % m]
-            vtx = ring[(i + 1) % n]  # shared vertex between edges i, j
-            cross = dx[i] * dy[j] - dy[i] * dx[j]  # z of dir_i x dir_j
-            if cross > 0:
-                # left turn (convex on the outward side): round join —
-                # sweep the outward normal from edge i's angle to edge
-                # j's angle
-                a0 = math.atan2(nlat[i], nlng[i])
-                a1 = math.atan2(nlat[j], nlng[j])
-                sweep = a1 - a0
-                while sweep < 0:
-                    sweep += 2 * math.pi
-                arcs[k] = [vtx + d * np.array(
-                    [math.sin(a0 + t), math.cos(a0 + t)])
-                    for t in np.arange(step, sweep, step)]
-            elif cross < 0:
-                # reflex: trim both edges to the offset-line intersection
-                p_int = _seg_intersect(
-                    starts[k], ends[k],
-                    (starts[(k + 1) % m][0], starts[(k + 1) % m][1]),
-                    (ends[(k + 1) % m][0], ends[(k + 1) % m][1]))
-                ends[k] = p_int
-                starts[(k + 1) % m] = p_int
-        for k in range(m):
-            pts_out.append(starts[k])
-            pts_out.append(ends[k])
-            pts_out.extend(arcs[k])
-        out = np.asarray(pts_out, dtype=np.float64)
-        # drop consecutive duplicates
-        if len(out) >= 2:
-            dup = np.all(np.isclose(out, np.roll(out, 1, axis=0)), axis=1)
-            out = out[~dup]
-        if len(out) < 3:
-            continue  # hole collapsed under the shrink
+        if method == "utm":
+            e, nn = crs.to_utm(ring[:, 0], ring[:, 1], zone, south)
+            ring = np.stack([nn, e], axis=1)  # (y=northing, x=easting)
+        out = _offset_ring(ring, d, is_hole, step)
+        if out is None:
+            continue  # ring collapsed under the shrink
+        if method == "utm":
+            la, lo = crs.from_utm(out[:, 1], out[:, 0], zone, south)
+            out = np.stack([la, lo], axis=1)
         coords.append(out)
         rs.append(pos)
         pos += len(out)
