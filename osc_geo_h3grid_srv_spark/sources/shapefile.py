@@ -117,17 +117,61 @@ def read_dbf(path: str):
     return out
 
 
+def read_prj(path: str):
+    """minimal .prj (WKT) sniffing: returns {"utm_zone": int, "south":
+    bool} for WGS84/UTM projections, {} for geographic EPSG:4326, None
+    when unrecognized. Matches both ESRI ("UTM_Zone_33N") and OGC
+    ('UTM zone 33N' / AUTHORITY EPSG 326xx/327xx) spellings."""
+    import re
+    with open(path) as fh:
+        wkt = fh.read()
+    m = re.search(r"UTM[_ ]zone[_ ](\d{1,2})([NS])", wkt, re.IGNORECASE)
+    if m:
+        return {"utm_zone": int(m.group(1)),
+                "south": m.group(2).upper() == "S"}
+    m = re.search(r'"EPSG"\s*,\s*"?32([67])(\d{2})"?', wkt)
+    if m:
+        return {"utm_zone": int(m.group(2)),
+                "south": m.group(1) == "7"}
+    if re.search(r"GEOGCS|4326", wkt):
+        return {}
+    return None
+
+
 def packed_from_shapefile(shp_path: str, dbf_path: str | None = None,
                           name_field: str | None = None):
-    """.shp (+ optional .dbf names) -> PackedPolygons. One packed polygon
-    per shapefile record (a record is a Polygon or MultiPolygon with
-    holes; even-odd containment over all its rings is winding-exact, so
-    hole-to-shell assignment is not needed)."""
+    """.shp (+ optional .dbf names) -> PackedPolygons in EPSG:4326. One
+    packed polygon per shapefile record (a record is a Polygon or
+    MultiPolygon with holes; even-odd containment over all its rings is
+    winding-exact, so hole-to-shell assignment is not needed).
+
+    If a sibling .prj declares a WGS84/UTM projection, coordinates are
+    reprojected to lat/lng on load (functions/crs.py) — the reference's
+    `transform` verb / `transform_to_epsg_4326` (shape.py:278-290)."""
     from ..functions.geo import PackedPolygons
     if dbf_path is None:
         guess = os.path.splitext(shp_path)[0] + ".dbf"
         dbf_path = guess if os.path.exists(guess) else None
     records = read_shp(shp_path)
+    prj_path = os.path.splitext(shp_path)[0] + ".prj"
+    utm = None
+    if os.path.exists(prj_path):
+        info = read_prj(prj_path)
+        if info is None:
+            raise ValueError(
+                f"{prj_path}: unsupported CRS (only EPSG:4326 and "
+                "WGS84/UTM zones)")
+        if info:
+            utm = info
+    if utm is not None:
+        from ..functions import crs
+        for rings in records:
+            for i, (latlng, is_hole) in enumerate(rings):
+                # projected .shp stores (x=easting, y=northing); the
+                # reader put them at (lat=y, lng=x) = (northing, easting)
+                la, lo = crs.from_utm(latlng[:, 1], latlng[:, 0],
+                                      utm["utm_zone"], utm["south"])
+                rings[i] = (np.stack([la, lo], axis=1), is_hole)
     attrs = read_dbf(dbf_path) if dbf_path else []
     coords, rs, re_, rp, rh, names = [], [], [], [], [], []
     pos = 0
@@ -169,15 +213,27 @@ def packed_from_shapefile(shp_path: str, dbf_path: str | None = None,
 # shapefiles back out via gdf.to_file, src/shape/shape.py:196-266)
 # ---------------------------------------------------------------------------
 
-def write_shapefile(records, base_path: str, names=None):
-    """write .shp + .shx + .dbf for polygon `records`.
+_WGS84_WKT = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+              '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+              'UNIT["degree",0.0174532925199433],'
+              'AUTHORITY["EPSG","4326"]]')
+
+
+def write_shapefile(records, base_path: str, names=None,
+                    prj_wkt: str | None = _WGS84_WKT):
+    """write .shp + .shx + .dbf (+ .prj) for polygon `records`.
 
     records: list per record of [(ring_latlng (K,2), is_hole), ...].
     Rings are closed and re-wound to spec (shell CW, hole CCW in x,y).
-    names: optional per-record strings -> a 'name' C(32) dbf column."""
+    names: optional per-record strings -> a 'name' C(32) dbf column.
+    prj_wkt: CRS WKT for the sidecar .prj (default EPSG:4326; None
+    skips the file)."""
     shp_path = base_path + ".shp"
     shx_path = base_path + ".shx"
     dbf_path = base_path + ".dbf"
+    if prj_wkt:
+        with open(base_path + ".prj", "w") as fh:
+            fh.write(prj_wkt)
     rec_blobs = []
     allx, ally = [], []
     for rings in records:

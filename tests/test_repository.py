@@ -93,6 +93,54 @@ def test_shp_packed_matches_geojson_path(tmp_path):
     assert cells_shp == cells_gj and cells_shp
 
 
+def test_shp_utm_prj_auto_transform(tmp_path):
+    """a .shp whose .prj declares a UTM zone reprojects to EPSG:4326 on
+    load (the reference's transform_to_epsg_4326, shape.py:278-290)."""
+    from osc_geo_h3grid_srv_spark.functions import crs, geo
+    # build a UTM-coordinate shapefile for the concave region: store
+    # (lat=northing, lng=easting) ring coords + a zone-33N prj
+    zone = 33
+    rings = []
+    for ring, hole in ((_SHELL, False), (_HOLE, True)):
+        arr = np.asarray(ring, dtype=np.float64)
+        e, n = crs.to_utm(arr[:, 0], arr[:, 1], zone)
+        rings.append((np.stack([n, e], axis=1), hole))
+    base = str(tmp_path / "utm_region")
+    shpio.write_shapefile(
+        [rings], base, names=["region"],
+        prj_wkt='PROJCS["WGS 84 / UTM zone 33N",AUTHORITY["EPSG","32633"]]')
+    pp = shpio.packed_from_shapefile(base + ".shp")
+    want = geo.PackedPolygons.from_latlng_rings([[_SHELL, _HOLE]],
+                                                ["region"])
+    assert pp.ring_hole.tolist() == [False, True]
+
+    def same_region(a, b):
+        # vertex order may be re-wound to spec; compare geometrically
+        rng = np.random.RandomState(5)
+        la = rng.uniform(45.0, 57.0, 3000)
+        lo = rng.uniform(4.0, 17.0, 3000)
+        ina, inb = (geo.points_in_polys(la, lo, a),
+                    geo.points_in_polys(la, lo, b))
+        return (ina == inb).all() and inb.any()
+
+    assert same_region(pp, want)
+    # the shell reaches 9.5 deg from the zone-33 central meridian, where
+    # the Snyder series is ~2 m off — tolerance 1e-4 deg (~11 m)
+    assert np.abs(np.sort(pp.coords, axis=0)
+                  - np.sort(want.coords, axis=0)).max() < 1e-4
+    # ESRI-style prj spelling also parses
+    with open(base + ".prj", "w") as fh:
+        fh.write('PROJCS["x",PROJECTION["Transverse_Mercator"],'
+                 'ATTR["UTM_Zone_33N"]]')
+    pp2 = shpio.packed_from_shapefile(base + ".shp")
+    assert same_region(pp2, want)
+    # unrecognized CRS is an error, not silent garbage
+    with open(base + ".prj", "w") as fh:
+        fh.write('PROJCS["Lambert_Conformal_Conic stuff"]')
+    with pytest.raises(ValueError, match="unsupported CRS"):
+        shpio.packed_from_shapefile(base + ".shp")
+
+
 def test_repository_shp_only_bundle(tmp_path):
     """VERDICT r01 done-criterion: a zip containing ONLY .shp/.shx/.dbf
     resolves through ShapefileRepository.load."""
