@@ -49,8 +49,6 @@ def _flagship_pipeline(spark, pages_path):
     from pyspark.sql import functions as F
 
     from osc_geo_h3grid_srv_spark.functions import geo
-    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
-        cell_lat, cell_lng)
     from osc_geo_h3grid_srv_spark.operators.index_pages import (
         extract_index_clip)
     from osc_geo_h3grid_srv_spark.operators.interpolate import idw_interpolate
@@ -66,16 +64,22 @@ def _flagship_pipeline(spark, pages_path):
     clipped = pts.filter(F.col("in_region")).cache()
     n_clip = clipped.count()
 
-    # IDW kNN (k=3, power=2) of a per-point value onto res-5 cells;
-    # parent rollup is pure JVM bit math (cell_to_parent_expr), only the
-    # 274-row centroid lookup touches Python
-    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
-        cell_str, cell_to_parent_expr)
-    cells = (clipped.select(cell_to_parent_expr("cell9", 5).alias("c5"))
-             .distinct().coalesce(1)
-             .select(cell_str("c5").alias("h3_cell"),
-                     cell_lat("c5").alias("latitude"),
-                     cell_lng("c5").alias("longitude")))
+    # IDW kNN (k=3, power=2) of a per-point value onto the REGION's
+    # res-5 cell grid (the reference loader interpolates onto the
+    # region's cells, not just populated ones). The grid comes from the
+    # driver-side kernel polyfill (~1 ms for ~10^3 cells) — round 1
+    # derived it with distinct+coalesce(1) over the data, which added a
+    # serial micro-job to every run (the Amdahl floor in
+    # BENCH-SCALING.json); Arrow createDataFrame + broadcast join keep
+    # the big points side shuffle-free for the join.
+    import pandas as pd
+
+    from osc_geo_h3grid_srv_spark.functions import h3core
+    grid = geo.polyfill(pp, 5)
+    gla, glo = h3core.cell_to_latlng(grid)
+    cells = spark.createDataFrame(pd.DataFrame({
+        "h3_cell": h3core.cell_to_string(grid),
+        "latitude": gla, "longitude": glo}))
     pts_v = clipped.select(
         "latitude", "longitude",
         (F.xxhash64("url") % 1000).cast("double").alias("value"))
