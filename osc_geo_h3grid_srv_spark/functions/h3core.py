@@ -1139,6 +1139,10 @@ def cell_boundary(h):
     within a face; near icosahedron edges the true H3 boundary bends at
     the edge while this stays planar (documented approximation; adequate
     for the area-overlap use, which the reference never calls upstream).
+    Pentagons (12 per res) also get the 6-vertex hexagonal shape rather
+    than their true 5-vertex boundary — same planar-lattice
+    approximation class, only affects A5 overlap fractions on pentagon
+    cells (none of the reference's shipped regions contain one).
     """
     h = np.asarray(h, dtype=np.uint64).ravel()
     res = int(get_resolution(h[:1])[0])
