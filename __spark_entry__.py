@@ -171,6 +171,60 @@ def q_idw_knn(spark, sf_dir):
         "h3_cell", F.round("value", 3).alias("value"), "n_neighbors")
 
 
+def _highlat_consts():
+    """Shared double literals for the adversarial high-latitude IDW
+    fixture (computed once in Python so Spark and DuckDB consume the
+    SAME values). max_dist=100km; per cell (lat 48..84, lng 10): one
+    point 30km due north, one 75km due east, one 95km due west. The
+    east/west placements use the exact along-parallel inverse
+    dlng = 2*asin(sin(d/2R)/cos(lat)), so a pre-fix 3x3 equatorial
+    bucket grid drops them at every cell (75km spans >2 lng buckets
+    above lat 48) while the fixed banded grid finds all three."""
+    import math
+    r2 = 2 * 6371.0088
+    return {"md": 100.0, "dn": 0.30 * 100.0 / 111.32,
+            "se": math.sin(0.75 * 100.0 / r2),
+            "sw": math.sin(0.95 * 100.0 / r2)}
+
+
+def q_idw_knn_highlat(spark, sf_dir):
+    """J5 adversarial gate (round-3): sparse points at 0.75-0.95x
+    max_dist due east/west of each cell at lat 48..84 - the regime
+    where the pre-fix single-pitch bucket grid silently dropped true
+    neighbors (VERDICT r02 What's-wrong #1). Brute-force DuckDB oracle;
+    n_neighbors must be 3 for every cell."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.interpolate import (
+        idw_interpolate)
+    c = _highlat_consts()
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"))
+    lat = F.lit(48.0) + F.col("id") * F.lit(1.5)
+    cells = n.select(F.col("id").cast("string").alias("h3_cell"),
+                     lat.alias("latitude"),
+                     F.lit(10.0).alias("longitude"))
+
+    def elng(s):
+        return F.degrees(F.lit(2.0) * F.asin(
+            F.lit(s) / F.cos(F.radians(lat))))
+
+    pts = n.select(F.explode(F.array(
+        F.struct((lat + F.lit(c["dn"])).alias("latitude"),
+                 F.lit(10.0).alias("longitude"),
+                 (F.col("id") * 10 + 1).cast("double").alias("value")),
+        F.struct(lat.alias("latitude"),
+                 (F.lit(10.0) + elng(c["se"])).alias("longitude"),
+                 (F.col("id") * 10 + 2).cast("double").alias("value")),
+        F.struct(lat.alias("latitude"),
+                 (F.lit(10.0) - elng(c["sw"])).alias("longitude"),
+                 (F.col("id") * 10 + 3).cast("double").alias("value")),
+    )).alias("s")).select("s.*")
+    out = idw_interpolate(cells, pts, "value", k=3, power=2.0,
+                          max_dist_km=c["md"])
+    return out.select(
+        "h3_cell", F.round("value", 3).alias("value"), "n_neighbors")
+
+
 def q_raster_tile_agg(spark, sf_dir):
     """J6/A4 relational skeleton: synthetic raster pixels from lineitem
     keys -> integer tile -> min/max/mean per tile (H3-keyed variant is
@@ -1114,10 +1168,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """dedup family: simhash banded near-dup pairs on documents."""
+    """dedup family: simhash banded near-dup pairs on documents at the
+    scale-safe default h=3 (4x16-bit bands; h=8's ~128-bucket bands go
+    quadratic and now require an explicit bounded_corpus opt-in —
+    VERDICT r02 What's-wrong #2), with the salted triangle in-bucket
+    join (salt=4) exercised so its exactness is oracle-gated."""
     from osc_geo_h3grid_srv_spark.operators.dedup import simhash_pairs
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, salt=4)
 
 
 def q_polyfill_region_cells(spark, sf_dir):
@@ -1173,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_agg": q_grid_cell_agg,
         "correlator_null_filters": q_correlator_null_filters,
         "idw_knn": q_idw_knn,
+        "idw_knn_highlat": q_idw_knn_highlat,
         "raster_tile_agg": q_raster_tile_agg,
         "time_filter_events": q_time_filter_events,
         "exact_dedup": q_exact_dedup,
@@ -1276,6 +1335,50 @@ def oracle_sql() -> dict[str, str]:
                     partition by h3_cell
                     order by dist_km asc, p_lat asc, p_lng asc) as rk
                 from pairs where dist_km <= 2000.0)
+            select h3_cell,
+                   round(sum(p_val / pow(greatest(dist_km, 1e-9), 2.0))
+                         / sum(1.0 / pow(greatest(dist_km, 1e-9), 2.0)), 3)
+                   as value,
+                   count(*) as n_neighbors
+            from ranked where rk <= 3
+            group by h3_cell
+        """,
+        "idw_knn_highlat": f"""
+            with n as (select cast(n_nationkey as bigint) as id
+                       from nation),
+            cells as (select cast(id as varchar) as h3_cell,
+                             48.0 + id*1.5 as latitude,
+                             10.0 as longitude from n),
+            pts as (
+                select 48.0 + id*1.5 + {_highlat_consts()['dn']!r} as p_lat,
+                       10.0 as p_lng,
+                       cast(id*10 + 1 as double) as p_val from n
+                union all
+                select 48.0 + id*1.5,
+                       10.0 + degrees(2*asin({_highlat_consts()['se']!r}
+                              / cos(radians(48.0 + id*1.5)))),
+                       cast(id*10 + 2 as double) from n
+                union all
+                select 48.0 + id*1.5,
+                       10.0 - degrees(2*asin({_highlat_consts()['sw']!r}
+                              / cos(radians(48.0 + id*1.5)))),
+                       cast(id*10 + 3 as double) from n),
+            pairs as (
+                select c.h3_cell, p.p_val,
+                       2 * 6371.0088 * asin(sqrt(
+                           pow(sin((radians(p.p_lat)
+                                    - radians(c.latitude))/2), 2)
+                           + cos(radians(c.latitude)) * cos(radians(p.p_lat))
+                           * pow(sin((radians(p.p_lng)
+                                      - radians(c.longitude))/2), 2)))
+                       as dist_km,
+                       p.p_lat, p.p_lng
+                from cells c, pts p),
+            ranked as (
+                select *, row_number() over (
+                    partition by h3_cell
+                    order by dist_km asc, p_lat asc, p_lng asc) as rk
+                from pairs where dist_km <= 100.0)
             select h3_cell,
                    round(sum(p_val / pow(greatest(dist_km, 1e-9), 2.0))
                          / sum(1.0 / pow(greatest(dist_km, 1e-9), 2.0)), 3)
@@ -1546,7 +1649,7 @@ def oracle_sql() -> dict[str, str]:
             from events group by 1
         """,
         # kernel-hash replays (round 2: formerly rows-only)
-        "simhash_pairs": _simhash_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(3),
         "fingerprint_docs": _fingerprint_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),

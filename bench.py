@@ -102,11 +102,22 @@ def main():
 
     timings = {}
     extras = {}
+    rep_secs = {}
 
-    def run(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def run(name, fn, reps=2):
+        # best-of-N with the DataFrame lineage rebuilt per rep (fn()
+        # reconstructs the plan from the parquet scan each call, so no
+        # materialized-shuffle reuse poisons later reps — BASELINE.md
+        # protocol). Single-shot timings made r1->r2 comparisons pure
+        # host noise (VERDICT r02 What's-wrong #3); raw arrays recorded.
+        out = None
+        rs = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            rs.append(round(time.time() - t0, 3))
+        timings[name] = min(rs)
+        rep_secs[name] = rs
         return out
 
     # north-metric flagship (pages materialized untimed: production reads
@@ -231,6 +242,7 @@ def main():
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
 
+    extras["rep_secs"] = rep_secs
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "H3-indexed pages/sec (cell assign + PIP + kNN "

@@ -6,25 +6,72 @@ cli_geospatial.py:36-39, docs/README-geospatial.md:84-87).
 value(cell) = sum(w_i * v_i) / sum(w_i),  w_i = 1 / d_i^power
 over the k nearest data points within max_dist_km of the cell centroid.
 
-Scale design: NO cross join. Both sides are bucketed on an integer
-lat/lng grid of pitch max_dist_km (the candidate bound), points are
-exploded into their 3x3 neighbor buckets, the join is a plain equi-join
-on the bucket id, and top-k is a window over (cell) ordered by distance.
-Buckets co-partition the shuffle; AQE handles dense-city skew. Fully
-SQL-expressible -> the whole plan stays in Tungsten codegen (distance via
-built-in trig), which also makes it oracle-checkable in DuckDB.
+Scale design: NO cross join. Both sides are bucketed on a latitude-banded
+grid, points are exploded into their 3x3 neighbor buckets, the join is a
+plain equi-join on (by, bx), and top-k is a window over (cell) ordered by
+distance. Buckets co-partition the shuffle; AQE handles dense-city skew.
+Fully SQL-expressible -> the whole plan stays in Tungsten codegen
+(distance via built-in trig), which also makes it oracle-checkable in
+DuckDB.
+
+Coverage guarantee (round-3 fix of the >34-degree-latitude gap):
+
+* latitude band ``by = floor(lat / pitch)`` with ``pitch =
+  1.2 * max_dist_km / 111.32`` degrees.  A point within max_dist of a
+  cell differs by at most ``pitch / 1.2`` degrees of latitude, so the
+  point's band is within +-1 of the cell's band and the dy explode
+  covers it.
+* the longitude pitch is PER BAND.  For band ``by`` let ``e`` be the
+  largest |latitude| any joined row can have (band edge + one band for
+  the +-1 dy margin).  Haversine gives the exact bound
+  ``sin(dlng/2) <= sin(d/2R) / cos(e)`` for two points within distance
+  ``d`` at |lat| <= e, i.e. ``dlng <= 2*asin(sin(d/2R)/cos(e))``.  The
+  band's longitude pitch is 1.2x that bound, so a true neighbor is
+  always within +-1 longitude bucket and the dx explode covers it.  The
+  old code used the equatorial pitch for both axes, which silently
+  dropped due-east/west neighbors whenever ``cos(lat) < 1/1.2``
+  (|lat| > 33.6 deg).
+* near the poles (``sin(d/2R) >= 0.99 * cos(e)`` or pitch >= 360) the
+  bound degenerates; the band collapses to a single 360-degree bucket
+  (bx is then -1 or 0 over raw longitude, still covered by the +-1
+  explode).
+
+Known limitation (unchanged, matches the reference's flat-longitude
+treatment): candidate search does not wrap the antimeridian - a
+neighbor across lng=+-180 is not found unless it is within the same raw
+longitude bucket window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_EARTH_R_KM = 6371.0088
 
-def _bucket(lat_col, lng_col, pitch_deg):
-    by = F.floor(lat_col / F.lit(pitch_deg))
-    bx = F.floor(lng_col / F.lit(pitch_deg))
-    return by, bx
+
+def _lng_pitch_deg(by_col: Column, pitch_deg: float,
+                   max_dist_km: float) -> Column:
+    """Longitude bucket pitch (degrees) for latitude band ``by_col``.
+
+    Exact per-band bound: dlng <= 2*asin(sin(d/2R)/cos(e)) where e is
+    the extreme |lat| reachable by any row joined into this band (band
+    edge + one band of dy margin).  1.2x safety, degenerate ->360.
+    """
+    e_deg = F.least(
+        F.greatest(F.abs(by_col * F.lit(pitch_deg)),
+                   F.abs((by_col + 1) * F.lit(pitch_deg)))
+        + F.lit(pitch_deg),
+        F.lit(90.0))
+    cos_e = F.cos(F.radians(e_deg))
+    half = math.sin(max_dist_km / (2.0 * _EARTH_R_KM))  # sin(d/2R)
+    ratio = F.lit(half) / cos_e
+    p = F.lit(1.2) * F.degrees(
+        F.lit(2.0) * F.asin(F.least(ratio, F.lit(1.0))))
+    return F.when((ratio >= F.lit(0.99)) | (p >= F.lit(360.0)),
+                  F.lit(360.0)).otherwise(p)
 
 
 def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
@@ -43,26 +90,31 @@ def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
     grid is region-bounded (e.g. a country at res 5-7 is << executor
     memory); leave False to let AQE choose for unbounded grids."""
     pitch = max_dist_km / 111.32 * 1.2  # deg; >= max_dist in lat terms
-    cy, cx = _bucket(F.col("c.latitude"), F.col("c.longitude"), pitch)
 
     pts = points.select(
         F.col("latitude").alias("p_lat"),
         F.col("longitude").alias("p_lng"),
         F.col(value_col).alias("p_val"))
     # explode points into their 3x3 neighborhood buckets (9x duplication of
-    # the small side beats any theta-join)
+    # the small side beats any theta-join); bx is computed against the
+    # TARGET band's longitude pitch so the equi-join key matches the cell
+    # side exactly.
     offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     pts = pts.withColumn(
         "off", F.explode(F.array(*[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
             for dy, dx in offs])))
     pts = pts.withColumn(
-        "by", F.floor(F.col("p_lat") / F.lit(pitch)) + F.col("off.dy")
-    ).withColumn(
-        "bx", F.floor(F.col("p_lng") / F.lit(pitch)) + F.col("off.dx")
+        "by", F.floor(F.col("p_lat") / F.lit(pitch)) + F.col("off.dy"))
+    p_pitch = _lng_pitch_deg(F.col("by"), pitch, max_dist_km)
+    pts = pts.withColumn(
+        "bx", F.floor(F.col("p_lng") / p_pitch) + F.col("off.dx")
     ).drop("off")
 
-    c = cells.alias("c").withColumn("by", cy).withColumn("bx", cx)
+    c = cells.alias("c").withColumn(
+        "by", F.floor(F.col("c.latitude") / F.lit(pitch)))
+    c_pitch = _lng_pitch_deg(F.col("by"), pitch, max_dist_km)
+    c = c.withColumn("bx", F.floor(F.col("c.longitude") / c_pitch))
     if broadcast_cells:
         c = F.broadcast(c)
     j = c.join(pts, on=["by", "bx"], how="inner")
@@ -74,8 +126,11 @@ def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
     h = (F.sin(dla / 2) ** 2
          + F.cos(la1) * F.cos(la2) * F.sin(dlo / 2) ** 2)
     j = j.withColumn(
-        "dist_km", F.lit(2 * 6371.0088) * F.asin(F.sqrt(h)))
+        "dist_km", F.lit(2 * _EARTH_R_KM) * F.asin(F.sqrt(h)))
     j = j.filter(F.col("dist_km") <= F.lit(float(max_dist_km)))
+    # a point can reach the same cell through more than one exploded
+    # (dy,dx) copy only if the two copies land on the SAME (by,bx) --
+    # impossible since the 9 offsets are distinct -- so no dedup needed.
     w = Window.partitionBy(cell_col).orderBy(
         F.col("dist_km").asc(), F.col("p_lat").asc(), F.col("p_lng").asc())
     j = j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

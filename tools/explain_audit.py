@@ -85,11 +85,16 @@ AUDITS = {
                 "never ride the distinct shuffle (round-2 narrowing)",
     },
     "simhash_pairs": {
-        "expect": ["HashAggregate"],
+        # gl/gr in the join keys = the salted triangle decomposition is
+        # actually in the plan (bounded in-bucket task size, round-3)
+        "expect": ["HashAggregate",
+                   r"(?i)keys \[4\]: \[band[^\]]*gl[^\]]*gr"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                    r"hashpartitioning\([^)]*sh_"],
-        "note": "simhash banded dedup: pigeonhole band join, hamming "
-                "verify before the narrow (id_a, id_b, hamming) distinct",
+        "note": "simhash banded dedup: pigeonhole band join with salted "
+                "triangle in-bucket decomposition (join keys band,bh,gl,"
+                "gr), hamming verify before the narrow (id_a, id_b, "
+                "hamming) distinct",
     },
     "ann_topk_lsh": {
         "expect": ["TakeOrderedAndProject"],
