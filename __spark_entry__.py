@@ -666,21 +666,27 @@ def _multimodal_oracle_sql(n_rows=400, dim=32):
             from ids),
         vs as (select id, {_mix64_sql('s')} as v from seeds),
         bytes as (
+            -- exact integer byte extraction: precomputed hugeint power
+            -- literals ('**' evaluates in DOUBLE and returns wrong
+            -- bytes, ADVICE r02); little-endian byte k of the uint64
             select id,
-                   unnest(list_transform(range(0, 8),
-                          k -> ((v // (256::hugeint ** k)) % 256)::int))
-                   as b
+                   unnest(list_transform(
+                          [{", ".join(str(256 ** k) + "::hugeint"
+                                      for k in range(8))}],
+                          p -> ((v // p) % 256)::int)) as b
             from vs),
         cnt as (select id, b % {dim} as d, count(*)::double as c
                 from bytes group by 1, 2),
         s2 as (select id, sum(c * c) as ss from cnt group by 1),
         nrm as (
             select cnt.id,
-                   sqrt(sum((c / sqrt(ss)) * (c / sqrt(ss)))) as norm
+                   sqrt(sum((c / sqrt(ss)) * (c / sqrt(ss)))) as norm,
+                   sum((c / sqrt(ss)) * d) as wfeat
             from cnt join s2 on cnt.id = s2.id
             group by cnt.id)
         select media_type, count(*) as n,
-               round(avg(norm), 4) as avg_norm
+               round(avg(norm), 4) as avg_norm,
+               round(avg(wfeat), 4) as avg_wfeat
         from mt join nrm on mt.id = nrm.id
         group by media_type
     """
@@ -1110,10 +1116,17 @@ def q_multimodal_features(spark, sf_dir):
     feats = extract_features(media)
     norm = F.sqrt(F.expr(
         "aggregate(features, cast(0.0 as double), (a, v) -> a + v * v)"))
-    return (feats.withColumn("norm", norm)
+    # dimension-weighted feature sum: sensitive to the actual histogram
+    # shape, unlike the norm of a unit vector (identically 1.0 — the
+    # ADVICE r02 finding: the old oracle verified nothing but counts)
+    wfeat = F.expr(
+        "aggregate(zip_with(features, sequence(0, 31), (v, d) -> v * d), "
+        "cast(0.0 as double), (a, x) -> a + x)")
+    return (feats.withColumn("norm", norm).withColumn("wfeat", wfeat)
             .groupBy("media_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("norm"), 4).alias("avg_norm")))
+                 F.round(F.avg("norm"), 4).alias("avg_norm"),
+                 F.round(F.avg("wfeat"), 4).alias("avg_wfeat")))
 
 
 def q_simplify_polygon(spark, sf_dir):

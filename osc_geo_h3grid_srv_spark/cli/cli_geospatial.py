@@ -83,6 +83,8 @@ def _addmeta(engine, args):
 def _initialize(args):
     # reference cliexec.initialize: create the database dir, False if it
     # already exists (cliexec_geospatial.py:40-55)
+    if args.database_dir is None:  # same message as common.get_engine
+        raise SystemExit("Error: --database-dir is required for this verb")
     if os.path.exists(args.database_dir):
         return jdump(False)
     os.makedirs(args.database_dir)

@@ -249,6 +249,13 @@ def write_shapefile(records, base_path: str, names=None,
                 xy = xy[::-1]
             parts.append(len(pts))
             pts.extend(xy.tolist())
+        if not pts:
+            # every ring degenerated (<3 points, e.g. simplify with a
+            # large tolerance): emit an ESRI Null shape so the record
+            # count stays aligned with the dbf rows (ADVICE r02 — this
+            # used to crash on pts[:,0].min() over an empty array)
+            rec_blobs.append(struct.pack("<i", 0))
+            continue
         pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
         allx.extend(pts[:, 0].tolist())
         ally.extend(pts[:, 1].tolist())
@@ -258,6 +265,10 @@ def write_shapefile(records, base_path: str, names=None,
         blob += np.asarray(parts, dtype="<i4").tobytes()
         blob += pts.astype("<f8").tobytes()
         rec_blobs.append(blob)
+    if not allx:
+        raise ValueError(
+            "write_shapefile: no non-degenerate rings remain (every ring "
+            "has < 3 points or records is empty); nothing to save")
 
     def header(total_words, bbox):
         h = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)

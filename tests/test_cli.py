@@ -125,6 +125,11 @@ def test_cli_initialize(tmp_path):
         ["--database-dir", d, "initialize"]) == "true"
     assert cli_geospatial.execute(
         ["--database-dir", d, "initialize"]) == "false"
+    # ADVICE r02: missing --database-dir gives the clean SystemExit
+    # message, not a TypeError from os.path.exists(None)
+    import pytest
+    with pytest.raises(SystemExit, match="--database-dir is required"):
+        cli_geospatial.execute(["initialize"])
 
 
 _SHELL = [(47.0, 5.5), (49.5, 10.0), (47.0, 15.5), (52.0, 13.0),

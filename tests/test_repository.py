@@ -71,6 +71,24 @@ def test_shp_write_read_roundtrip(tmp_path):
     assert names == ["concave", "box"]
 
 
+def test_shp_write_degenerate_rings(tmp_path):
+    """ADVICE r02: a record whose rings all collapse (<3 points, e.g.
+    simplify with a huge tolerance) becomes an ESRI Null shape instead
+    of a numpy zero-size crash; all-degenerate input raises clearly."""
+    import pytest
+    recs = [[([(47.0, 5.5), (47.5, 6.0)], False)], [(_BOX, False)]]
+    shpio.write_shapefile(recs, str(tmp_path / "deg"), names=["bad", "ok"])
+    back = shpio.read_shp(str(tmp_path / "deg.shp"))
+    assert len(back) == 2
+    assert back[0] == []  # Null shape
+    assert [h for _, h in back[1]] == [False]
+    with pytest.raises(ValueError, match="no non-degenerate rings"):
+        shpio.write_shapefile([[([(1.0, 2.0)], False)]],
+                              str(tmp_path / "empty"), names=["x"])
+    with pytest.raises(ValueError, match="no non-degenerate rings"):
+        shpio.write_shapefile([], str(tmp_path / "none"), names=[])
+
+
 def test_shp_packed_matches_geojson_path(tmp_path):
     """PackedPolygons from a real .shp must be semantically identical to
     the GeoJSON load of the same geometry: same PIP answers, same
