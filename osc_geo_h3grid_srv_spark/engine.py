@@ -123,6 +123,13 @@ class GeoMeshEngine:
         return correlate_op.correlate(self.catalog, assets_df, dataset_specs,
                                       resolution, **kw)
 
+    def load_from_config(self, path_or_text):
+        """run a sister-repo-shaped loader YAML (CSVLoader schema,
+        examples/getting-started/giss_2022_12.yml) against this
+        engine's catalog; returns {resolution: table_name}."""
+        from .sources.loader import load_from_yaml
+        return load_from_yaml(self, path_or_text)
+
     def shapefile_repository(self, path):
         """named shapefile-bundle store (reference CLI `repository`
         register/unregister/inventory verbs; SURVEY.md K5)."""

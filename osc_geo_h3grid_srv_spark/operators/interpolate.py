@@ -74,14 +74,22 @@ def _lng_pitch_deg(by_col: Column, pitch_deg: float,
                   F.lit(360.0)).otherwise(p)
 
 
-def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
+def idw_interpolate(cells: DataFrame, points: DataFrame,
+                    value_col: str | list[str],
                     k: int = 3, power: float = 2.0,
                     max_dist_km: float = 50.0,
                     cell_col: str = "h3_cell",
-                    broadcast_cells: bool = False) -> DataFrame:
+                    broadcast_cells: bool = False,
+                    key_cols: list[str] | None = None) -> DataFrame:
     """cells: (cell_col, latitude, longitude); points: (latitude,
     longitude, value_col). Returns (cell_col, latitude, longitude,
     {value_col} interpolated, n_neighbors).
+
+    key_cols: optional grouping columns present on BOTH sides (e.g.
+    year/month time keys): they join the bucket equi-join key, the
+    top-k window partition, and the output grouping, so one shuffle
+    interpolates every time slice independently — no driver-side loop
+    over slices (the YAML loader's `interval` semantics).
 
     broadcast_cells=True hints the cell side into a broadcast hash join:
     the (usually much larger) points side is never shuffled for the
@@ -90,11 +98,14 @@ def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
     grid is region-bounded (e.g. a country at res 5-7 is << executor
     memory); leave False to let AQE choose for unbounded grids."""
     pitch = max_dist_km / 111.32 * 1.2  # deg; >= max_dist in lat terms
+    keys = list(key_cols or [])
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
 
     pts = points.select(
         F.col("latitude").alias("p_lat"),
         F.col("longitude").alias("p_lng"),
-        F.col(value_col).alias("p_val"))
+        *[F.col(v).alias(f"p_val_{i}") for i, v in enumerate(vcols)],
+        *keys)
     # explode points into their 3x3 neighborhood buckets (9x duplication of
     # the small side beats any theta-join); bx is computed against the
     # TARGET band's longitude pitch so the equi-join key matches the cell
@@ -117,7 +128,7 @@ def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
     c = c.withColumn("bx", F.floor(F.col("c.longitude") / c_pitch))
     if broadcast_cells:
         c = F.broadcast(c)
-    j = c.join(pts, on=["by", "bx"], how="inner")
+    j = c.join(pts, on=keys + ["by", "bx"], how="inner")
     # haversine distance in km (built-in trig only)
     la1 = F.radians(F.col("c.latitude"))
     la2 = F.radians(F.col("p_lat"))
@@ -131,14 +142,15 @@ def idw_interpolate(cells: DataFrame, points: DataFrame, value_col: str,
     # a point can reach the same cell through more than one exploded
     # (dy,dx) copy only if the two copies land on the SAME (by,bx) --
     # impossible since the 9 offsets are distinct -- so no dedup needed.
-    w = Window.partitionBy(cell_col).orderBy(
+    w = Window.partitionBy(cell_col, *keys).orderBy(
         F.col("dist_km").asc(), F.col("p_lat").asc(), F.col("p_lng").asc())
     j = j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     # IDW weights; exact hits (dist ~ 0) dominate via epsilon clamp
     j = j.withColumn(
         "w", F.lit(1.0) / F.greatest(F.col("dist_km"),
                                      F.lit(1e-9)) ** F.lit(float(power)))
-    out = j.groupBy(cell_col, "c.latitude", "c.longitude").agg(
-        (F.sum(F.col("w") * F.col("p_val")) / F.sum("w")).alias(value_col),
+    out = j.groupBy(cell_col, "c.latitude", "c.longitude", *keys).agg(
+        *[(F.sum(F.col("w") * F.col(f"p_val_{i}")) / F.sum("w")).alias(v)
+          for i, v in enumerate(vcols)],
         F.count("*").alias("n_neighbors"))
     return out
