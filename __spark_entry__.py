@@ -692,6 +692,48 @@ def _multimodal_oracle_sql(n_rows=400, dim=32):
     """
 
 
+def _image_decode_oracle_sql(n_rows=300):
+    """replay of synth_image_media + decode_pixel_stats WITHOUT parsing:
+    dims and raster bytes recomputed from the splitmix64 recipe (w =
+    4 + h0%13, ht = 4 + (h0>>9)%11, raster = mix64(j+id) little-endian
+    bytes truncated to w*ht*3). The Spark side derives the same numbers
+    by PARSING the PPM payload with the real decoder, so agreement pins
+    the header/raster offsets and byte order."""
+    pow_list = ", ".join(str(256 ** k) + "::hugeint" for k in range(8))
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        hm as (select id, {_mix64_sql('id')} as h0 from ids),
+        dims as (select id, (4 + h0 % 13)::int as w,
+                        (4 + (h0 // 512) % 11)::int as ht
+                 from hm),
+        np as (select id, w, ht, (w*ht*3)::bigint as npx,
+                      ((w*ht*3 + 7) // 8)::int as nw
+               from dims),
+        seeds as (select id, npx,
+                         unnest(range(0, nw)) as j
+                  from np),
+        sv as (select id, npx, j, (j::hugeint + id) as s from seeds),
+        vv as (select id, npx, j, {_mix64_sql('s')} as v from sv),
+        by as (select id, npx, j,
+                      unnest(list_transform([{pow_list}],
+                             p -> ((v // p) % 256)::int)) as b,
+                      unnest([0,1,2,3,4,5,6,7]) as k
+               from vv),
+        px as (select id, b from by where j*8 + k < npx),
+        stats as (select id, sum(b)::bigint as s_b, min(b) as mn,
+                         max(b) as mx, count(*)::bigint as n_px
+                  from px group by id)
+        select count(*)::bigint as n_images,
+               0::bigint as n_errors,
+               cast(sum(w) as bigint) as sum_w,
+               cast(sum(ht) as bigint) as sum_h,
+               cast(sum(s_b) as bigint) as total_sum,
+               min(mn) as px_min, max(mx) as px_max,
+               round(avg(s_b / n_px::double), 4) as avg_byte
+        from stats join dims using (id)
+    """
+
+
 def _geometry_stats_oracle_sql():
     """replay of geo.polygon_stats over the same literal rings: planar
     shoelace area (shell minus holes), shell perimeter, P/(2 sqrt(pi A))
@@ -1129,6 +1171,29 @@ def q_multimodal_features(spark, sf_dir):
                  F.round(F.avg("wfeat"), 4).alias("avg_wfeat")))
 
 
+def q_image_decode_stats(spark, sf_dir):
+    """round-3 real-decode gate: synth PPM (P6) payloads -> the REAL
+    Netpbm parser (functions/imagecodec.py) -> pixel statistics. The
+    oracle replays the pixel bytes from the generation recipe WITHOUT
+    parsing, so any header/raster offset bug in the decoder shows up as
+    a hash mismatch (width/height come from the parsed header, sums
+    from the decoded array)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_pixel_stats, synth_image_media)
+    stats = decode_pixel_stats(synth_image_media(spark, 300, partitions=8))
+    return stats.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("px_sum").alias("total_sum"),
+        F.min("px_min").alias("px_min"),
+        F.max("px_max").alias("px_max"),
+        F.round(F.avg(F.col("px_sum") / F.col("n_px")), 4)
+        .alias("avg_byte"))
+
+
 def q_simplify_polygon(spark, sf_dir):
     """F9 (shape.py:180-198): Douglas-Peucker ring simplification of a
     deterministic 120-vertex noisy ring; returns surviving vertices.
@@ -1279,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_agreement": q_langid_agreement,
         "fingerprint_docs": q_fingerprint_docs,
         "multimodal_features": q_multimodal_features,
+        "image_decode_stats": q_image_decode_stats,
         "simplify_polygon": q_simplify_polygon,
     }
 
@@ -1669,4 +1735,5 @@ def oracle_sql() -> dict[str, str]:
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
+        "image_decode_stats": _image_decode_oracle_sql(),
     }

@@ -59,6 +59,65 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[:need].reshape(height, width)
 
 
+def synth_image_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic media table whose image payloads are REAL PPM (P6)
+    files (functions/imagecodec.py): header + mix64-derived RGB raster.
+    Round-3: gives the multimodal family an end-to-end real decode path
+    — the pixel stats the decoder recovers are oracle-replayable from
+    the generation recipe, so a header/raster parsing bug cannot hide."""
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                w = 4 + (h0 % 13)
+                ht = 4 + ((h0 >> 9) % 11)
+                npx = w * ht * 3
+                nwords = (npx + 7) // 8
+                words = mix64(np.arange(nwords, dtype=np.uint64) + u)
+                px = np.frombuffer(words.tobytes(), np.uint8)[:npx]
+                payload = (b"P6\n%d %d\n255\n" % (w, ht)) + px.tobytes()
+                rows.append((int(i), "image", w, ht, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode (BMP/PPM/PGM, functions/imagecodec.py) -> per-image
+    pixel statistics. Undecodable payloads land in an error column
+    instead of failing the job (the quarantine pattern for dirty
+    lake data)."""
+    from ..functions.imagecodec import ImageDecodeError, decode_image
+    schema = ("doc_id long, width int, height int, channels int, "
+              "px_sum long, px_min int, px_max int, n_px long, "
+              "error string")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    ch = 1 if img.ndim == 2 else img.shape[2]
+                    rows.append((int(did), img.shape[1], img.shape[0],
+                                 ch, int(img.sum(dtype=np.int64)),
+                                 int(img.min()), int(img.max()),
+                                 int(img.size), None))
+                except ImageDecodeError as e:
+                    rows.append((int(did), None, None, None, None, None,
+                                 None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "px_sum",
+                "px_min", "px_max", "n_px", "error"])
+
+    return media.mapInPandas(gen, schema=schema)
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """binary payload -> fixed-dim float feature vector via mapInPandas.
 

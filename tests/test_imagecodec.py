@@ -1,0 +1,136 @@
+"""Golden/property tests for the pure-NumPy BMP + Netpbm codecs
+(functions/imagecodec.py) and the real-decode multimodal pipeline."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from osc_geo_h3grid_srv_spark.functions import imagecodec as ic
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (1, 1, 3), (16, 13, 3),
+                                   (3, 4, 3)])
+def test_bmp_rgb_roundtrip(shape):
+    # odd widths exercise the 4-byte row padding
+    img = _rand(shape, sum(shape))
+    back = ic.decode_bmp(ic.encode_bmp(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_bmp_gray_input_expands_to_rgb():
+    g = _rand((6, 5), 1)
+    back = ic.decode_bmp(ic.encode_bmp(g))
+    assert back.shape == (6, 5, 3)
+    assert (back[:, :, 0] == g).all() and (back[:, :, 2] == g).all()
+
+
+def test_bmp_topdown_negative_height():
+    img = _rand((4, 6, 3), 2)
+    buf = bytearray(ic.encode_bmp(img))
+    # flip to top-down: negate height, reorder rows accordingly
+    h = struct.unpack_from("<i", buf, 22)[0]
+    struct.pack_into("<i", buf, 22, -h)
+    row_bytes = (6 * 3 + 3) & ~3
+    body = bytes(buf[54:])
+    rows = [body[i * row_bytes:(i + 1) * row_bytes] for i in range(4)]
+    buf[54:] = b"".join(reversed(rows))
+    back = ic.decode_bmp(bytes(buf))
+    assert (back == img).all()
+
+
+def test_bmp_8bit_grayscale_palette():
+    # hand-build an 8-bit BMP with an identity grayscale palette
+    img = _rand((3, 5), 3)
+    row_bytes = (5 + 3) & ~3
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    body = b"".join(img[::-1][r].tobytes() + b"\x00" * (row_bytes - 5)
+                    for r in range(3))
+    data_off = 14 + 40 + len(pal)
+    head = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                data_off)
+            + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 0, len(body),
+                          0, 0, 256, 0))
+    back = ic.decode_bmp(head + pal + body)
+    assert back.shape == (3, 5)
+    assert (back == img).all()
+
+
+@pytest.mark.parametrize("shape", [(4, 6), (4, 6, 3), (1, 1), (9, 2, 3)])
+def test_pnm_roundtrip(shape):
+    img = _rand(shape, sum(shape))
+    back = ic.decode_pnm(ic.encode_ppm(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_pnm_header_comments_and_whitespace():
+    img = _rand((2, 3, 3), 9)
+    buf = b"P6 # inline comment\n# full line\n  3\t2 # dims\n255\n" \
+        + img.tobytes()
+    back = ic.decode_pnm(buf)
+    assert (back == img).all()
+
+
+@pytest.mark.parametrize("buf,msg", [
+    (b"P7\n1 1\n255\nX", "magic"),
+    (b"P6\n2 2\n255\nshort", "truncated raster"),
+    (b"P6\n0 2\n255\n", "dimensions"),
+    (b"P6\n2 2\n70000\n", "maxval"),
+    (b"BMxxxxxxxxxxxx", "not a BM|truncated"),
+    (b"\x89PNG\r\n\x1a\n", "unknown image container"),
+])
+def test_decode_errors(buf, msg):
+    with pytest.raises(ic.ImageDecodeError, match=msg):
+        ic.decode_image(buf) if not buf[:2] in (b"P6", b"P7") \
+            else ic.decode_pnm(buf)
+
+
+def test_bmp_compressed_rejected():
+    buf = bytearray(ic.encode_bmp(_rand((2, 2, 3), 4)))
+    struct.pack_into("<I", buf, 30, 1)  # BI_RLE8
+    with pytest.raises(ic.ImageDecodeError, match="compression"):
+        ic.decode_bmp(bytes(buf))
+
+
+def test_decode_image_dispatch():
+    img = _rand((3, 3, 3), 5)
+    assert (ic.decode_image(ic.encode_bmp(img)) == img).all()
+    assert (ic.decode_image(ic.encode_ppm(img)) == img).all()
+
+
+def test_decode_pixel_stats_mixed_payloads(spark):
+    """the distributed decode path: BMP + PPM + garbage in one batch;
+    garbage is quarantined in the error column, not a job failure."""
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_pixel_stats)
+    img = _rand((4, 5, 3), 6)
+    rows = [(1, "image", 5, 4, 1, bytearray(ic.encode_bmp(img))),
+            (2, "image", 5, 4, 1, bytearray(ic.encode_ppm(img))),
+            (3, "image", 0, 0, 1, bytearray(b"\xff\xd8JPEGish"))]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, width int, height int, "
+              "n_frames int, payload binary")
+    out = {r["doc_id"]: r for r in decode_pixel_stats(media).collect()}
+    for did in (1, 2):
+        r = out[did]
+        assert (r["width"], r["height"], r["channels"]) == (5, 4, 3)
+        assert r["px_sum"] == int(img.sum())
+        assert r["error"] is None
+    assert out[3]["error"] is not None and out[3]["px_sum"] is None
+
+
+def test_synth_image_media_payloads_are_valid_ppm(spark):
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        synth_image_media)
+    rows = synth_image_media(spark, 20, partitions=2).collect()
+    assert len(rows) == 20
+    for r in rows:
+        img = ic.decode_pnm(bytes(r["payload"]))
+        assert img.shape == (r["height"], r["width"], 3)
