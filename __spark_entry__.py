@@ -1211,14 +1211,21 @@ def q_h3_index_documents(spark, sf_dir):
     from pyspark.sql import functions as F
     from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
         cell_str, make_cell_to_parent, make_latlng_to_cell)
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        cell_to_parent_expr)
     geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
     to7 = make_latlng_to_cell(7)
     to2 = make_cell_to_parent(2)
     df = geo.withColumn("cell7", to7(F.col("lat"), F.col("lng")))
     df = df.withColumn("parent2", to2(F.col("cell7")))
+    # cross-implementation gate (VERDICT r02 next-step #8): the Python
+    # kernel's cell_to_parent vs the independent JVM bit-math; any
+    # disagreement shows up as a nonzero column (pytest asserts 0)
+    mism = (F.col("parent2") != cell_to_parent_expr("cell7", 2))
     return (df.groupBy(cell_str("parent2").alias("h3_parent2"))
             .agg(F.count("*").alias("n_points"),
-                 F.sum("val").alias("sum_val"))
+                 F.sum("val").alias("sum_val"),
+                 F.sum(mism.cast("long")).alias("n_parent_impl_mismatch"))
             .filter(F.col("n_points") >= 3))
 
 
@@ -1227,13 +1234,20 @@ def q_pages_index_pipeline(spark, sf_dir):
     html -> text -> anchors -> res0..9 cells; returns per-res2-parent
     counts over the Berlin cluster region."""
     from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        cell_to_parent_expr)
     from osc_geo_h3grid_srv_spark.operators.index_pages import (
         assign_cells, extract_points)
     from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
     pages = pages_dataframe(spark, 2000, partitions=8)
     pts = assign_cells(extract_points(pages))
+    # cross-implementation gate (VERDICT r02 next-step #8): the fused
+    # kernel's p1 partition key (numpy cell_to_parent over icell9) vs
+    # the independent JVM bit-math replay — must agree row-for-row
+    mism = (F.col("p1") != cell_to_parent_expr("cell9", 1))
     return (pts.groupBy("res2")
-            .agg(F.count("*").alias("n_points"))
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(mism.cast("long")).alias("n_parent_impl_mismatch"))
             .filter(F.col("n_points") >= 5))
 
 
