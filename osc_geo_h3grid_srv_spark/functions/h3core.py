@@ -1129,20 +1129,27 @@ def grid_disk(h, k):
 
 
 def cell_boundary(h):
-    """(N,) cells -> (N, 6, 2) hexagon vertex (lat_deg, lng_deg).
+    """(N,) cells -> (N, 6, 2) boundary vertices (lat_deg, lng_deg).
 
     Reference analogue: h3.h3_to_geo_boundary (geomesh.py:1335,1354 - used
-    only by the overlap calc, SURVEY.md F5/A5). Vertices are placed in the
-    cell's face-local lattice plane (the same plane k_ring uses, where
-    adjacent centers sit at unit distance): circumradius 1/sqrt(3) at
-    angles 30 + 60k degrees, then projected back to the sphere. Exact
-    within a face; near icosahedron edges the true H3 boundary bends at
-    the edge while this stays planar (documented approximation; adequate
-    for the area-overlap use, which the reference never calls upstream).
-    Pentagons (12 per res) also get the 6-vertex hexagonal shape rather
-    than their true 5-vertex boundary — same planar-lattice
-    approximation class, only affects A5 overlap fractions on pentagon
-    cells (none of the reference's shipped regions contain one).
+    only by the overlap calc, SURVEY.md F5/A5). Hexagon vertices are
+    placed in the cell's face-local lattice plane (the same plane k_ring
+    uses, where adjacent centers sit at unit distance): circumradius
+    1/sqrt(3) at angles 30 + 60k degrees, then projected back to the
+    sphere. Exact within a face; near icosahedron edges the true H3
+    boundary bends at the edge while this stays planar (documented
+    approximation; adequate for the area-overlap use, which the
+    reference never calls upstream).
+
+    Pentagons (12 per res) get their TRUE 5-vertex topology (round-3,
+    VERDICT next-step #7): each vertex is the point where the pentagon
+    meets two adjacent neighbors, computed as the spherical circumcenter
+    of the three cell centroids (the Voronoi 3-cell-meeting property).
+    The fixed (6, 2) shape is preserved by inserting the planar midpoint
+    of the first edge — collinear in (lat, lng) clip space, so convex
+    consumers see the same pentagon with no degenerate edge. Icosa-edge
+    distortion bends along pentagon edges remain out of scope
+    (invariant-tested in tests/test_h3core_properties.py).
     """
     h = np.asarray(h, dtype=np.uint64).ravel()
     res = int(get_resolution(h[:1])[0])
@@ -1156,7 +1163,56 @@ def cell_boundary(h):
     F = np.repeat(face, 6).reshape(-1, 6)
     la, lo = _hex2d_to_geo(F.ravel(), X.ravel(), Y.ravel(), res)
     out = np.stack([np.degrees(la), np.degrees(lo)], axis=-1)
-    return out.reshape(h.shape[0], 6, 2)
+    out = out.reshape(h.shape[0], 6, 2)
+    pent = is_pentagon(h)
+    if pent.any():
+        out[pent] = _pentagon_boundary_rows(h[pent])
+    return out
+
+
+def _pentagon_boundary_rows(h):
+    """(M,) pentagon cells -> (M, 6, 2) deg boundary.
+
+    A cell vertex is shared by exactly 3 cells; for a pentagon the 5
+    topological vertices are the meeting points with consecutive pairs
+    of its 5 neighbors (k=1 ring exactness is golden-tested). Each is
+    computed as the spherical circumcenter of the three centroids: the
+    unit normal of the plane through them, signed toward the pentagon
+    center — equidistant from all three by construction."""
+    h = np.asarray(h, dtype=np.uint64).ravel()
+    out = np.empty((h.shape[0], 6, 2), dtype=np.float64)
+    for m, hp in enumerate(h):
+        one = np.array([hp], dtype=np.uint64)
+        ring = np.unique(k_ring(one, 1)[0])
+        nbrs = ring[ring != hp]
+        pla, plo = cell_to_latlng(one)
+        nla, nlo = cell_to_latlng(nbrs)
+        az = _geo_azimuth(np.radians(pla[0]), np.radians(plo[0]),
+                          np.radians(nla), np.radians(nlo))
+        order = np.argsort(az)
+        nxyz = _geo_to_xyz(np.radians(nla[order]), np.radians(nlo[order]))
+        pxyz = _geo_to_xyz(np.radians(pla), np.radians(plo))[0]
+        k = nbrs.shape[0]  # 5 for true pentagons
+        verts = np.empty((k, 2))
+        for i in range(k):
+            b = nxyz[i]
+            c = nxyz[(i + 1) % k]
+            n = np.cross(b - pxyz, c - pxyz)
+            nn = np.linalg.norm(n)
+            v = n / nn if nn > 0 else pxyz
+            if np.dot(v, pxyz) < 0:
+                v = -v
+            verts[i, 0] = math.degrees(math.asin(
+                max(-1.0, min(1.0, v[2]))))
+            verts[i, 1] = math.degrees(math.atan2(v[1], v[0]))
+        # fixed-width row: v0, planar-mid(v0,v1), v1, v2, ... (collinear
+        # filler vertex; no degenerate edge for convex clippers)
+        out[m, 0] = verts[0]
+        out[m, 1] = (verts[0] + verts[1]) / 2.0
+        out[m, 2:2 + k - 1] = verts[1:]
+        if k < 5:  # defensive: degenerate ring
+            out[m, 2 + k - 1:] = verts[-1]
+    return out
 
 
 def polyfill_candidates(lat_min, lat_max, lng_min, lng_max, res,

@@ -140,3 +140,104 @@ def test_multi_equals_single(pts, res):
     lo = np.array([p[1] for p in pts])
     multi = h3core.latlng_to_cells_multi(la, lo, [res, min(res + 3, 15)])
     assert np.array_equal(multi[res], h3core.latlng_to_cell(la, lo, res))
+
+
+def _pent_cell(res, bc):
+    return h3core._pack(res, np.array([bc]), np.zeros((1, 15), dtype=int))[0]
+
+
+def _sph_area_km2(verts):
+    """spherical polygon area (Girard excess over centroid fan)."""
+    import math
+    xyz = h3core._geo_to_xyz(np.radians(verts[:, 0]),
+                             np.radians(verts[:, 1]))
+    c = xyz.mean(axis=0)
+    c /= np.linalg.norm(c)
+
+    def ang(u, v, w):
+        d1 = np.cross(u, v)
+        d2 = np.cross(u, w)
+        d1 /= np.linalg.norm(d1)
+        d2 /= np.linalg.norm(d2)
+        return math.acos(max(-1.0, min(1.0, float(np.dot(d1, d2)))))
+
+    tot = 0.0
+    for i in range(len(xyz)):
+        a, b = xyz[i], xyz[(i + 1) % len(xyz)]
+        tot += ang(c, a, b) + ang(a, b, c) + ang(b, c, a) - math.pi
+    return tot * 6371.0088 ** 2
+
+
+def test_pentagon_boundary_invariants():
+    """round-3 (VERDICT next-step #7): pentagon cell_boundary is the
+    true 5-vertex topology. For all 12 pentagons at res 0-3:
+    - 5 distinct vertices (+ a collinear midpoint filler keeping the
+      fixed (6,2) shape with no degenerate edge);
+    - each vertex is EQUIDISTANT from the pentagon centroid and its two
+      adjacent neighbor centroids (the 3-cell Voronoi meeting point,
+      machine precision) and strictly farther from every other
+      neighbor;
+    - the centroid is inside the boundary polygon;
+    - the spherical area sits well below the hexagon average (the old
+      hexagonal approximation gave ~1.0x; true pentagons ~0.55-0.73x —
+      straight-edge construction, icosa distortion bends documented
+      out of scope)."""
+    import math
+    for res in range(4):
+        for bc in h3core._PENT_LIST:
+            hp = _pent_cell(res, bc)
+            arr = np.array([hp], dtype=np.uint64)
+            assert h3core.is_pentagon(arr)[0]
+            b = h3core.cell_boundary(arr)[0]
+            v5 = b[[0, 2, 3, 4, 5]]
+            assert len({tuple(np.round(v, 9)) for v in v5}) == 5
+            assert np.allclose(b[1], (b[0] + b[2]) / 2)  # filler vertex
+
+            ring = np.unique(h3core.k_ring(arr, 1)[0])
+            nbrs = ring[ring != hp]
+            assert nbrs.shape[0] == 5
+            pla, plo = h3core.cell_to_latlng(arr)
+            nla, nlo = h3core.cell_to_latlng(nbrs)
+            pc = h3core._geo_to_xyz(np.radians(pla), np.radians(plo))[0]
+            nc = h3core._geo_to_xyz(np.radians(nla), np.radians(nlo))
+            for v in v5:
+                vx = h3core._geo_to_xyz(np.radians(v[:1]),
+                                        np.radians(v[1:2]))[0]
+                dp = math.acos(max(-1, min(1, float(np.dot(vx, pc)))))
+                dn = sorted(math.acos(max(-1, min(1, float(np.dot(vx, n)))))
+                            for n in nc)
+                assert abs(dn[0] - dp) <= 1e-9 * dp
+                assert abs(dn[1] - dp) <= 1e-9 * dp
+                assert dn[2] > 1.5 * dp  # other neighbors clearly farther
+
+            # centroid inside (planar even-odd over the 5-gon, with
+            # longitudes unwrapped around the center so antimeridian-
+            # crossing pentagons don't break the planar test)
+            lat0, lng0 = float(pla[0]), float(plo[0])
+            vu = v5.copy()
+            vu[:, 1] = ((vu[:, 1] - lng0 + 180.0) % 360.0) - 180.0 + lng0
+            inside = False
+            for i in range(5):
+                y1, x1 = vu[i]
+                y2, x2 = vu[(i + 1) % 5]
+                if (y1 > lat0) != (y2 > lat0):
+                    x = x1 + (lat0 - y1) / (y2 - y1) * (x2 - x1)
+                    if x > lng0:
+                        inside = not inside
+            assert inside
+
+            ratio = _sph_area_km2(v5) / h3core.AVG_CELL_AREA_KM2[res]
+            assert 0.45 < ratio < 0.80, (res, bc, ratio)
+
+
+def test_pentagon_boundary_does_not_change_hexagons():
+    """only the 12 pentagon rows take the new path; every hexagon
+    boundary stays the planar-lattice hexagon (spot check: boundary of
+    pentagon neighbors still has 6 distinct vertices around centroid)."""
+    hp = _pent_cell(2, h3core._PENT_LIST[0])
+    ring = np.unique(h3core.k_ring(np.array([hp], dtype=np.uint64), 1)[0])
+    hexes = ring[ring != hp]
+    b = h3core.cell_boundary(hexes)
+    assert b.shape == (5, 6, 2)
+    for row in b:
+        assert len({tuple(np.round(v, 9)) for v in row}) == 6
