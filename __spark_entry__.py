@@ -1007,6 +1007,63 @@ def q_doc_quality_scores(spark, sf_dir):
                 / F.col("n_tokens"), 6)))
 
 
+def q_pii_redaction_stats(spark, sf_dir):
+    """training-data pipeline: PII scrub pass — deterministic synthetic
+    emails/phones are injected per doc, redacted with JVM regexp_replace
+    (both patterns chosen to mean the same thing in Java regex and RE2),
+    and the redaction accounting is rolled up. The scrub itself is a
+    pure codegen projection — the shape you want for a 100 TB pass."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or "),
+        F.lit("555-"), F.lpad((F.col("doc_id") % 10000).cast("string"),
+                              4, "0"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" alt admin"),
+                        (F.col("doc_id") * 7).cast("string"),
+                        F.lit("@test.org"))).otherwise(F.lit("")))
+    d = docs.withColumn("dirty", dirty)
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    red = F.regexp_replace(F.regexp_replace("dirty", email, "<EMAIL>"),
+                           phone, "<PHONE>")
+    d = d.withColumn("redacted", red)
+    n_em = F.size(F.split("redacted", "<EMAIL>", -1)) - 1
+    n_ph = F.size(F.split("redacted", "<PHONE>", -1)) - 1
+    return (d.groupBy((F.col("doc_id") % 7).alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(n_em.cast("long")).alias("n_emails"),
+                 F.sum(n_ph.cast("long")).alias("n_phones"),
+                 F.sum(F.length("redacted").cast("long"))
+                 .alias("redacted_chars")))
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """training-data pipeline: intra-document repetition score — 3-gram
+    shingles per doc, ratio of the most frequent shingle to the shingle
+    count (boilerplate/spam signal). Shingling is JVM array ops
+    (transform/slice over split), the rollup one partial-aggregated
+    groupBy — no Python, no cross-doc shuffle wider than (doc, shingle)."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200)
+        & (F.size(F.split("text", " ")) >= 3))
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))")
+    d = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    per = d.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.max("c").alias("max_rep"),
+        F.sum("c").alias("n_shingles"))
+    return (agg.select("doc_id", "max_rep", "n_shingles",
+                       F.round(F.col("max_rep") / F.col("n_shingles"), 6)
+                       .alias("rep_ratio"))
+            .filter(F.col("max_rep") >= 2))
+
+
 def q_region_semi_join(spark, sf_dir):
     """J2/P10: region cell set -> semi join. The reference chunks cell ids
     into <=20k IN-lists (geomesh.py:238-288); here the driver-enumerated
@@ -1345,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_semi_join": q_region_semi_join,
         "correlate_two_datasets": q_correlate_two_datasets,
         "month_name_rollup": q_month_name_rollup,
+        "pii_redaction_stats": q_pii_redaction_stats,
+        "repetition_ratio": q_repetition_ratio,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -1723,6 +1782,52 @@ def oracle_sql() -> dict[str, str]:
                                     'temperature': 'BIGINT'}})
             where latitude between -60 and 85
             group by 1 having count(*) >= 2
+        """,
+        "pii_redaction_stats": """
+            with d as (
+                select doc_id,
+                       text || ' contact user' || doc_id::varchar
+                       || '@example.com or 555-'
+                       || lpad((doc_id % 10000)::varchar, 4, '0')
+                       || case when doc_id % 3 = 0
+                          then ' alt admin' || (doc_id*7)::varchar
+                               || '@test.org' else '' end as dirty
+                from documents where doc_id < 400),
+            r as (select doc_id,
+                         regexp_replace(regexp_replace(dirty,
+                             '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                         as redacted
+                  from d)
+            select doc_id % 7 as bucket, count(*) as n_docs,
+                   cast(sum((length(redacted)
+                        - length(replace(redacted, '<EMAIL>', ''))) / 7)
+                        as bigint) as n_emails,
+                   cast(sum((length(redacted)
+                        - length(replace(redacted, '<PHONE>', ''))) / 7)
+                        as bigint) as n_phones,
+                   cast(sum(length(redacted)) as bigint) as redacted_chars
+            from r group by 1
+        """,
+        "repetition_ratio": """
+            with toks as (
+                select doc_id, string_split(text, ' ') as t
+                from documents
+                where doc_id < 200 and len(string_split(text, ' ')) >= 3),
+            sh as (
+                select doc_id,
+                       unnest(list_transform(range(0, len(t) - 2),
+                              i -> array_to_string(t[i+1:i+3], ' ')))
+                       as shingle
+                from toks),
+            per as (select doc_id, shingle, count(*) as c
+                    from sh group by 1, 2),
+            agg as (select doc_id, max(c) as max_rep,
+                           cast(sum(c) as bigint) as n_shingles
+                    from per group by 1)
+            select doc_id, max_rep, n_shingles,
+                   round(max_rep / n_shingles::double, 6) as rep_ratio
+            from agg where max_rep >= 2
         """,
         "month_name_rollup": """
             select case when month(ts) = 1 then 'January'
