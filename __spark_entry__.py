@@ -301,6 +301,28 @@ def q_token_stats(spark, sf_dir):
                  F.max("n_tokens").alias("max_tokens")))
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """text analysis: BPE-style pre-tokenizer counting — a GPT-2-ish
+    pattern (letter runs | digit runs | single non-alnum) restricted to
+    a dialect Java regex and RE2 parse identically; per-lang token and
+    char-per-token stats. Pure codegen regexp_extract_all."""
+    from pyspark.sql import functions as F
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+    d = docs.select(
+        "lang", F.size(toks).cast("long").alias("n_bpe"),
+        F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0), lambda a, x: a + x).cast("long")
+        .alias("tok_chars"))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_bpe").alias("total_bpe_tokens"),
+                 F.sum("tok_chars").alias("total_tok_chars"),
+                 F.round(F.sum("tok_chars") / F.sum("n_bpe"), 6)
+                 .alias("chars_per_token")))
+
+
 def q_embedding_cosine_threshold(spark, sf_dir):
     """similarity: all vectors with cosine >= 0.8 against vec_id 7
     (brute-force baseline; LSH path is pytest-verified)."""
@@ -1386,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "token_stats": q_token_stats,
+        "bpe_token_counts": q_bpe_token_counts,
         "embedding_cosine_threshold": q_embedding_cosine_threshold,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "broadcast_join_topn": q_broadcast_join_topn,
@@ -1581,6 +1604,23 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = id_a
             join sizes sb on sb.doc_id = id_b
             where common / (sa.sz + sb.sz - common) >= 0.75
+        """,
+        "bpe_token_counts": """
+            with d as (
+                select lang,
+                       len(regexp_extract_all(text,
+                           '[a-z]+|[0-9]+|[^a-z0-9 ]')) as n_bpe,
+                       cast(list_sum(list_transform(
+                           regexp_extract_all(text,
+                               '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+                           t -> length(t))) as bigint) as tok_chars
+                from documents where doc_id < 400)
+            select lang, count(*) as n_docs,
+                   cast(sum(n_bpe) as bigint) as total_bpe_tokens,
+                   cast(sum(tok_chars) as bigint) as total_tok_chars,
+                   round(sum(tok_chars) / cast(sum(n_bpe) as double), 6)
+                   as chars_per_token
+            from d group by lang
         """,
         "token_stats": """
             select lang, count(*) as n_docs,

@@ -237,7 +237,9 @@ def main():
              "broadcast_join_topn", "window_first_event",
              "h3_index_documents", "polyfill_region_cells", "ann_topk_lsh",
              "sessionize_events", "bigram_counts", "docfreq_idf",
-             "csv_loader_index", "ivf_assign_counts"]
+             "csv_loader_index", "ivf_assign_counts",
+             "pii_redaction_stats", "repetition_ratio",
+             "image_decode_stats"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
