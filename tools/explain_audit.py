@@ -96,6 +96,45 @@ AUDITS = {
                 "gr), hamming verify before the narrow (id_a, id_b, "
                 "hamming) distinct",
     },
+    "idw_knn_highlat": {
+        "expect": ["codegen id", "Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython"],
+        "note": "J5 adversarial high-latitude gate: the latitude-banded "
+                "bucket grid must keep the same equi-join + window shape "
+                "as the equatorial case — no cross-join fallback",
+    },
+    "pii_redaction_stats": {
+        "expect": ["HashAggregate", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "PII scrub: regexp_replace projection + rollup entirely "
+                "inside whole-stage codegen — a 100 TB scrub pass never "
+                "leaves the JVM",
+    },
+    "repetition_ratio": {
+        "expect": ["Generate", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+        "note": "intra-doc repetition: JVM shingling (transform/slice) + "
+                "explode (Generate) + two-level agg; widest shuffle key "
+                "is (doc_id, shingle)",
+    },
+    "bpe_token_counts": {
+        "expect": ["HashAggregate", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+        "note": "BPE-ish pre-tokenizer counting: regexp_extract_all + "
+                "array aggregate stay in codegen; per-lang rollup is "
+                "partial+final",
+    },
+    "image_decode_stats": {
+        # Python here is DELIBERATE (binary codec) — assert it is the
+        # Arrow-batched mapInPandas path, never row-at-a-time Python
+        "expect": ["MapInPandas|ArrowEvalPython", "HashAggregate"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "real Netpbm decode: Arrow-batched mapInPandas over "
+                "binary payloads feeding a JVM aggregate; the slow "
+                "row-at-a-time BatchEvalPython path must not appear",
+    },
     "ann_topk_lsh": {
         "expect": ["TakeOrderedAndProject"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
