@@ -1086,6 +1086,64 @@ def q_repetition_ratio(spark, sf_dir):
             .filter(F.col("max_rep") >= 2))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """training-data pipeline: near-dup CLUSTERS — the transitive
+    closure of the exact word-Jaccard pairs (same pair semantics as
+    word_jaccard_pairs) via distributed alternating large-star/
+    small-star connected components (operators/cluster.py), then one
+    representative per cluster. This is the step that turns pair
+    emission into an actual dedup decision at 100 TB. The iterative
+    Spark loop is oracle-checked against a DuckDB recursive-CTE
+    reachability closure — full value-hash gate despite not being one
+    SQL statement on the Spark side."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.cluster import dedup_clusters
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = words.select(F.col("doc_id").alias("id_a"), "w")
+    b = words.select(F.col("doc_id").alias("id_b"), "w")
+    common = (a.join(b, "w").filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    pairs = (common
+             .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("sz").alias("sz_a")), "id_a")
+             .join(sizes.select(F.col("doc_id").alias("id_b"),
+                                F.col("sz").alias("sz_b")), "id_b")
+             .filter(F.col("common")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+                     >= 0.75)
+             .select("id_a", "id_b"))
+    return dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_rep", "cluster_size")
+
+
+_BP_HDR_A = "cookie policy accept all terms privacy banner close"
+_BP_HDR_B = "subscribe to our newsletter for daily updates now"
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """training-data pipeline: cross-doc boilerplate line removal (the
+    CCNet/RefinedWeb trick). Two 8-word synthetic banners are injected
+    as a header chunk (alternating by doc parity), the operator drops
+    every chunk shared by >= 3 distinct docs, and the gate compares the
+    md5 of each reassembled clean text — any chunking, counting, or
+    reassembly-order bug flips the hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.dedup import (
+        remove_boilerplate_chunks)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hdr = F.when(F.col("doc_id") % 2 == 0, F.lit(_BP_HDR_A)) \
+        .otherwise(F.lit(_BP_HDR_B))
+    d = docs.select("doc_id",
+                    F.concat(hdr, F.lit(" "), F.col("text")).alias("text"))
+    out = remove_boilerplate_chunks(d, chunk_words=8, min_docs=3)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                      "n_chunks", "n_removed")
+
+
 def q_region_semi_join(spark, sf_dir):
     """J2/P10: region cell set -> semi join. The reference chunks cell ids
     into <=20k IN-lists (geomesh.py:238-288); here the driver-enumerated
@@ -1427,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_name_rollup": q_month_name_rollup,
         "pii_redaction_stats": q_pii_redaction_stats,
         "repetition_ratio": q_repetition_ratio,
+        "dedup_clusters": q_dedup_clusters,
+        "boilerplate_removal": q_boilerplate_removal,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -1604,6 +1664,85 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = id_a
             join sizes sb on sb.doc_id = id_b
             where common / (sa.sz + sb.sz - common) >= 0.75
+        """,
+        # recursive reachability closure + min-label reduction: every
+        # comp id reachable from node accumulates in lab (UNION set
+        # semantics terminate it); min over them = component min = the
+        # same representative the alternating-star Spark loop converges
+        # to
+        "dedup_clusters": """
+            with recursive words as (
+                select distinct doc_id,
+                       unnest(string_split(lower(text), ' ')) as w
+                from documents where doc_id < 150),
+            sizes as (select doc_id, count(*) as sz from words group by 1),
+            common as (
+                select a.doc_id as id_a, b.doc_id as id_b,
+                       count(*) as common
+                from words a join words b using (w)
+                where a.doc_id < b.doc_id
+                group by 1, 2),
+            pairs as (
+                select id_a, id_b from common
+                join sizes sa on sa.doc_id = id_a
+                join sizes sb on sb.doc_id = id_b
+                where common / (sa.sz + sb.sz - common) >= 0.75),
+            edges as (
+                select id_a as u, id_b as v from pairs
+                union
+                select id_b, id_a from pairs),
+            lab as (
+                select doc_id as node, doc_id as comp
+                from documents where doc_id < 150
+                union
+                select e.u, l.comp from edges e join lab l on l.node = e.v),
+            cc as (select node, min(comp) as comp from lab group by node)
+            select cast(node as bigint) as doc_id,
+                   cast(comp as bigint) as cluster_rep,
+                   cast(count(*) over (partition by comp) as bigint)
+                       as cluster_size
+            from cc
+        """,
+        "boilerplate_removal": f"""
+            with d as (
+                select doc_id,
+                       concat(case when doc_id % 2 = 0
+                                   then '{_BP_HDR_A}'
+                                   else '{_BP_HDR_B}' end,
+                              ' ', text) as text
+                from documents where doc_id < 200),
+            t as (select doc_id, string_split(text, ' ') as words from d),
+            ex as (
+                select doc_id, words,
+                       unnest(range(0, cast(ceil(len(words) / 8.0)
+                                            as bigint))) as idx
+                from t),
+            ch as (
+                select doc_id, idx,
+                       array_to_string(words[idx*8+1 : idx*8+8], ' ')
+                           as chunk
+                from ex),
+            freq as (
+                select chunk from ch
+                group by chunk having count(distinct doc_id) >= 3),
+            kept as (
+                select * from ch
+                where chunk not in (select chunk from freq)),
+            outp as (
+                select doc_id,
+                       string_agg(chunk, ' ' order by idx) as clean_text,
+                       count(*) as n_kept
+                from kept group by doc_id),
+            tot as (
+                select doc_id,
+                       cast(ceil(len(words) / 8.0) as bigint) as n_chunks
+                from t)
+            select tot.doc_id,
+                   md5(coalesce(clean_text, '')) as clean_md5,
+                   n_chunks,
+                   cast(n_chunks - coalesce(n_kept, 0) as bigint)
+                       as n_removed
+            from tot left join outp using (doc_id)
         """,
         "bpe_token_counts": """
             with d as (

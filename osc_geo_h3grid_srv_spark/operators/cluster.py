@@ -1,0 +1,141 @@
+"""Distributed connected components over a pair/edge DataFrame, and the
+dedup-cluster reduction built on it.
+
+This is the missing last step of every near-dup pipeline in this repo
+(minhash_lsh_pairs / simhash_pairs / word_jaccard_pairs emit PAIRS): at
+100 TB you do not act on pairs, you act on CLUSTERS — group transitively
+connected duplicates and keep one representative per cluster.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public
+literature). Each round is a pure DataFrame pass:
+
+  large-star(u): for every neighbor v > u, connect v to
+                 m = min(N(u) + {u})
+  small-star(u): orient each edge toward its larger endpoint, then for
+                 every neighbor v < u connect v (and u) to m = min(N(u))
+
+Both are one window-min over a node-keyed partition plus a projection —
+no collect, no driver-side graph. The pair converges to rooted stars
+(edge (v, root) for every node) in O(log^2 n) rounds, O(log n) in
+practice; each round shuffles the edge list once, keyed by node id, so
+the cost is rounds x one co-partitioned exchange of (long, long) rows.
+
+Scale notes (100 TB / 10^11-edge regime):
+* The per-round state is only the current edge set — never adjacency
+  lists materialized per node; a mega-component (the web's giant
+  near-dup cluster) appears as a skewed window partition, which AQE
+  skew-split handles because each round's window is a plain
+  hash-partitioned aggregate, and large-star specifically exists to
+  break high-degree nodes across rounds.
+* Lineage is truncated every round with localCheckpoint(eager=True) —
+  an iterative driver loop without it re-executes the whole chain each
+  round (round-1 lesson; same pattern as Lloyd iterations in
+  similarity.py).
+* Convergence is detected by edge-set stability (count of changed
+  rows == 0), one cheap aggregate per round on the already-checkpointed
+  result.
+
+The iterative loop is NOT expressible as one SQL statement in Spark,
+but connected components itself IS oracle-able: DuckDB's recursive CTE
+computes reachability labels and min-reduces them (see
+_cc_oracle_sql in __spark_entry__.py), giving the entry a full
+value-hash gate despite the iterative implementation.
+
+Reference parity: the reference repo has no clustering step (its dedup
+is cell-key exact grouping, geomesh.py loader path); this operator is
+part of the LLM-training-data extension the brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round. edges: (u, v) canonical
+    undirected pairs (u != v). Returns the new canonical edge set."""
+    if large:
+        # symmetrize: every node sees its full neighborhood
+        adj = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        # m = min over N(u) + {u}; u is constant per partition
+        adj = adj.withColumn(
+            "m", F.least(F.min("v").over(w), F.col("u")))
+        out = (adj.filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    else:
+        # orient toward the larger endpoint: key = max, payload = min
+        adj = edges.select(F.greatest("u", "v").alias("u"),
+                           F.least("u", "v").alias("v"))
+        w = Window.partitionBy("u")
+        adj = adj.withColumn("m", F.min("v").over(w))
+        out = (adj.select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .union(adj.select("u", F.col("m").alias("v"))))
+    # canonicalize (big, small), drop self-loops, dedup
+    return (out.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25
+                         ) -> DataFrame:
+    """pairs: any DataFrame with two node-id columns (long-castable).
+    Returns (node, component) where component is the smallest node id
+    in the node's connected component; singleton nodes (those never
+    appearing in pairs) are the caller's concern — join the result back
+    with a coalesce(component, node).
+    """
+    edges = (pairs.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        after_large = _star_round(edges, large=True)
+        after_small = _star_round(after_large, large=False)
+        after_small = after_small.localCheckpoint(eager=True)
+        # converged iff the edge set is unchanged (star edges are fixed
+        # points of both rounds); exceptAll both ways via counts
+        n_new = after_small.count()
+        n_old = edges.count()
+        changed = (n_new != n_old
+                   or after_small.exceptAll(edges).limit(1).count() > 0)
+        edges = after_small
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "alternating rounds")
+    # fixed point is a star rooted at the component min: (node, root)
+    # for every non-root node, plus the roots themselves
+    nodes = edges.select(F.col("u").alias("node"),
+                         F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"),
+                         F.col("v").alias("component")).distinct()
+    return nodes.union(roots).distinct()
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Near-dup cluster assignment: every document mapped to its
+    cluster representative (min doc id of its transitive duplicate
+    cluster; docs in no pair represent themselves) plus the cluster
+    size. Downstream dedup = filter(doc_id == cluster_rep)."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    out = (docs.select(F.col(id_col).cast("long").alias(id_col))
+           .join(cc, on=F.col(id_col) == F.col("node"), how="left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col))
+                   .alias("cluster_rep")))
+    w = Window.partitionBy("cluster_rep")
+    return out.withColumn("cluster_size",
+                          F.count("*").over(w).cast("long"))

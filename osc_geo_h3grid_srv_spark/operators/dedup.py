@@ -276,3 +276,62 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     return (j.withColumn("cosine", F.round(dot / (na * nb), 6))
             .filter(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cosine"))
+
+
+def remove_boilerplate_chunks(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              chunk_words: int = 8,
+                              min_docs: int = 3) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    line-dedup trick, public literature): split every document into
+    consecutive ``chunk_words``-word chunks ("lines" for the synthetic
+    space-joined corpus), drop every chunk whose identical content
+    appears in >= ``min_docs`` DISTINCT documents (cookie banners,
+    nav bars, boilerplate headers), and reassemble the surviving chunks
+    in order.
+
+    Returns (id_col, clean_text, n_chunks, n_removed).
+
+    Scale story: one explode + one (chunk -> distinct-doc count)
+    aggregate + one join back + one per-doc reassembly groupBy.
+    * The frequent-chunk set (count >= min_docs) is a tiny fraction of
+      all chunks at web scale (Zipf), so the flag join's build side
+      is small — at 10^11 docs you'd group on xxhash64(chunk) to keep
+      the count shuffle 8 bytes wide and broadcast the frequent-hash
+      set; here the raw chunk string is the key so the operation stays
+      DuckDB-oracle-able (hash grouping is a mechanical swap, noted,
+      not a semantic change).
+    * countDistinct is rewritten by Catalyst into a two-level exact
+      aggregate (expand + partial), never a driver-side set.
+    * Reassembly sorts each doc's surviving (idx, chunk) structs with
+      array_sort on the collected list — the per-doc list is bounded
+      by doc length, not corpus size.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunk_at = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "))
+    ch = (docs.select(F.col(id_col), F.posexplode(chunk_at)
+                      .alias("idx", "chunk")))
+    frequent = (ch.groupBy("chunk")
+                .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+                .filter(F.col("n_docs") >= F.lit(min_docs))
+                .select("chunk"))
+    kept = ch.join(frequent, on="chunk", how="left_anti")
+    out = (kept.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("idx", "chunk"))),
+                        lambda s: s["chunk"]), " ").alias("clean_text"),
+                F.count("*").alias("n_kept")))
+    totals = docs.select(F.col(id_col), n_chunks.alias("n_chunks"))
+    return (totals.join(out, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_chunks").cast("long").alias("n_chunks"),
+                    (F.col("n_chunks")
+                     - F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_removed")))

@@ -226,3 +226,41 @@ def test_ivf_refine_monotone_and_search(spark):
     ivf = {r["vec_id"] for r in
            sim.ann_topk_ivf(assigned, q, c2, 10, n_probe=4).collect()}
     assert len(exact & ivf) >= 6
+
+
+def test_remove_boilerplate_chunks(spark):
+    from osc_geo_h3grid_srv_spark.operators.dedup import (
+        remove_boilerplate_chunks)
+    bp = "a b c d"  # 4-word banner, chunk-aligned in every doc
+    rows = [
+        (0, f"{bp} w x y z"),          # banner + unique tail
+        (1, f"{bp} p q r s"),
+        (2, f"{bp} m n o t"),
+        (3, f"{bp}"),                  # banner only -> empty clean text
+        (4, "u v w x y z a b"),        # no banner chunk (different split)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_chunks(
+               df, chunk_words=4, min_docs=3).collect()}
+    assert out[0]["clean_text"] == "w x y z"
+    assert out[0]["n_chunks"] == 2 and out[0]["n_removed"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    # doc 4 contains the banner words but not as an aligned chunk
+    assert out[4]["clean_text"] == "u v w x y z a b"
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_boilerplate_reassembly_order(spark):
+    from osc_geo_h3grid_srv_spark.operators.dedup import (
+        remove_boilerplate_chunks)
+    # boilerplate chunk in the MIDDLE: surviving chunks must rejoin in
+    # original order around the gap
+    mid = "x x"
+    rows = [(i, f"s{i} a {mid} e{i} f") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           remove_boilerplate_chunks(
+               df, chunk_words=2, min_docs=3).collect()}
+    for i in range(4):
+        assert out[i] == f"s{i} a e{i} f"

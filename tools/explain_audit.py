@@ -135,6 +135,25 @@ AUDITS = {
                 "binary payloads feeding a JVM aggregate; the slow "
                 "row-at-a-time BatchEvalPython path must not appear",
     },
+    "dedup_clusters": {
+        # plan seen here is the post-convergence reduction (the star
+        # rounds are behind localCheckpoint truncation — each round is
+        # itself a node-keyed window + projection, audited in tests)
+        "expect": ["Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython"],
+        "note": "near-dup clustering: alternating large-star/small-star "
+                "CC, all-relational; the cluster-size window and the "
+                "doc<-component join never degenerate to a cross join",
+    },
+    "boilerplate_removal": {
+        "expect": ["Generate", "HashAggregate", "LeftAnti"],
+        "forbid": ["CartesianProduct", "ArrowEvalPython",
+                   "BatchEvalPython", "MapInPandas"],
+        "note": "CCNet-style line dedup: JVM chunking (Generate) + "
+                "distinct-doc counts + anti-join against the frequent "
+                "set + ordered reassembly — no Python anywhere",
+    },
     "ann_topk_lsh": {
         "expect": ["TakeOrderedAndProject"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
