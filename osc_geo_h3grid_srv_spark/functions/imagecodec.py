@@ -122,10 +122,21 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         n_colors, = struct.unpack_from("<I", buf, 46)
         n_colors = n_colors or 256
         pal_off = 14 + hdr_size
+        # malformed palettes must land in the quarantine column, not
+        # escape as numpy ValueError/IndexError and kill the job
+        if len(buf) < pal_off + n_colors * 4:
+            raise ImageDecodeError("bmp: truncated palette")
         pal = np.frombuffer(buf, np.uint8, offset=pal_off,
                             count=n_colors * 4).reshape(-1, 4)
         idx = raw[:, :w]
-        if pal.shape[0] and not (pal[:, 0] == pal[:, 1]).all():
+        if pal.shape[0] and int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ImageDecodeError(
+                f"bmp: palette index {int(idx.max())} >= "
+                f"{pal.shape[0]} colors")
+        is_gray = (pal.shape[0]
+                   and (pal[:, 0] == pal[:, 1]).all()
+                   and (pal[:, 1] == pal[:, 2]).all())
+        if pal.shape[0] and not is_gray:
             # color palette: expand to RGB (palette entries are BGRA)
             return pal[idx][:, :, [2, 1, 0]].copy()
         return pal[idx, 0].copy() if pal.shape[0] else idx.copy()

@@ -134,3 +134,41 @@ def test_synth_image_media_payloads_are_valid_ppm(spark):
     for r in rows:
         img = ic.decode_pnm(bytes(r["payload"]))
         assert img.shape == (r["height"], r["width"], 3)
+
+
+def test_bmp_malformed_palette_quarantines():
+    """truncated palette and out-of-range palette indices must raise
+    ImageDecodeError (the quarantine type), never bare numpy errors."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        ImageDecodeError, decode_bmp)
+
+    def bmp8(n_colors, pal_bytes, pix):
+        h, w = pix.shape
+        row_bytes = (w + 3) & ~3
+        body = bytearray()
+        for row in pix[::-1]:
+            body += row.tobytes() + b"\x00" * (row_bytes - w)
+        data_off = 14 + 40 + len(pal_bytes)
+        head = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                    data_off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                              len(body), 2835, 2835, n_colors, 0))
+        return bytes(head) + pal_bytes + bytes(body)
+
+    pix = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    # declares 256 colors but ships only 4 entries
+    with pytest.raises(ImageDecodeError, match="palette"):
+        decode_bmp(bmp8(0, bytes(4 * 4), pix))
+    # 4-color palette but pixel indices reach 15
+    with pytest.raises(ImageDecodeError, match="palette index"):
+        decode_bmp(bmp8(4, bytes(4 * 4), pix))
+    # color palette where B==G but R differs must NOT be treated as gray
+    pal = bytes([10, 10, 99, 0] * 16)  # BGRA: B==G=10, R=99
+    out = decode_bmp(bmp8(16, pal, pix))
+    assert out.ndim == 3 and out.shape == (4, 4, 3)
+    assert (out[0, 0] == [99, 10, 10]).all()  # RGB order
