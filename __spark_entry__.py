@@ -756,6 +756,58 @@ def _image_decode_oracle_sql(n_rows=300):
     """
 
 
+def _audio_decode_oracle_sql(n_rows=300):
+    """replay of synth_audio_media + decode_audio_stats WITHOUT parsing:
+    ns = 50 + h0%200, ch = 1 + (h0>>9)%2, rate = 8000*(1 + (h0>>17)%2),
+    samples = little-endian int16 lanes of mix64(j + id*1000003)
+    truncated to ns*ch values. Byte extraction uses exact hugeint power
+    literals (never DOUBLE pow — the ADVICE r02 trap) and the int16
+    sign flip is explicit."""
+    pow16 = [1, 65536, 4294967296, 281474976710656]
+    pow_list = ", ".join(f"{p}::hugeint" for p in pow16)
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        hm as (select id, {_mix64_sql('id')} as h0 from ids),
+        dims as (select id, (50 + h0 % 200)::bigint as ns,
+                        (1 + (h0 // 512) % 2)::int as ch,
+                        (8000 * (1 + (h0 // 131072) % 2))::int as rate
+                 from hm),
+        np as (select id, ns, ch, rate, (ns*ch)::bigint as nvals,
+                      ((ns*ch + 3) // 4)::int as nw
+               from dims),
+        seeds as (select id, nvals,
+                         unnest(range(0, nw)) as j
+                  from np),
+        sv as (select id, nvals, j,
+                      (j::hugeint + id * 1000003::hugeint) as s
+               from seeds),
+        vv as (select id, nvals, j, {_mix64_sql('s')} as v from sv),
+        lanes as (select id, nvals, j,
+                         unnest(list_transform([{pow_list}],
+                                p -> ((v // p) % 65536)::bigint)) as u16,
+                         unnest([0,1,2,3]) as k
+                  from vv),
+        vals as (select id,
+                        case when u16 >= 32768 then u16 - 65536
+                             else u16 end as sv16
+                 from lanes where j*4 + k < nvals),
+        stats as (select id, sum(sv16)::bigint as s_sum,
+                         min(sv16) as mn, max(sv16) as mx,
+                         count(*)::bigint as n_vals
+                  from vals group by id)
+        select count(*)::bigint as n_audio,
+               0::bigint as n_errors,
+               cast(sum(ns) as bigint) as total_samples,
+               cast(sum(ch) as bigint) as total_channels,
+               cast(sum(rate) as bigint) as total_rate,
+               cast(sum(s_sum) as bigint) as total_sum,
+               cast(min(mn) as int) as s_min,
+               cast(max(mx) as int) as s_max,
+               round(avg(s_sum / n_vals::double), 4) as avg_val
+        from stats join np using (id)
+    """
+
+
 def _geometry_stats_oracle_sql():
     """replay of geo.polygon_stats over the same literal rings: planar
     shoelace area (shell minus holes), shell perimeter, P/(2 sqrt(pi A))
@@ -1331,6 +1383,31 @@ def q_image_decode_stats(spark, sf_dir):
         .alias("avg_byte"))
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """round-3 second real-decode gate: synth PCM16 WAV payloads ->
+    the REAL RIFF chunk-walking parser (functions/audiocodec.py) ->
+    sample statistics. The oracle replays the int16 samples from the
+    generation recipe WITHOUT parsing, so a chunk-offset, byte-order,
+    or sign-extension bug in the decoder shows up as a hash mismatch
+    (channel/rate come from the parsed fmt chunk, sums from the
+    decoded samples)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_audio_stats, synth_audio_media)
+    stats = decode_audio_stats(synth_audio_media(spark, 300, partitions=8))
+    return stats.agg(
+        F.count("*").alias("n_audio"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
+        F.sum(F.col("sample_rate").cast("long")).alias("total_rate"),
+        F.sum("s_sum").alias("total_sum"),
+        F.min("s_min").alias("s_min"),
+        F.max("s_max").alias("s_max"),
+        F.round(F.avg(F.col("s_sum") / F.col("n_vals")), 4)
+        .alias("avg_val"))
+
+
 def q_simplify_polygon(spark, sf_dir):
     """F9 (shape.py:180-198): Douglas-Peucker ring simplification of a
     deterministic 120-vertex noisy ring; returns surviving vertices.
@@ -1501,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "multimodal_features": q_multimodal_features,
         "image_decode_stats": q_image_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
         "simplify_polygon": q_simplify_polygon,
     }
 
@@ -2034,4 +2112,5 @@ def oracle_sql() -> dict[str, str]:
         "simplify_polygon": _simplify_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "image_decode_stats": _image_decode_oracle_sql(),
+        "audio_decode_stats": _audio_decode_oracle_sql(),
     }

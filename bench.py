@@ -239,8 +239,8 @@ def main():
              "sessionize_events", "bigram_counts", "docfreq_idf",
              "csv_loader_index", "ivf_assign_counts",
              "pii_redaction_stats", "repetition_ratio",
-             "image_decode_stats", "dedup_clusters",
-             "boilerplate_removal"]
+             "image_decode_stats", "audio_decode_stats",
+             "dedup_clusters", "boilerplate_removal"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

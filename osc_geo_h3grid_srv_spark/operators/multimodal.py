@@ -174,3 +174,65 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return (media.filter(F.col("media_type") == "image")
             .mapInPandas(gen, schema=schema))
+
+
+def synth_audio_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic media table whose audio payloads are REAL PCM16 WAV
+    files (functions/audiocodec.py): RIFF/fmt/data chunks wrapping
+    mix64-derived interleaved int16 samples. Sample count, channel
+    count, and rate all derive from the doc id, so the decoded stats
+    are oracle-replayable from the recipe — a chunk-walk or
+    sign/byte-order bug in the decoder cannot hide."""
+    from ..functions.audiocodec import encode_wav
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                ns = 50 + h0 % 200
+                ch = 1 + (h0 >> 9) % 2
+                rate = 8000 * (1 + (h0 >> 17) % 2)
+                nvals = ns * ch
+                nw = (nvals + 3) // 4
+                words = mix64(np.arange(nw, dtype=np.uint64)
+                              + u * np.uint64(1000003))
+                vals = np.frombuffer(words.tobytes(), "<i2")[:nvals]
+                payload = encode_wav(vals.reshape(ns, ch), rate)
+                rows.append((int(i), "audio", 0, 0, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode -> per-clip sample statistics; undecodable
+    payloads land in the error column (quarantine pattern), never fail
+    the job."""
+    from ..functions.audiocodec import AudioDecodeError, decode_wav
+    schema = ("doc_id long, n_samples long, n_channels int, "
+              "sample_rate int, s_sum long, s_min int, s_max int, "
+              "n_vals long, error string")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    s, rate = decode_wav(bytes(payload))
+                    rows.append((int(did), s.shape[0], s.shape[1],
+                                 int(rate), int(s.sum(dtype=np.int64)),
+                                 int(s.min()), int(s.max()),
+                                 int(s.size), None))
+                except AudioDecodeError as e:
+                    rows.append((int(did), None, None, None, None,
+                                 None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "n_channels", "sample_rate",
+                "s_sum", "s_min", "s_max", "n_vals", "error"])
+
+    return media.mapInPandas(gen, schema=schema)

@@ -1,0 +1,97 @@
+"""WAV/PCM16 codec: round-trips, RIFF chunk walking, and quarantine
+(AudioDecodeError) for everything malformed or compressed."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from osc_geo_h3grid_srv_spark.functions.audiocodec import (
+    AudioDecodeError, decode_wav, encode_wav)
+
+
+def test_roundtrip_mono():
+    s = (np.arange(100, dtype=np.int16) * 317 - 15000).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and out.shape == (100, 1)
+    assert (out[:, 0] == s).all()
+
+
+def test_roundtrip_stereo():
+    s = np.stack([np.arange(64, dtype=np.int16),
+                  -np.arange(64, dtype=np.int16)], axis=1)
+    out, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and out.shape == (64, 2)
+    assert (out == s).all()
+
+
+def test_negative_samples_sign_extend():
+    s = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    out, _ = decode_wav(encode_wav(s, 8000))
+    assert out[:, 0].tolist() == [-32768, -1, 0, 1, 32767]
+
+
+def test_chunk_walk_skips_list_chunk():
+    # insert a LIST chunk (odd size -> tests the even-padding rule)
+    # between fmt and data
+    s = np.array([5, -5, 7], dtype=np.int16)
+    buf = encode_wav(s, 8000)
+    fmt_chunk = buf[12:12 + 8 + 16]
+    data_chunk = buf[12 + 8 + 16:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    body = fmt_chunk + extra + data_chunk
+    rebuilt = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, rate = decode_wav(rebuilt)
+    assert rate == 8000 and out[:, 0].tolist() == [5, -5, 7]
+
+
+def test_data_before_fmt_still_decodes():
+    s = np.array([1, 2], dtype=np.int16)
+    buf = encode_wav(s, 8000)
+    fmt_chunk = buf[12:12 + 8 + 16]
+    data_chunk = buf[12 + 8 + 16:]
+    body = data_chunk + fmt_chunk
+    rebuilt = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, _ = decode_wav(rebuilt)
+    assert out[:, 0].tolist() == [1, 2]
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda b: b"JUNK" + b[4:], "RIFF"),
+    (lambda b: b[:40], "truncated|missing"),
+    # format tag 85 = MP3 -> compressed, quarantined
+    (lambda b: b[:20] + struct.pack("<H", 85) + b[22:], "format tag"),
+    # 8-bit sample width
+    (lambda b: b[:34] + struct.pack("<H", 8) + b[36:], "16"),
+    # chop one byte off data -> not a whole number of frames
+    (lambda b: b[:-1] + b"", "whole number|truncated"),
+])
+def test_malformed_quarantine(mutate, msg):
+    s = np.array([3, -3, 9], dtype=np.int16)
+    buf = encode_wav(s, 8000)
+    with pytest.raises(AudioDecodeError, match=msg):
+        decode_wav(mutate(buf))
+
+
+def test_spark_decode_audio_stats(spark):
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_audio_stats, synth_audio_media)
+    media = synth_audio_media(spark, 40, partitions=4)
+    rows = {r["doc_id"]: r for r in decode_audio_stats(media).collect()}
+    assert len(rows) == 40 and all(
+        r["error"] is None for r in rows.values())
+    # replay one clip driver-side through the same recipe
+    from osc_geo_h3grid_srv_spark.functions.text import mix64
+    i = 7
+    h0 = int(mix64(np.array([i], dtype=np.uint64))[0])
+    ns, ch = 50 + h0 % 200, 1 + (h0 >> 9) % 2
+    nvals = ns * ch
+    nw = (nvals + 3) // 4
+    words = mix64(np.arange(nw, dtype=np.uint64)
+                  + np.uint64(i) * np.uint64(1000003))
+    vals = np.frombuffer(words.tobytes(), "<i2")[:nvals].astype(np.int64)
+    r = rows[i]
+    assert (r["n_samples"], r["n_channels"]) == (ns, ch)
+    assert r["sample_rate"] == 8000 * (1 + (h0 >> 17) % 2)
+    assert r["s_sum"] == int(vals.sum())
+    assert (r["s_min"], r["s_max"]) == (int(vals.min()), int(vals.max()))
