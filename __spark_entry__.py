@@ -1509,6 +1509,72 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(bucketed, qv, 20, dim=len(qv))
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """similarity: IVF ANN search path — assign every vector to its
+    nearest deterministic seed centroid, probe the n_probe best lists
+    for the query, exact cosine re-rank inside the candidates. Fully
+    oracle-checked: the centroids are splitmix64-derived literals, so
+    DuckDB replays assignment (first-match argmax), probe ranking, and
+    the re-rank verbatim. Complements ivf_assign_counts (assignment
+    histogram) with the actual SEARCH semantics."""
+    from osc_geo_h3grid_srv_spark.operators.similarity import (
+        ann_topk_ivf, ivf_assign, ivf_seed_centroids)
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter("vec_id = 7").collect()[0]
+    qv = list(row["embedding"])
+    cents = ivf_seed_centroids(len(qv), 8)
+    assigned = ivf_assign(emb, cents)
+    return ann_topk_ivf(assigned, qv, cents, 20, n_probe=3)
+
+
+def _ann_ivf_oracle_sql(dim=64, n_lists=8, n_probe=3, k=20):
+    """replay of ivf_assign + ann_topk_ivf with the SAME centroid
+    literals: per-row dot list -> first-match argmax assignment
+    (list_position mirrors Spark's array_position tie-break), probe
+    ranking ORDER BY dot DESC, id ASC (the operator's stable argsort),
+    exact cosine top-k within the probed lists."""
+    from osc_geo_h3grid_srv_spark.operators.similarity import (
+        ivf_seed_centroids)
+    cents = ivf_seed_centroids(dim, n_lists)
+
+    def clit(c):
+        return "[" + ", ".join(
+            f"cast('{float(x)!r}' as double)" for x in c) + "]"
+
+    cent_rows = ", ".join(f"({i}, {clit(c)})"
+                          for i, c in enumerate(cents))
+    ds = "[" + ", ".join(
+        f"list_dot_product(emb_d, {clit(c)})" for c in cents) + "]"
+    return f"""
+        with q0 as (
+            select list_transform(embedding, x -> x::double) as q_d
+            from embeddings where vec_id = 7),
+        probes as (
+            select i from (
+                select c.i,
+                       list_dot_product(q0.q_d, c.cl) as d
+                from q0, (values {cent_rows}) c(i, cl))
+            order by d desc, i asc limit {n_probe}),
+        e0 as (
+            select vec_id,
+                   list_transform(embedding, x -> x::double) as emb_d
+            from embeddings),
+        e as (
+            select vec_id, emb_d,
+                   list_position({ds}, list_max({ds})) - 1 as ivf_list
+            from e0),
+        cand as (
+            select e.vec_id, e.emb_d, q0.q_d
+            from e, q0 where e.ivf_list in (select i from probes))
+        select vec_id,
+               round(list_dot_product(emb_d, q_d)
+                     / (sqrt(list_dot_product(emb_d, emb_d))
+                        * sqrt(list_dot_product(q_d, q_d))), 6) as cosine
+        from cand
+        order by cosine desc, vec_id asc limit {k}
+    """
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1571,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "polyfill_region_cells": q_polyfill_region_cells,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "kring_cells": q_kring_cells,
         "geometry_stats": q_geometry_stats,
         "cell_overlap_region": q_cell_overlap_region,
@@ -2107,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(3),
         "fingerprint_docs": _fingerprint_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

@@ -196,7 +196,9 @@ def ann_topk_ivf(emb_assigned: DataFrame, query_vec, centroids, k: int,
     pruning when the table is partitioned by it), exact cosine re-rank
     inside the candidates."""
     q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(-(np.asarray(centroids) @ q))
+    # stable sort: centroid-score ties resolve to the lower list id
+    # (deterministic, and exactly replayable as ORDER BY d DESC, i ASC)
+    order = np.argsort(-(np.asarray(centroids) @ q), kind="stable")
     probes = [int(i) for i in order[:int(n_probe)]]
     cand = emb_assigned.filter(F.col(list_col).isin(probes))
     return ann_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)

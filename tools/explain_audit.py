@@ -169,6 +169,14 @@ AUDITS = {
         "note": "multiprobe LSH ANN: bucket IN-filter + exact re-rank, "
                 "global top-k via TakeOrdered (no full sort)",
     },
+    "ann_topk_ivf": {
+        "expect": ["TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "ArrowEvalPython", "BatchEvalPython"],
+        "note": "IVF ANN search: centroid scoring + probe-list IN-filter "
+                "+ exact re-rank, all JVM expressions; global top-k via "
+                "TakeOrdered (no full sort, no Python)",
+    },
     "bigram_counts": {
         "expect": ["Generate", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython"],
