@@ -1509,6 +1509,50 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(bucketed, qv, 20, dim=len(qv))
 
 
+_BM25_TERMS = ["spark", "hash", "window"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """text retrieval: BM25 top-25 for a fixed 3-term query over the
+    documents corpus (operators/retrieval.py) — query-vocab filter
+    BEFORE the tf aggregate, broadcast df + corpus stats, TakeOrdered
+    top-k. Oracle replays the full scoring formula in DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.retrieval import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+def _bm25_oracle_sql(k=25, k1=1.2, b=0.75):
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        with base as (
+            select doc_id, string_split(lower(text), ' ') as ws,
+                   len(string_split(lower(text), ' '))::double as dl
+            from documents),
+        stats as (
+            select count(*)::double as n_docs, avg(dl) as avgdl
+            from base),
+        hits as (
+            select doc_id, dl, w, count(*)::double as tf
+            from (select doc_id, dl, unnest(ws) as w from base)
+            where w in ({terms})
+            group by doc_id, dl, w),
+        dfreq as (
+            select w, count(distinct doc_id)::double as df
+            from hits group by w)
+        select doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * {k1 + 1.0}
+                   / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))), 6)
+                   as score,
+               count(*)::bigint as n_matched
+        from hits join dfreq using (w) cross join stats
+        group by doc_id
+        order by score desc, doc_id asc limit {k}
+    """
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """similarity: IVF ANN search path — assign every vector to its
     nearest deterministic seed centroid, probe the n_probe best lists
@@ -1638,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_region_cells": q_polyfill_region_cells,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "bm25_topk": q_bm25_topk,
         "kring_cells": q_kring_cells,
         "geometry_stats": q_geometry_stats,
         "cell_overlap_region": q_cell_overlap_region,
@@ -2175,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _fingerprint_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
+        "bm25_topk": _bm25_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

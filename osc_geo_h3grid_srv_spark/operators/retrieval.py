@@ -1,0 +1,56 @@
+"""Ranked retrieval over the document corpus: BM25 scoring — the
+standard web-text relevance function (Robertson/Sparck Jones, public
+literature) and the usual first ranking stage of a crawl-indexing
+pipeline.
+
+score(d, Q) = sum over q in Q of
+    ln(1 + (N - df_q + 0.5)/(df_q + 0.5))
+    * tf_qd * (k1 + 1) / (tf_qd + k1 * (1 - b + b * dl_d / avgdl))
+
+Scale design (one narrow shuffle chain, no driver-side loops):
+* terms are filtered to the query vocabulary BEFORE the tf aggregate,
+  so the shuffle carries only (doc, query-term) hits — at 10^11 docs
+  the width is bounded by |Q| x matching docs, not the corpus token
+  count;
+* df comes from the same filtered set (group on the term — |Q| groups)
+  and joins back by broadcast;
+* corpus stats (N, avgdl) are a single-row aggregate broadcast-crossed
+  into the plan — no collect(), the scalars ride the plan;
+* top-k is orderBy+limit -> TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"
+              ) -> DataFrame:
+    """-> (id_col, score round 6, n_matched), ties broken by id."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), words.alias("ws"),
+                       F.size(words).cast("double").alias("dl"))
+    stats = base.agg(F.count("*").cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    hits = (base.select(id_col, "dl", F.explode("ws").alias("w"))
+            .filter(F.col("w").isin(list(query_terms)))
+            .groupBy(id_col, "dl", "w")
+            .agg(F.count("*").cast("double").alias("tf")))
+    dfreq = (hits.groupBy("w")
+             .agg(F.count_distinct(F.col(id_col)).cast("double")
+                  .alias("df")))
+    j = (hits.join(F.broadcast(dfreq), "w")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (j.groupBy(id_col)
+            .agg(F.round(F.sum(contrib), 6).alias("score"),
+                 F.count("*").cast("long").alias("n_matched"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

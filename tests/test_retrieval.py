@@ -1,0 +1,62 @@
+"""BM25 (operators/retrieval.py) vs a hand-rolled reference on a tiny
+corpus, plus ranking-semantics edge cases."""
+
+import math
+
+from osc_geo_h3grid_srv_spark.operators.retrieval import bm25_topk
+
+
+def _ref_bm25(corpus, terms, k1=1.2, b=0.75):
+    n = len(corpus)
+    toks = {d: t.lower().split(" ") for d, t in corpus.items()}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    out = {}
+    for d, v in toks.items():
+        s, m = 0.0, 0
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(v) / avgdl))
+        if m:
+            out[d] = (round(s, 6), m)
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    corpus = {
+        0: "spark runs fast spark scales",
+        1: "hash join and hash agg",
+        2: "spark hash window functions",
+        3: "nothing relevant here at all",
+        4: "window window window",
+        5: "spark",
+    }
+    terms = ["spark", "hash", "window"]
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = [(r["doc_id"], r["score"], r["n_matched"])
+           for r in bm25_topk(df, terms, k=10).collect()]
+    ref = _ref_bm25(corpus, terms)
+    # doc 3 matches nothing -> absent
+    assert [d for d, _, _ in got] == sorted(
+        ref, key=lambda d: (-ref[d][0], d))
+    for d, s, m in got:
+        assert (s, m) == ref[d], d
+
+
+def test_bm25_topk_cutoff_and_rare_term_weight(spark):
+    # a rare term must outscore a common one at equal tf/dl
+    corpus = {i: "common filler words here" for i in range(20)}
+    corpus[100] = "rare common filler here"
+    for i in range(21, 30):
+        corpus[i] = "common stuff and more"
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = bm25_topk(df, ["rare", "common"], k=3).collect()
+    assert got[0]["doc_id"] == 100  # the rare-term doc ranks first
+    assert len(got) == 3

@@ -177,6 +177,15 @@ AUDITS = {
                 "+ exact re-rank, all JVM expressions; global top-k via "
                 "TakeOrdered (no full sort, no Python)",
     },
+    "bm25_topk": {
+        "expect": ["TakeOrderedAndProject", "BroadcastHashJoin",
+                   "Generate"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "ArrowEvalPython", "BatchEvalPython"],
+        "note": "BM25 retrieval: query-vocab filter before the tf "
+                "aggregate, df + corpus stats broadcast, top-k via "
+                "TakeOrdered — no full sort, no wide shuffle, no Python",
+    },
     "bigram_counts": {
         "expect": ["Generate", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython"],
