@@ -1509,6 +1509,43 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(bucketed, qv, 20, dim=len(qv))
 
 
+_MIX_FRACTIONS = {"en": 0.6, "de": 0.35, "fr": 0.2, "es": 0.8}
+
+
+def q_training_mix_sample(spark, sf_dir):
+    """training-data pipeline: reproducible stratified mix — per-lang
+    md5-threshold sampling (operators/sampling.py). The membership
+    decision is a string compare of md5(salt|doc_id)[0:8] against a
+    per-stratum hex threshold, so DuckDB replays the EXACT selected
+    set: the gate compares per-lang counts AND a doc_id checksum of
+    the members, pinning membership, not just sizes. Langs absent
+    from the mix (anything beyond the four listed) are dropped."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.sampling import stratified_mix
+    docs = _t(spark, sf_dir, "documents")
+    picked = stratified_mix(docs, "lang", _MIX_FRACTIONS, "doc_id",
+                            salt="mix1")
+    return (picked.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("doc_id").cast("bigint")).alias("id_sum"),
+                 F.sum(F.col("n_chars").cast("bigint"))
+                 .alias("chars_total")))
+
+
+def _training_mix_oracle_sql():
+    rows = ", ".join(f"('{k}', '{format(int(v * 16**8), '08x')}')"
+                     for k, v in sorted(_MIX_FRACTIONS.items()))
+    return f"""
+        with mix(lang, thr) as (values {rows})
+        select d.lang, count(*)::bigint as n_docs,
+               sum(d.doc_id)::bigint as id_sum,
+               sum(d.n_chars)::bigint as chars_total
+        from documents d join mix using (lang)
+        where substr(md5('mix1|' || d.doc_id::varchar), 1, 8) < thr
+        group by d.lang
+    """
+
+
 _BM25_TERMS = ["spark", "hash", "window"]
 
 
@@ -1683,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "bm25_topk": q_bm25_topk,
+        "training_mix_sample": q_training_mix_sample,
         "kring_cells": q_kring_cells,
         "geometry_stats": q_geometry_stats,
         "cell_overlap_region": q_cell_overlap_region,
@@ -2221,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(),
+        "training_mix_sample": _training_mix_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

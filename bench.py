@@ -236,7 +236,7 @@ def main():
              "embedding_cosine_threshold", "tpch_q1_pricing",
              "broadcast_join_topn", "window_first_event",
              "h3_index_documents", "polyfill_region_cells", "ann_topk_lsh",
-             "ann_topk_ivf", "bm25_topk",
+             "ann_topk_ivf", "bm25_topk", "training_mix_sample",
              "sessionize_events", "bigram_counts", "docfreq_idf",
              "csv_loader_index", "ivf_assign_counts",
              "pii_redaction_stats", "repetition_ratio",

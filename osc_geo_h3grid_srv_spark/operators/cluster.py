@@ -97,17 +97,20 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                      F.least("u", "v").alias("v"))
              .distinct()
              .localCheckpoint(eager=True))
+    n_old = edges.count()
     for _ in range(max_iter):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False)
         after_small = after_small.localCheckpoint(eager=True)
         # converged iff the edge set is unchanged (star edges are fixed
-        # points of both rounds); exceptAll both ways via counts
+        # points of both rounds): same count + empty one-way exceptAll
+        # suffices for distinct sets; n_old carries over from the last
+        # round so each round costs one count + (on count match) one
+        # limit-1 probe
         n_new = after_small.count()
-        n_old = edges.count()
         changed = (n_new != n_old
                    or after_small.exceptAll(edges).limit(1).count() > 0)
-        edges = after_small
+        edges, n_old = after_small, n_new
         if not changed:
             break
     else:

@@ -60,3 +60,37 @@ def test_bm25_topk_cutoff_and_rare_term_weight(spark):
     got = bm25_topk(df, ["rare", "common"], k=3).collect()
     assert got[0]["doc_id"] == 100  # the rare-term doc ranks first
     assert len(got) == 3
+
+
+def test_deterministic_sample_properties(spark):
+    from osc_geo_h3grid_srv_spark.operators.sampling import (
+        deterministic_sample, stratified_mix)
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a1 = {r["id"] for r in deterministic_sample(df, 0.3, "id").collect()}
+    a2 = {r["id"] for r in deterministic_sample(df, 0.3, "id").collect()}
+    assert a1 == a2  # deterministic across runs
+    # ~binomial(2000, 0.3): allow 5 sigma
+    assert abs(len(a1) - 600) < 5 * (2000 * 0.3 * 0.7) ** 0.5
+    # nested: smaller fraction is a subset of the larger, same salt
+    a_small = {r["id"]
+               for r in deterministic_sample(df, 0.1, "id").collect()}
+    assert a_small <= a1
+    # different salt draws an independent (different) sample
+    b1 = {r["id"]
+          for r in deterministic_sample(df, 0.3, "id", salt="x").collect()}
+    assert b1 != a1
+    # keep-all / keep-none edges
+    assert len(deterministic_sample(df, 1.0, "id").collect()) == 2000
+    assert len(deterministic_sample(df, 0.0, "id").collect()) == 0
+
+
+def test_stratified_mix_drops_unlisted_strata(spark):
+    from osc_geo_h3grid_srv_spark.operators.sampling import stratified_mix
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "xx"))
+            for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_mix(df, "lang", {"en": 1.0, "de": 0.5}, "id")
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got == {"en", "de"}  # 'xx' dropped
+    n_en = out.filter("lang = 'en'").count()
+    assert n_en == 300  # fraction 1.0 keeps every en row

@@ -177,6 +177,14 @@ AUDITS = {
                 "+ exact re-rank, all JVM expressions; global top-k via "
                 "TakeOrdered (no full sort, no Python)",
     },
+    "training_mix_sample": {
+        "expect": ["BroadcastHashJoin", "codegen id"],
+        "forbid": ["SortMergeJoin", "CartesianProduct",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+        "note": "deterministic stratified mix: md5-threshold keep "
+                "predicate is a codegen'd string compare; the mix table "
+                "broadcasts — the corpus scan is one pass, no Python",
+    },
     "bm25_topk": {
         "expect": ["TakeOrderedAndProject", "BroadcastHashJoin",
                    "Generate"],
