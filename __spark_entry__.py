@@ -1656,6 +1656,64 @@ def _ann_ivf_oracle_sql(dim=64, n_lists=8, n_probe=3, k=20):
     """
 
 
+def q_contamination_flags(spark, sf_dir):
+    """training-data pipeline: benchmark decontamination — flag corpus
+    documents whose distinct word 4-grams overlap a benchmark prompt
+    set (GPT-2/3-appendix-style n-gram decontamination; Dolma/DataComp
+    pipelines run the same shape). The benchmark side is derived
+    deterministically from the corpus itself (every 23rd doc's first 8
+    tokens = one 'eval prompt'), so contamination is real and
+    replayable with no external data. Plan: one corpus scan, benchmark
+    gram set broadcast, per-gram hit probe map-side, ONE groupBy(doc)
+    shuffle (operators/decontaminate.py). Contrast with the
+    reference's single-process filters (geomesh.py correlate/filter
+    path): same declare-then-filter shape, distributed."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.decontaminate import (
+        contamination_stats)
+    docs = _t(spark, sf_dir, "documents")
+    bench = (docs.filter(F.col("doc_id") % 23 == 5)
+             .select(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+                     .alias("text")))
+    return contamination_stats(docs, bench, n=4, threshold=0.05)
+
+
+def _contamination_oracle_sql(n=4, bench_tok=8, thr=0.05):
+    return f"""
+        with toks as (
+            select doc_id, string_split(text, ' ') as t from documents),
+        grams as (
+            select doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(t) - {n - 1}, 0)),
+                       i -> array_to_string(t[i+1:i+{n}], ' '))) as g
+            from toks),
+        bench as (
+            select distinct unnest(
+                list_distinct(list_transform(
+                    range(0, greatest(len(t8) - {n - 1}, 0)),
+                    i -> array_to_string(t8[i+1:i+{n}], ' ')))) as gram
+            from (select t[1:{bench_tok}] as t8 from toks
+                  where doc_id % 23 = 5)),
+        hits as (
+            select u.doc_id, count(*)::bigint as n_contam
+            from (select doc_id, unnest(g) as gram from grams) u
+            join bench using (gram)
+            group by u.doc_id),
+        base as (select doc_id, len(g)::bigint as n_grams from grams)
+        select b.doc_id, b.n_grams,
+               coalesce(h.n_contam, 0)::bigint as n_contam,
+               round(case when b.n_grams > 0
+                     then coalesce(h.n_contam, 0) / b.n_grams::double
+                     else 0.0 end, 6) as contam_frac,
+               case when round(case when b.n_grams > 0
+                          then coalesce(h.n_contam, 0) / b.n_grams::double
+                          else 0.0 end, 6) >= {thr}
+                    then 1 else 0 end as is_contaminated
+        from base b left join hits h using (doc_id)
+    """
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1711,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "dedup_clusters": q_dedup_clusters,
         "boilerplate_removal": q_boilerplate_removal,
+        "contamination_flags": q_contamination_flags,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -2260,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(),
         "training_mix_sample": _training_mix_oracle_sql(),
+        "contamination_flags": _contamination_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

@@ -241,7 +241,8 @@ def main():
              "csv_loader_index", "ivf_assign_counts",
              "pii_redaction_stats", "repetition_ratio",
              "image_decode_stats", "audio_decode_stats",
-             "dedup_clusters", "boilerplate_removal"]
+             "dedup_clusters", "boilerplate_removal",
+             "contamination_flags"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

@@ -206,6 +206,15 @@ AUDITS = {
         "note": "sessionization: lag + running-sum windows and both "
                 "aggregates share one user_id exchange",
     },
+    "contamination_flags": {
+        "expect": ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        "forbid": ["SortMergeJoin", "ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas", "CartesianProduct"],
+        "note": "decontamination: benchmark gram set broadcast, corpus "
+                "gram explode + hit probe map-side, single partial+final "
+                "groupBy(doc_id) — the corpus is never re-joined or "
+                "shuffled by gram",
+    },
 }
 
 
