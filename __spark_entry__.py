@@ -1714,6 +1714,59 @@ def _contamination_oracle_sql(n=4, bench_tok=8, thr=0.05):
     """
 
 
+def q_quality_model_scores(spark, sf_dir):
+    """training-data pipeline: model-based quality filtering — the
+    fasttext-style linear-classifier SCORING pass that follows the
+    heuristic ratios (doc_quality_scores) in public web-corpus
+    pipelines. All features are whole-stage-codegen JVM expressions,
+    the literal-weight dot product + sigmoid is one projection: zero
+    shuffles, zero Python (operators/quality.py). Oracle replays
+    features, sigmoid and threshold verbatim in DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        quality_classifier)
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs, threshold=0.5)
+
+
+def _quality_model_oracle_sql(threshold=0.5):
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        QUALITY_BIAS, QUALITY_WEIGHTS, STOPWORDS)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    z = " + ".join([str(QUALITY_BIAS)] +
+                   [f"{name} * ({w})" for name, w in
+                    QUALITY_WEIGHTS.items()])
+    score = f"round(1.0 / (1.0 + exp(-({z}))), 6)"
+    return f"""
+        with base as (
+            select doc_id, text,
+                   string_split(lower(text), ' ') as t
+            from documents),
+        feats as (
+            select doc_id,
+                   len(t)::bigint as n_tokens,
+                   round(ln(len(t) + 1.0), 6) as log_tokens,
+                   round(len(list_distinct(t))
+                         / greatest(len(t), 1)::double, 6)
+                       as type_token_ratio,
+                   round(len(list_filter(t, x -> x in ({stop_list})))
+                         / greatest(len(t), 1)::double, 6)
+                       as stopword_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1)::double, 6)
+                       as digit_ratio,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '',
+                                               'g'))
+                         / greatest(length(text), 1)::double, 6)
+                       as punct_ratio
+            from base)
+        select doc_id, n_tokens, log_tokens, type_token_ratio,
+               stopword_ratio, digit_ratio, punct_ratio,
+               {score} as quality_score,
+               case when {score} >= {threshold} then 1 else 0 end as keep
+        from feats
+    """
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1770,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "boilerplate_removal": q_boilerplate_removal,
         "contamination_flags": q_contamination_flags,
+        "quality_model_scores": q_quality_model_scores,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -2320,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "training_mix_sample": _training_mix_oracle_sql(),
         "contamination_flags": _contamination_oracle_sql(),
+        "quality_model_scores": _quality_model_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

@@ -1,0 +1,84 @@
+"""Model-based quality filtering (linear classifier scoring pass).
+
+Web-corpus pipelines follow the heuristic quality ratios with a learned
+quality MODEL (fasttext-style linear classifier over cheap text
+features is the public standard shape). Training happens offline; the
+engine's job is the 100 TB SCORING pass, and that must be a pure
+map-side expression: no shuffle, no Python, weights folded into the
+plan as literals (a real fasttext bigram model would broadcast its
+embedding table instead — same plan shape, bigger constant).
+
+Every feature here is a whole-stage-codegen JVM expression over the
+token array (split / filter / array_distinct / regexp_replace), the
+score is a literal-weight dot product through a sigmoid, and the whole
+operator is replayable verbatim in DuckDB (list_filter /
+list_distinct / regexp_replace + exp), which is how the driver oracle
+checks it.
+
+The weights are fixed public-heuristic-inspired constants (more
+tokens, higher lexical diversity, more stopwords => higher quality;
+digit- and punctuation-heavy text => lower), NOT a trained artifact —
+the operator's contract is deterministic scoring, not model quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (feature, weight) — applied to doc features in the fixed order below.
+QUALITY_WEIGHTS = {
+    "log_tokens": 0.9,
+    "type_token_ratio": 2.0,
+    "stopword_ratio": 3.0,
+    "digit_ratio": -6.0,
+    "punct_ratio": -4.0,
+}
+QUALITY_BIAS = -3.5
+
+# small fixed english stopword list (public, frequency-list standard)
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it",
+             "for", "on", "with", "as", "at", "by", "that", "this")
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """per-doc scalar features, all map-side JVM expressions."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(lower({text_col}), ' '), "
+        f"t -> t in ({stop_list})))")
+    n_chars = F.length(text_col)
+    n_digit = F.length(F.regexp_replace(text_col, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text_col, "[^.,;:!?]", ""))
+    nz = F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(F.log(n_tok + F.lit(1.0)), 6).alias("log_tokens"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.greatest(n_tok, F.lit(1)), 6).alias("type_token_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+        .alias("stopword_ratio"),
+        F.round(n_digit / nz, 6).alias("digit_ratio"),
+        F.round(n_punct / nz, 6).alias("punct_ratio"))
+
+
+def quality_classifier(docs: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """score = sigmoid(w . features + b) on the ROUNDED features (so an
+    engine replay sees identical inputs); `keep` = score >= threshold.
+    One projection, zero shuffles, zero Python."""
+    feats = quality_features(docs, id_col=id_col, text_col=text_col)
+    z = F.lit(QUALITY_BIAS)
+    for name, w in QUALITY_WEIGHTS.items():
+        z = z + F.col(name) * F.lit(w)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (feats
+            .withColumn("quality_score", score)
+            .withColumn("keep",
+                        (F.col("quality_score") >= F.lit(threshold))
+                        .cast("int")))

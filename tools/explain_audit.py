@@ -206,6 +206,15 @@ AUDITS = {
         "note": "sessionization: lag + running-sum windows and both "
                 "aggregates share one user_id exchange",
     },
+    "quality_model_scores": {
+        "expect": ["codegen id"],
+        "forbid": ["Exchange", "ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas"],
+        "note": "model-based quality scoring: literal-weight linear "
+                "classifier + sigmoid as ONE map-side codegen "
+                "projection — a 100 TB scoring pass with no shuffle "
+                "and no Python",
+    },
     "contamination_flags": {
         "expect": ["BroadcastHashJoin", "HashAggregate", "Generate"],
         "forbid": ["SortMergeJoin", "ArrowEvalPython", "BatchEvalPython",
