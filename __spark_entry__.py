@@ -1767,6 +1767,72 @@ def _quality_model_oracle_sql(threshold=0.5):
     """
 
 
+_PR_DAMP, _PR_ITER, _PR_MULTS = 0.85, 5, (3, 5, 7)
+
+
+def q_pagerank_links(spark, sf_dir):
+    """link-graph analytics: 5-iteration PageRank with dangling-mass
+    redistribution (operators/linkgraph.py) over a deterministic
+    synthetic link graph derived from the documents table (doc i links
+    to (i*m + j) mod N for m in {3,5,7}; every 10th doc emits no
+    out-links, exercising the dangling path). Iterative Spark loop —
+    per-iteration ranks rounded to 9 digits pin the FP state — checked
+    against a DuckDB replay of the SAME 5 iterations as chained CTEs:
+    full value-hash gate on an iterative distributed algorithm."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    n_row = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    base = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id").crossJoin(F.broadcast(n_row)))
+    parts = [base.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * m + j) % F.col("nm"))
+                         .alias("dst"))
+             for j, m in enumerate(_PR_MULTS)]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    pr = pagerank(edges, damping=_PR_DAMP, num_iter=_PR_ITER,
+                  round_digits=9)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql():
+    d, k = _PR_DAMP, _PR_ITER
+    arms = " union all ".join(
+        f"select doc_id as src, (doc_id * {m} + {j}) % nm as dst "
+        f"from documents, nn where doc_id % 10 <> 0"
+        for j, m in enumerate(_PR_MULTS))
+    ctes = [
+        "nn as (select max(doc_id) + 1 as nm from documents)",
+        f"edges as (select distinct src, dst from ({arms}))",
+        "nodes as (select distinct node from ("
+        "select src as node from edges "
+        "union all select dst from edges))",
+        "nc as (select count(*)::double as n from nodes)",
+        "outdeg as (select src, count(*)::double as deg "
+        "from edges group by src)",
+        "r0 as (select node, round(1.0 / (select n from nc), 9) as rank "
+        "from nodes)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"c{i} as (select e.dst, sum(r.rank / o.deg) as contrib "
+            f"from edges e join {p} r on e.src = r.node "
+            f"join outdeg o on e.src = o.src group by e.dst)")
+        ctes.append(
+            f"d{i} as (select coalesce(sum(r.rank), 0.0) as dmass "
+            f"from {p} r left join outdeg o on r.node = o.src "
+            f"where o.src is null)")
+        ctes.append(
+            f"r{i} as (select nodes.node, "
+            f"round((1.0 - {d}) / (select n from nc) "
+            f"+ {d} * (coalesce(c.contrib, 0.0) "
+            f"+ (select dmass from d{i}) / (select n from nc)), 9) "
+            f"as rank from nodes left join c{i} c on nodes.node = c.dst)")
+    return ("with " + ", ".join(ctes)
+            + f" select node, round(rank, 6) as rank from r{k}")
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1824,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
+        "pagerank_links": q_pagerank_links,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -2375,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_sample": _training_mix_oracle_sql(),
         "contamination_flags": _contamination_oracle_sql(),
         "quality_model_scores": _quality_model_oracle_sql(),
+        "pagerank_links": _pagerank_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

@@ -242,7 +242,8 @@ def main():
              "pii_redaction_stats", "repetition_ratio",
              "image_decode_stats", "audio_decode_stats",
              "dedup_clusters", "boilerplate_removal",
-             "contamination_flags", "quality_model_scores"]
+             "contamination_flags", "quality_model_scores",
+             "pagerank_links"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

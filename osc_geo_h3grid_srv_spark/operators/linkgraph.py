@@ -1,0 +1,90 @@
+"""Link-graph analytics: distributed PageRank over an edge DataFrame.
+
+Web-corpus pipelines rank hosts/pages by link authority (PageRank and
+its variants are the public standard) to drive crawl prioritization
+and quality weighting. The engine's job is the iterative scoring pass
+over an edge table far too large to collect.
+
+Plan shape per iteration (the thing that must hold at 10^11 edges):
+
+* `edges ⋈ ranks` on src — both sides hash-partitioned by the same
+  key; the edge list (with out-degree attached ONCE, up front) is
+  localCheckpoint'ed so every iteration reuses the materialized,
+  already-partitioned edge blocks instead of recomputing lineage.
+* contributions groupBy(dst) — one partial-aggregated exchange.
+* dangling mass (nodes with no out-links) is a one-row aggregate
+  crossJoin-broadcast back in — no collect, no driver round-trip.
+* ranks are rounded to `round_digits` each iteration: this pins the
+  floating-point state so an independent engine (the DuckDB oracle
+  replays the same K iterations as chained CTEs) reaches bit-identical
+  ranks — distributed summation order cannot drift the low bits into
+  the compared digits.
+* lineage truncated per iteration with localCheckpoint(eager=True)
+  (same round-1 lesson as cluster.py / Lloyd in similarity.py).
+
+Total cost: K iterations x (one co-keyed join + one groupBy exchange).
+No step is ever keyed by anything wider than a node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             num_iter: int = 5, round_digits: int = 9,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank with uniform teleport and dangling-mass redistribution.
+
+    edges: DataFrame with long-castable (src, dst) columns; multi-edges
+    are deduplicated. Nodes = every id appearing as src or dst.
+    Returns (node, rank) with rank rounded to `round_digits`; ranks sum
+    to ~1 (exactly 1 up to rounding).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # attach out-degree once; iterations reuse this materialized edge set
+    ew = (e.join(outdeg, "src")
+          .select("src", "dst", "deg")
+          .localCheckpoint(eager=True))
+    # dangling node set (no out-edges) computed ONCE and materialized —
+    # deriving it inside the loop would re-run the edge-build lineage
+    # every iteration
+    dangling_nodes = (nodes.join(outdeg,
+                                 nodes.node == outdeg.src, "left_anti")
+                      .localCheckpoint(eager=True))
+    n_row = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = (nodes.crossJoin(F.broadcast(n_row))
+             .select("node", F.round(F.lit(1.0) / F.col("n"),
+                                     round_digits).alias("rank"))
+             .localCheckpoint(eager=True))
+    d = float(damping)
+    for _ in range(num_iter):
+        contrib = (ew.join(ranks, ew.src == ranks.node)
+                   .select("dst", (F.col("rank") / F.col("deg"))
+                           .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("contrib")))
+        # dangling mass leaks each step; redistribute uniformly. One-row
+        # aggregate, broadcast — never collected.
+        dangling = (ranks.join(dangling_nodes, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dmass")))
+        ranks = (nodes
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .crossJoin(F.broadcast(n_row))
+                 .select("node",
+                         F.round((1.0 - d) / F.col("n")
+                                 + d * (F.coalesce(F.col("contrib"),
+                                                   F.lit(0.0))
+                                        + F.col("dmass") / F.col("n")),
+                                 round_digits).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks

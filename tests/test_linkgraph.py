@@ -1,0 +1,69 @@
+"""Distributed PageRank (operators/linkgraph.py) vs a dense NumPy
+power-iteration replay, including dangling-mass redistribution."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osc_geo_h3grid_srv_spark.operators.linkgraph import pagerank
+
+
+def _brute(edges, d, k, digits):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, []).append(v)
+    r = np.full(n, round(1.0 / n, digits))
+    for _ in range(k):
+        nxt = np.zeros(n)
+        dmass = 0.0
+        for u in nodes:
+            if u in out:
+                share = r[idx[u]] / len(out[u])
+                for v in out[u]:
+                    nxt[idx[v]] += share
+            else:
+                dmass += r[idx[u]]
+        r = np.round((1 - d) / n + d * (nxt + dmass / n), digits)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _run(spark, edges, d=0.85, k=4, digits=9):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, damping=d, num_iter=k,
+                             round_digits=digits).collect()}
+    want = _brute(edges, d, k, digits)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-9, (node, got[node],
+                                                    want[node])
+    return got
+
+
+def test_chain_with_dangling_sink(spark):
+    # 0 -> 1 -> 2 -> 3, node 3 dangling; rank accumulates downstream
+    got = _run(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got[3] > got[1] > got[0]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    got = _run(spark, [(0, 1), (1, 2), (2, 0)])
+    assert len(set(got.values())) == 1
+
+
+def test_hub_receives_most_rank(spark):
+    # needs enough iterations: the hub<->origin 2-cycle oscillates and
+    # node 0 still leads at k=4 (verified by the dense replay)
+    edges = [(i, 9) for i in range(9)] + [(9, 0)]
+    got = _run(spark, edges, k=7)
+    assert got[9] == max(got.values())
+
+
+def test_multi_edges_deduplicated(spark):
+    # duplicate edges must not double contributions
+    a = _run(spark, [(0, 1), (0, 1), (1, 0)])
+    b = _run(spark, [(0, 1), (1, 0)])
+    assert a == b
