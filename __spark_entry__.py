@@ -1833,6 +1833,73 @@ def _pagerank_oracle_sql():
             + f" select node, round(rank, 6) as rank from r{k}")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """training-data pipeline: context-window chunking — slide a
+    32-token window with 8-token overlap over each document, one
+    training sample per window (operators/packing.py). Pure map-side
+    JVM array ops + one explode; NO shuffle anywhere in the plan."""
+    from osc_geo_h3grid_srv_spark.operators.packing import (
+        chunk_documents)
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def _chunk_oracle_sql(chunk=32, step=24):
+    return f"""
+        with toks as (
+            select doc_id, string_split(text, ' ') as t from documents),
+        s as (
+            select doc_id, t,
+                   unnest(range(0, greatest(len(t) - 1, 0) + 1, {step}))
+                       as cs
+            from toks)
+        select doc_id,
+               (cs // {step})::bigint as chunk_id,
+               cs::bigint as chunk_start,
+               len(t[cs+1:cs+{chunk}])::bigint as n_chunk_tokens,
+               array_to_string(t[cs+1:cs+{chunk}], ' ') as chunk_text
+        from s
+    """
+
+
+def q_pack_sequences(spark, sf_dir):
+    """training-data pipeline: concat-and-split sequence packing —
+    within each shard (doc_id % 8; any stable sharding works), docs
+    ordered by id are virtually concatenated and cut every 512 tokens;
+    a doc joins the bin holding its first token. Per-shard ordered
+    window cumsum -> shards pack independently in parallel (a GLOBAL
+    order would serialize into one window partition — the scale
+    mistake this operator exists to avoid)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select((F.col("doc_id") % 8).alias("shard"), "doc_id",
+                    F.size(F.split("text", " ")).cast("bigint")
+                    .alias("n_tokens"))
+    return pack_sequences(d, seq_len=512)
+
+
+def _pack_oracle_sql(seq_len=512):
+    return f"""
+        with toks as (
+            select doc_id % 8 as shard, doc_id,
+                   len(string_split(text, ' '))::bigint as n_tokens
+            from documents),
+        a as (
+            select shard, doc_id, n_tokens,
+                   ((sum(n_tokens) over (partition by shard
+                         order by doc_id rows between unbounded
+                         preceding and current row) - n_tokens)
+                    // {seq_len})::bigint as bin
+            from toks)
+        select shard, bin, count(*)::bigint as n_docs,
+               sum(n_tokens)::bigint as tokens_total,
+               round(sum(n_tokens)::bigint / {seq_len}.0, 6)
+                   as fill_ratio
+        from a group by 1, 2
+    """
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1891,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
         "pagerank_links": q_pagerank_links,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -2443,6 +2512,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": _contamination_oracle_sql(),
         "quality_model_scores": _quality_model_oracle_sql(),
         "pagerank_links": _pagerank_oracle_sql(),
+        "chunk_documents": _chunk_oracle_sql(),
+        "pack_sequences": _pack_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

@@ -215,6 +215,21 @@ AUDITS = {
                 "projection — a 100 TB scoring pass with no shuffle "
                 "and no Python",
     },
+    "chunk_documents": {
+        "expect": ["Generate", "codegen id"],
+        "forbid": ["Exchange", "ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas"],
+        "note": "context-window chunking: JVM array slicing + one "
+                "explode, shuffle-free — a pure map stage at any scale",
+    },
+    "pack_sequences": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "sequence packing: per-shard ordered window cumsum -> "
+                "bin groupBy; shards pack independently (no global "
+                "single-partition sort)",
+    },
     "contamination_flags": {
         "expect": ["BroadcastHashJoin", "HashAggregate", "Generate"],
         "forbid": ["SortMergeJoin", "ArrowEvalPython", "BatchEvalPython",
