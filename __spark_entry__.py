@@ -1900,6 +1900,198 @@ def _pack_oracle_sql(seq_len=512):
     """
 
 
+def _synth_url_col():
+    """deterministic messy URL per doc_id — mixed case, www/subdomain
+    variants, default + nondefault ports, tracking params, unsorted
+    params, fragments — exercising every canonicalization rule."""
+    from pyspark.sql import functions as F
+    d = F.col("doc_id")
+    scheme = F.when(d % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    sub = (F.when(d % 5 == 0, F.lit("WWW."))
+           .when(d % 6 == 0, F.lit("news."))
+           .when(d % 6 == 3, F.lit("blog."))
+           .otherwise(F.lit("")))
+    tld = (F.when(d % 4 == 0, F.lit("com"))
+           .when(d % 4 == 1, F.lit("org"))
+           .when(d % 4 == 2, F.lit("co.uk"))
+           .otherwise(F.lit("net")))
+    port = F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit(""))
+    extra = F.when(d % 3 == 0, F.lit("&b=2&a=1")).otherwise(F.lit(""))
+    frag = F.when(d % 2 == 0, F.lit("#s1")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), sub, F.lit("site"),
+        (d % 23).cast("string"), F.lit("."), tld, port,
+        F.lit("/p"), (d % 13).cast("string"), F.lit("/doc"),
+        d.cast("string"),
+        F.lit("?utm_source=rss&id="), (d % 97).cast("string"),
+        F.lit("&ref=x"), extra, frag)
+
+
+_URL_BLOCKLIST = ("site3.net", "site10.co.uk")
+
+# DuckDB replay of _synth_url_col + weburl.canonicalize_url/host_of/
+# registrable_domain — same string algebra via split_part/list_filter
+_URL_ORACLE_CTE = """
+    raw as (
+        select doc_id, n_chars,
+               (case when doc_id % 7 = 0 then 'HTTP' else 'https' end)
+               || '://'
+               || (case when doc_id % 5 = 0 then 'WWW.'
+                        when doc_id % 6 = 0 then 'news.'
+                        when doc_id % 6 = 3 then 'blog.'
+                        else '' end)
+               || 'site' || (doc_id % 23)::varchar || '.'
+               || (case doc_id % 4 when 0 then 'com' when 1 then 'org'
+                        when 2 then 'co.uk' else 'net' end)
+               || (case when doc_id % 11 = 0 then ':443' else '' end)
+               || '/p' || (doc_id % 13)::varchar
+               || '/doc' || doc_id::varchar
+               || '?utm_source=rss&id=' || (doc_id % 97)::varchar
+               || '&ref=x'
+               || (case when doc_id % 3 = 0 then '&b=2&a=1' else '' end)
+               || (case when doc_id % 2 = 0 then '#s1' else '' end)
+                   as url
+        from documents),
+    parts as (
+        select doc_id, n_chars, url,
+               split_part(url, '#', 1) as u
+        from raw),
+    p2 as (
+        select *,
+               lower(regexp_extract(u,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+               regexp_replace(u,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') as rest
+        from parts),
+    p3 as (
+        select *, split_part(rest, '/', 1) as hostport,
+               substring(rest, length(split_part(rest, '/', 1)) + 1)
+                   as pathq
+        from p2),
+    p4 as (
+        select *,
+               regexp_replace(lower(split_part(hostport, ':', 1)),
+                              '^www\\.', '') as host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) as port,
+               split_part(pathq, '?', 1) as path,
+               case when contains(pathq, '?')
+                    then substring(pathq, instr(pathq, '?') + 1)
+                    else '' end as query
+        from p3),
+    p5 as (
+        select *,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' and not starts_with(p, 'utm_')
+                        and not starts_with(p, 'fbclid=')
+                        and not starts_with(p, 'gclid=')
+                        and not starts_with(p, 'ref='))), '&') as qcanon,
+               (port <> '' and not (scheme = 'https' and port = '443')
+                and not (scheme = 'http' and port = '80')) as keep_port
+        from p4),
+    canon as (
+        select doc_id, n_chars, host,
+               scheme || '://' || host
+               || (case when keep_port then ':' || port else '' end)
+               || (case when path = '' then '/' else path end)
+               || (case when qcanon <> '' then '?' || qcanon
+                        else '' end) as canon_url,
+               string_split(host, '.') as labels
+        from p5),
+    dom as (
+        select doc_id, n_chars, canon_url, host,
+               case when len(labels) <= 2 then host
+                    when labels[-2] || '.' || labels[-1] in
+                         ('co.uk','ac.uk','com.au','co.jp','com.br')
+                         and len(labels) >= 3
+                    then labels[-3] || '.' || labels[-2] || '.'
+                         || labels[-1]
+                    else labels[-2] || '.' || labels[-1] end as domain
+        from canon),
+    urls as (
+        select doc_id, n_chars, canon_url, host, domain,
+               domain in ('site3.net', 'site10.co.uk') as is_blocked
+        from dom)
+"""
+
+
+def q_url_canonical_domains(spark, sf_dir):
+    """web-corpus pipeline: URL canonicalization + registrable-domain
+    extraction (operators/weburl.py) over deterministic messy URLs
+    derived from doc_id. One shuffle-free codegen projection — case
+    folding, www/fragment/tracking-param stripping, default-port drop,
+    param sort, PSL-rule domain, literal blocklist flag. The oracle
+    replays the full string algebra in DuckDB."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.weburl import url_table
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = url_table(docs.withColumn("url", _synth_url_col()),
+                  blocked_domains=_URL_BLOCKLIST)
+    return u.select("doc_id", "canon_url", "host", "domain",
+                    "is_blocked")
+
+
+def _url_canonical_oracle_sql():
+    return ("with " + _URL_ORACLE_CTE
+            + " select doc_id, canon_url, host, domain, is_blocked"
+              " from urls")
+
+
+def q_domain_rollup(spark, sf_dir):
+    """web-corpus curation rollup: per registrable domain over
+    non-blocked rows — docs, distinct hosts, total chars. The single
+    intentional shuffle of the weburl module (groupBy(domain), map-side
+    partial agg + partial-distinct on host)."""
+    from osc_geo_h3grid_srv_spark.operators.weburl import (
+        domain_rollup, url_table)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = url_table(docs.withColumn("url", _synth_url_col()),
+                  blocked_domains=_URL_BLOCKLIST)
+    return domain_rollup(u, weight_col="n_chars")
+
+
+def _domain_rollup_oracle_sql():
+    return ("with " + _URL_ORACLE_CTE + """
+        select domain, count(*)::bigint as n_docs,
+               count(distinct host)::bigint as n_hosts,
+               sum(n_chars)::bigint as total_weight
+        from urls where not is_blocked group by 1""")
+
+
+def q_bigram_lm_scores(spark, sf_dir):
+    """web-corpus quality signal: per-doc perplexity under the
+    corpus's own add-k bigram LM (operators/lm.py, CCNet-style).
+    Train (two map-side-combined count groupBys + one broadcast
+    scalar) and score (co-keyed joins + per-doc log-prob sum) in one
+    lineage; the oracle replays the identical model — a full
+    value-hash gate on a statistical scorer."""
+    from osc_geo_h3grid_srv_spark.operators.lm import bigram_lm_scores
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, add_k=0.5)
+
+
+def _bigram_lm_oracle_sql(k="0.5"):
+    return f"""
+        with toks as (
+            select doc_id, string_split(text, ' ') as t from documents
+            where len(string_split(text, ' ')) >= 2),
+        bg0 as (
+            select doc_id, t, unnest(range(1, len(t))) as i from toks),
+        bg as (select doc_id, t[i] as w1, t[i + 1] as w2 from bg0),
+        bgc as (select w1, w2, count(*) as cb from bg group by 1, 2),
+        ctx as (select w1, count(*) as cu from bg group by 1),
+        vv as (select count(distinct w2) as v from bg)
+        select bg.doc_id, count(*)::bigint as n_bigrams,
+               round(sum(ln((cb + {k}) / (cu + {k} * v)))
+                     / count(*), 6) as avg_logprob,
+               round(exp(-sum(ln((cb + {k}) / (cu + {k} * v)))
+                     / count(*)), 4) as perplexity
+        from bg
+        join bgc using (w1, w2) join ctx using (w1) cross join vv
+        group by 1
+    """
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1960,6 +2152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": q_pagerank_links,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "url_canonical_domains": q_url_canonical_domains,
+        "domain_rollup": q_domain_rollup,
+        "bigram_lm_scores": q_bigram_lm_scores,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -2514,6 +2709,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_links": _pagerank_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
+        "url_canonical_domains": _url_canonical_oracle_sql(),
+        "domain_rollup": _domain_rollup_oracle_sql(),
+        "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

@@ -243,7 +243,9 @@ def main():
              "image_decode_stats", "audio_decode_stats",
              "dedup_clusters", "boilerplate_removal",
              "contamination_flags", "quality_model_scores",
-             "pagerank_links", "chunk_documents", "pack_sequences"]
+             "pagerank_links", "chunk_documents", "pack_sequences",
+             "url_canonical_domains", "domain_rollup",
+             "bigram_lm_scores"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

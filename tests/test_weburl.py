@@ -1,0 +1,65 @@
+"""URL canonicalization + domain analytics (operators/weburl.py)."""
+
+from pyspark.sql import functions as F
+
+from osc_geo_h3grid_srv_spark.operators.weburl import (
+    domain_rollup, registrable_domain, url_table)
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(1, url, 1)],
+                               "doc_id long, url string, n_chars long")
+    return url_table(df).select("canon_url", "host", "domain").first()
+
+
+def test_canonical_case_port_fragment_tracking(spark):
+    r = _canon(spark,
+               "HTTPS://WWW.Site1.co.uk:443/a/b?utm_source=x&id=9&ref=tw#f")
+    assert r["canon_url"] == "https://site1.co.uk/a/b?id=9"
+    assert r["host"] == "site1.co.uk"
+    assert r["domain"] == "site1.co.uk"   # PSL two-level suffix kept
+
+
+def test_canonical_keeps_nondefault_port_sorts_params(spark):
+    r = _canon(spark, "http://news.example.com:8080/path?z=1&a=2&fbclid=x")
+    assert r["canon_url"] == "http://news.example.com:8080/path?a=2&z=1"
+    assert r["domain"] == "example.com"
+
+
+def test_canonical_bare_host_gets_root_path(spark):
+    assert _canon(spark, "https://example.com")["canon_url"] == \
+        "https://example.com/"
+
+
+def test_registrable_domain_rules(spark):
+    hosts = ["a.b.site.com", "site.com", "x.co.uk", "a.x.co.uk", "uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = dict(df.select("host", registrable_domain(F.col("host"))
+                         .alias("d")).collect())
+    assert got == {"a.b.site.com": "site.com", "site.com": "site.com",
+                   "x.co.uk": "x.co.uk", "a.x.co.uk": "x.co.uk",
+                   "uk": "uk"}
+
+
+def test_blocklist_and_rollup(spark):
+    rows = [(1, "https://a.site.com/x", 10),
+            (2, "https://b.site.com/y", 20),
+            (3, "https://bad.net/z", 30),
+            (4, "https://site.com/w", 40)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, url string, n_chars long")
+    u = url_table(df, blocked_domains=("bad.net",))
+    assert [r["doc_id"] for r in
+            u.filter("is_blocked").collect()] == [3]
+    roll = {r["domain"]: (r["n_docs"], r["n_hosts"], r["total_weight"])
+            for r in domain_rollup(u).collect()}
+    assert roll == {"site.com": (3, 3, 70)}   # blocked row excluded
+
+
+def test_url_table_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x", 1)],
+                               "doc_id long, url string, n_chars long")
+    plan = url_table(df, blocked_domains=("b.com",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

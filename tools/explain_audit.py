@@ -230,6 +230,35 @@ AUDITS = {
                 "bin groupBy; shards pack independently (no global "
                 "single-partition sort)",
     },
+    "url_canonical_domains": {
+        "expect": ["Project"],
+        "forbid": ["Exchange", "ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas", "CartesianProduct"],
+        "note": "URL canonicalization + PSL domain + blocklist flag as "
+                "a single shuffle-free JVM projection (higher-order "
+                "filter/array_sort lambdas stay JVM-side) — a 100 TB "
+                "per-row pass with no Python and no Exchange",
+    },
+    "domain_rollup": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin"],
+        "note": "per-domain curation rollup: the weburl module's one "
+                "intentional shuffle — groupBy(domain) with map-side "
+                "partial agg (count-distinct host expands to a "
+                "two-phase partial aggregate, still one Exchange "
+                "chain, no join)",
+    },
+    "bigram_lm_scores": {
+        "expect": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "bigram LM train+score in one lineage: explode -> two "
+                "map-side-combined count aggregates, vocab-sized "
+                "count tables broadcast back onto the bigram relation "
+                "(co-keyed shuffle join at web scale), V as a one-row "
+                "broadcast — no Python in train or score",
+    },
     "contamination_flags": {
         "expect": ["BroadcastHashJoin", "HashAggregate", "Generate"],
         "forbid": ["SortMergeJoin", "ArrowEvalPython", "BatchEvalPython",
