@@ -2092,6 +2092,61 @@ def _bigram_lm_oracle_sql(k="0.5"):
     """
 
 
+_BPE_MERGES = 6
+
+
+def q_bpe_merges(spark, sf_dir):
+    """tokenizer induction: distributed BPE merge learning
+    (operators/bpe.py, Sennrich et al. 2016). The corpus-scale work is
+    ONE tokenize+groupBy to the vocab-sized word-type table; each of
+    the 6 iterations is a pair-count aggregate, a single-row argmax
+    (driver scalar), and a map-only wrapped-string replace whose
+    left-to-right non-overlap semantics are identical in Java and SQL.
+    The oracle replays the same 6 iterations as chained CTEs — a full
+    value-hash gate on an iterative algorithm."""
+    from osc_geo_h3grid_srv_spark.operators.bpe import learn_bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=_BPE_MERGES)
+
+
+def _bpe_oracle_sql(n_merges=_BPE_MERGES):
+    sep = "chr(31)"
+    sep2 = f"({sep} || {sep})"
+    parts = [f"""
+        words as (
+            select word, count(*)::bigint as freq
+            from (select unnest(string_split(text, ' ')) as word
+                  from documents)
+            where word <> '' group by 1),
+        w0 as (
+            select {sep} || array_to_string(string_split(word, ''),
+                                            {sep2}) || {sep} as w,
+                   freq
+            from words)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+        p{k} as (
+            select t[i] as a, t[i + 1] as b, sum(freq)::bigint as cnt
+            from (select string_split(trim(w, {sep}), {sep2}) as t,
+                         freq,
+                         unnest(range(1, len(string_split(
+                             trim(w, {sep}), {sep2})))) as i
+                  from w{k - 1})
+            group by 1, 2),
+        b{k} as (select a, b, cnt from p{k}
+                 order by cnt desc, a, b limit 1),
+        w{k} as (
+            select replace(t.w, {sep} || b.a || {sep2} || b.b || {sep},
+                           {sep} || b.a || b.b || {sep}) as w, t.freq
+            from w{k - 1} t, b{k} b)""")
+    union = "\n            union all ".join(
+        f"select {k}::bigint as rank, a as merge_left, b as merge_right,"
+        f" cnt as pair_count from b{k}"
+        for k in range(1, n_merges + 1))
+    return ("with " + ",".join(parts)
+            + f"\n        select * from ({union})")
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2155,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_domains": q_url_canonical_domains,
         "domain_rollup": q_domain_rollup,
         "bigram_lm_scores": q_bigram_lm_scores,
+        "bpe_merges": q_bpe_merges,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -2712,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_domains": _url_canonical_oracle_sql(),
         "domain_rollup": _domain_rollup_oracle_sql(),
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
+        "bpe_merges": _bpe_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),

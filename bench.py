@@ -245,7 +245,7 @@ def main():
              "contamination_flags", "quality_model_scores",
              "pagerank_links", "chunk_documents", "pack_sequences",
              "url_canonical_domains", "domain_rollup",
-             "bigram_lm_scores"]
+             "bigram_lm_scores", "bpe_merges"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

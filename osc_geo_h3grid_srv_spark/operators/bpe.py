@@ -1,0 +1,95 @@
+"""Distributed BPE merge learning (tokenizer induction).
+
+Byte-pair-encoding vocabularies (Sennrich et al. 2016) are learned by
+repeatedly merging the most frequent adjacent symbol pair. The
+distributed shape that makes this tractable at 100 TB is the classic
+one: do the corpus-scale work ONCE (tokenize + groupBy word -> the
+word-TYPE/frequency table, which is vocab-sized, many orders smaller
+than the corpus), then iterate on that small table — per iteration one
+pair-count aggregate, one single-row argmax (TakeOrdered(1), a driver
+scalar like the Lloyd means in similarity.py), and one map-only merge
+application.
+
+Symbol sequences are kept as SEP-wrapped strings ("\x1fs1\x1f\x1fs2\x1f…")
+so the merge step is a literal string replace: the pair (a, b) becomes
+replace(w, SEP+a+SEP+SEP+b+SEP, SEP+ab+SEP). Wrapping every symbol in
+its own separators makes cross-symbol false matches impossible AND makes
+consecutive occurrences ([a,b,a,b]) merge correctly, because each
+replacement re-supplies the boundary the next match needs. Java's
+String replace and SQL replace() both substitute non-overlapping
+occurrences left-to-right, which is exactly BPE's greedy scan — so the
+DuckDB oracle replays the identical algorithm with the identical
+primitive, iteration by iteration, as chained CTEs.
+
+Ties are broken deterministically: highest count, then lexicographic
+(left, right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"   # unit separator: never appears in word characters
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """corpus-scale step: whitespace words -> (word, freq). The ONE
+    shuffle proportional to the corpus; everything after is
+    vocab-sized."""
+    return (docs.select(F.explode(F.split(F.col(text_col), " "))
+                        .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _wrapped(word) -> Column:
+    """initial symbol string: each character wrapped in SEP pairs —
+    'abc' -> SEP a SEP SEP b SEP SEP c SEP."""
+    inner = F.regexp_replace(word, "(.)", "$1" + SEP + SEP)
+    return F.concat(F.lit(SEP),
+                    F.substring(inner, F.lit(1), F.length(inner) - 1))
+
+
+def _pairs(words: DataFrame) -> DataFrame:
+    """adjacent symbol pairs weighted by word frequency."""
+    syms = F.split(F.expr(f"btrim(w, '{SEP}')"), SEP + SEP)
+    d = words.select("freq", syms.alias("s")).filter(F.size("s") >= 2)
+    pair = F.explode(F.expr(
+        "transform(sequence(1, size(s) - 1), "
+        "i -> struct(s[i-1] as a, s[i] as b))")).alias("p")
+    return (d.select("freq", pair)
+            .select("freq", "p.a", "p.b")
+            .groupBy("a", "b").agg(F.sum("freq").alias("cnt")))
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 6,
+                     text_col: str = "text") -> DataFrame:
+    """learn the first n_merges BPE merges over the whitespace words of
+    `docs`. Returns (rank, merge_left, merge_right, pair_count) — the
+    ordered merge list, the actual artifact a tokenizer trainer
+    ships."""
+    spark = docs.sparkSession
+    words = (word_table(docs, text_col)
+             .select(_wrapped(F.col("word")).alias("w"), "freq"))
+    words = words.localCheckpoint(eager=False)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (_pairs(words)
+               .orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+               .collect())
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        # map-only merge application. Unlike the pagerank loop there is
+        # NO shuffle per iteration, so lineage between checkpoints is k
+        # narrow string replaces over the checkpointed aggregate —
+        # re-checkpointing every iteration would only add a
+        # materialization job (measured: 13.6 s -> ~5 s for 6 merges).
+        words = words.select(
+            F.replace("w", F.lit(SEP + a + SEP + SEP + b + SEP),
+                      F.lit(SEP + a + b + SEP)).alias("w"), "freq")
+    return spark.createDataFrame(
+        merges, "rank bigint, merge_left string, merge_right string, "
+                "pair_count bigint")
