@@ -1196,6 +1196,111 @@ def q_boilerplate_removal(spark, sf_dir):
                       "n_chunks", "n_removed")
 
 
+# the top-6 merges this corpus actually learns (bpe_merges entry);
+# pinned as literals so the encode gate is deterministic and the oracle
+# replays the identical rule list.
+_BPE_ENC_MERGES = [("e", "r"), ("i", "n"), ("o", "w"),
+                   ("o", "r"), ("s", "t"), ("m", "er")]
+
+
+def q_bpe_encode_counts(spark, sf_dir):
+    """training-data pipeline: BPE ENCODE — apply a learned merge list
+    to the whole corpus (operators/bpe.py encode_symbol_counts). One
+    map-side codegen projection (wrap + rank-ordered literal replaces
+    inside a transform lambda), zero shuffles before the per-lang
+    rollup. Oracle replays wrap + the identical replace chain in
+    DuckDB."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.bpe import encode_symbol_counts
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_symbol_counts(docs, _BPE_ENC_MERGES)
+    return (enc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("total_words"),
+                 F.sum("n_bpe_symbols").alias("total_symbols"),
+                 F.round(F.sum("n_bpe_symbols") / F.sum("n_words"), 6)
+                 .alias("symbols_per_word"))
+            .orderBy("lang"))
+
+
+def _bpe_encode_oracle_sql(merges):
+    expr = "s0"
+    for a, b in merges:
+        pat = f"chr(31)||'{a}'||chr(31)||chr(31)||'{b}'||chr(31)"
+        rep = f"chr(31)||'{a}{b}'||chr(31)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+        with d as (
+            select lang, string_split(text, ' ') as ws from documents),
+        w as (select lang, unnest(ws) as word from d),
+        wn as (select lang, word from w where word <> ''),
+        wr as (select lang,
+                      chr(31) || substr(s, 1, length(s) - 1) as s0
+               from (select lang,
+                            regexp_replace(word, '(.)',
+                                           '\\1' || chr(31) || chr(31),
+                                           'g') as s
+                     from wn)),
+        enc as (select lang,
+                       len(string_split(trim({expr}, chr(31)),
+                                        chr(31) || chr(31)))::bigint
+                           as n_syms
+                from wr),
+        per_doc as (select lang, count(*)::bigint as total_words,
+                           sum(n_syms)::bigint as total_symbols
+                    from enc group by lang),
+        nd as (select lang, count(*)::bigint as n_docs
+               from documents group by lang)
+        select lang, n_docs, total_words, total_symbols,
+               round(total_symbols::double / total_words, 6)
+                   as symbols_per_word
+        from per_doc join nd using (lang) order by lang
+    """
+
+
+def q_span_dedup_coverage(spark, sf_dir):
+    """training-data pipeline: span-level (k-gram) exact-substring dedup
+    coverage (operators/spandedup.py — the Lee-et-al duplicated-span
+    measure at token-8-gram granularity). Pure-codegen gram construction,
+    16-byte (gram_hash, doc_id) shuffle, semi-join mark-back. Oracle
+    replays the same semantics on the gram STRINGS in DuckDB, so any
+    slicing, counting, or join bug mismatches the coverage hash."""
+    from osc_geo_h3grid_srv_spark.operators.spandedup import (
+        span_dedup_stats)
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, k=8, min_docs=2)
+
+
+_SPAN_DEDUP_ORACLE = """
+    with base as (
+        select doc_id, lang, string_split(lower(text), ' ') as ws
+        from documents),
+    sized as (
+        select doc_id, lang, ws, len(ws) - 7 as n_grams
+        from base where len(ws) - 7 >= 1),
+    grams as (
+        select doc_id, lang, n_grams,
+               array_to_string(ws[i:i+7], ' ') as g
+        from (select *, unnest(generate_series(1, n_grams)) as i
+              from sized)),
+    dup as (
+        select g from grams
+        group by g having count(distinct doc_id) >= 2),
+    marked as (
+        select doc_id, count(*) as dup_pos
+        from grams join dup using (g) group by doc_id),
+    cov as (
+        select s.doc_id, s.lang, s.n_grams,
+               coalesce(m.dup_pos, 0) as dup_pos
+        from sized s left join marked m using (doc_id))
+    select lang, count(*)::bigint as n_docs,
+           sum(n_grams)::bigint as total_grams,
+           sum(dup_pos)::bigint as dup_grams,
+           round(avg(dup_pos::double / n_grams), 6) as avg_dup_cov
+    from cov group by lang order by lang
+"""
+
+
 def q_region_semi_join(spark, sf_dir):
     """J2/P10: region cell set -> semi join. The reference chunks cell ids
     into <=20k IN-lists (geomesh.py:238-288); here the driver-enumerated
@@ -2202,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "dedup_clusters": q_dedup_clusters,
         "boilerplate_removal": q_boilerplate_removal,
+        "span_dedup_coverage": q_span_dedup_coverage,
+        "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
         "pagerank_links": q_pagerank_links,
@@ -2472,6 +2579,8 @@ def oracle_sql() -> dict[str, str]:
                        as n_removed
             from tot left join outp using (doc_id)
         """,
+        "span_dedup_coverage": _SPAN_DEDUP_ORACLE,
+        "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (
                 select lang,

@@ -242,10 +242,11 @@ def main():
              "pii_redaction_stats", "repetition_ratio",
              "image_decode_stats", "audio_decode_stats",
              "dedup_clusters", "boilerplate_removal",
+             "span_dedup_coverage",
              "contamination_flags", "quality_model_scores",
              "pagerank_links", "chunk_documents", "pack_sequences",
              "url_canonical_domains", "domain_rollup",
-             "bigram_lm_scores", "bpe_merges"]
+             "bigram_lm_scores", "bpe_merges", "bpe_encode_counts"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

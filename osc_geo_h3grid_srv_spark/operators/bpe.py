@@ -93,3 +93,37 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 6,
     return spark.createDataFrame(
         merges, "rank bigint, merge_left string, merge_right string, "
                 "pair_count bigint")
+
+
+def encode_symbol_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                         text_col: str = "text") -> DataFrame:
+    """ENCODE with a learned merge list — the corpus-scale tokenization
+    pass a training pipeline runs after `learn_bpe_merges` ships its
+    artifact. Adds (n_words, n_bpe_symbols) per row.
+
+    Every whitespace word is wrapped (`_wrapped`) and the merges are
+    applied IN RANK ORDER as literal string replaces inside a
+    `transform` lambda — the same greedy left-to-right primitive the
+    learner used, so learn->encode is exactly consistent. The whole
+    thing is ONE map-side codegen projection: no shuffle, no Python,
+    no per-row state; at 10^12 docs it pipelines with the scan. The
+    merge list is vocab-sized and rides the plan as literals (a real
+    32k-merge vocab would ship as a broadcast + mapInArrow trie pass;
+    this expression form is exact and optimal for the rule-list sizes
+    the learner produces here)."""
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != F.lit(""))
+
+    def n_syms(w):
+        s = _wrapped(w)
+        for a, b in merges:
+            s = F.replace(s, F.lit(SEP + a + SEP + SEP + b + SEP),
+                          F.lit(SEP + a + b + SEP))
+        return F.size(F.split(F.btrim(s, F.lit(SEP)), SEP + SEP))
+
+    syms = F.transform(words, n_syms)
+    return docs.withColumn("n_words", F.size(words).cast("long")) \
+               .withColumn(
+        "n_bpe_symbols",
+        F.aggregate(syms, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")))

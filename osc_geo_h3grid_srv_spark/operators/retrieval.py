@@ -35,8 +35,18 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                        F.size(words).cast("double").alias("dl"))
     stats = base.agg(F.count("*").cast("double").alias("n_docs"),
                      F.avg("dl").alias("avgdl"))
-    hits = (base.select(id_col, "dl", F.explode("ws").alias("w"))
-            .filter(F.col("w").isin(list(query_terms)))
+    # prune to query-vocab tokens INSIDE the array (codegen lambda)
+    # before the generate: explode then emits |matching tokens| rows,
+    # not |all tokens| — at web scale the generate's row volume drops
+    # from the corpus token count to |Q| x matching docs, and docs with
+    # no hit never produce a row at all.
+    qvocab = F.array(*[F.lit(t) for t in query_terms])
+    hits = (base.select(
+                id_col, "dl",
+                F.filter("ws", lambda w: F.array_contains(qvocab, w))
+                 .alias("qs"))
+            .filter(F.size("qs") > 0)
+            .select(id_col, "dl", F.explode("qs").alias("w"))
             .groupBy(id_col, "dl", "w")
             .agg(F.count("*").cast("double").alias("tf")))
     dfreq = (hits.groupBy("w")

@@ -83,3 +83,69 @@ def test_word_table_and_determinism(spark):
     b = [tuple(r) for r in
          learn_bpe_merges(df.repartition(7), 3).collect()]
     assert a == b
+
+
+def _brute_encode(text, merges):
+    """reference encoder: per word, greedy non-overlapping left-to-right
+    application of the merges in rank order."""
+    total_w = total_s = 0
+    for w in text.split(" "):
+        if not w:
+            continue
+        s = list(w)
+        for a, b in merges:
+            s = _apply(s, a, b)
+        total_w += 1
+        total_s += len(s)
+    return total_w, total_s
+
+
+def test_encode_hand_computed(spark):
+    from osc_geo_h3grid_srv_spark.operators.bpe import encode_symbol_counts
+    df = spark.createDataFrame([(0, "the cat"), (1, "the  hat")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in encode_symbol_counts(
+        df, [("t", "h"), ("th", "e")]).collect()}
+    # "the" -> th,e -> the : 1 symbol; "cat"/"hat": 3 symbols each;
+    # double space yields no empty word
+    assert out[0]["n_words"] == 2 and out[0]["n_bpe_symbols"] == 4
+    assert out[1]["n_words"] == 2 and out[1]["n_bpe_symbols"] == 4
+
+
+def test_encode_overlap_and_consecutive(spark):
+    from osc_geo_h3grid_srv_spark.operators.bpe import encode_symbol_counts
+    df = spark.createDataFrame([(0, "aaa abab")],
+                               "doc_id long, text string")
+    # "aaa" + (a,a): greedy non-overlapping -> [aa, a] = 2 symbols
+    out = encode_symbol_counts(df, [("a", "a")]).collect()[0]
+    assert out["n_bpe_symbols"] == 2 + 4
+    # "abab" + (a,b) then (ab,ab): both occurrences merge in one pass,
+    # then the consecutive pair merges -> 1 symbol
+    out = encode_symbol_counts(
+        df, [("a", "b"), ("ab", "ab")]).collect()[0]
+    assert out["n_bpe_symbols"] == 3 + 1
+
+
+def test_learn_then_encode_consistency(spark):
+    """encode with the learner's own merges must equal the brute
+    encoder, and symbol totals must be monotone non-increasing in the
+    number of merges applied (each replace only ever joins symbols)."""
+    from osc_geo_h3grid_srv_spark.operators.bpe import encode_symbol_counts
+    import random
+    rng = random.Random(7)
+    words = ["lower", "newest", "widest", "low", "banana", "abab"]
+    texts = [" ".join(rng.choice(words) for _ in range(12))
+             for _ in range(10)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    learned = [(a, b) for _, a, b, _ in
+               (tuple(r) for r in learn_bpe_merges(df, 5).collect())]
+    prev = None
+    for k in range(len(learned) + 1):
+        enc = encode_symbol_counts(df, learned[:k])
+        tot = enc.groupBy().sum("n_bpe_symbols").collect()[0][0]
+        want = sum(_brute_encode(t, learned[:k])[1] for t in texts)
+        assert tot == want
+        if prev is not None:
+            assert tot <= prev
+        prev = tot

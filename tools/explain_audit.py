@@ -163,6 +163,23 @@ AUDITS = {
                 "distinct-doc counts + anti-join against the frequent "
                 "set + ordered reassembly — no Python anywhere",
     },
+    "span_dedup_coverage": {
+        "expect": ["Generate", "HashAggregate", "LeftSemi"],
+        "forbid": ["CartesianProduct", "ArrowEvalPython",
+                   "BatchEvalPython", "MapInPandas"],
+        "note": "k-gram span dedup: gram hashes built in codegen "
+                "(transform/slice/xxhash64), explode -> 16-byte "
+                "(gh, doc_id) shuffle, distinct-doc count + semi-join "
+                "mark-back — no Python, never the gram text",
+    },
+    "bpe_encode_counts": {
+        "expect": ["HashAggregate", "codegen id"],
+        "forbid": ["CartesianProduct", "ArrowEvalPython",
+                   "BatchEvalPython", "MapInPandas", "SortMergeJoin"],
+        "note": "BPE encode: wrap + rank-ordered literal replaces as ONE "
+                "map-side codegen projection; the only exchange is the "
+                "per-lang rollup",
+    },
     "ann_topk_lsh": {
         "expect": ["TakeOrderedAndProject"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
