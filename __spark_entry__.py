@@ -1148,8 +1148,16 @@ def q_dedup_clusters(spark, sf_dir):
     Spark loop is oracle-checked against a DuckDB recursive-CTE
     reachability closure — full value-hash gate despite not being one
     SQL statement on the Spark side."""
-    from pyspark.sql import functions as F
     from osc_geo_h3grid_srv_spark.operators.cluster import dedup_clusters
+    docs, pairs = _jaccard_cluster_inputs(spark, sf_dir)
+    return dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_rep", "cluster_size")
+
+
+def _jaccard_cluster_inputs(spark, sf_dir):
+    """shared fixture for the cluster entries: docs (id < 150) and
+    their exact word-Jaccard >= 0.75 duplicate pairs."""
+    from pyspark.sql import functions as F
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
@@ -1168,8 +1176,26 @@ def q_dedup_clusters(spark, sf_dir):
                      / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
                      >= 0.75)
              .select("id_a", "id_b"))
-    return dedup_clusters(docs, pairs).select(
-        "doc_id", "cluster_rep", "cluster_size")
+    return docs, pairs
+
+
+def q_dedup_keep_decision(spark, sf_dir):
+    """training-data pipeline: the dedup KEEP decision — per near-dup
+    cluster keep the single highest-quality document (quality = text
+    length here; any classifier score slots in), ties to the lowest id
+    (operators/cluster.py dedup_keep_decision). Both windows (size +
+    rank) share one cluster_rep-keyed exchange. Oracle extends the
+    recursive-CTE closure with the same window."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.cluster import (
+        dedup_clusters, dedup_keep_decision)
+    docs, pairs = _jaccard_cluster_inputs(spark, sf_dir)
+    cl = dedup_clusters(docs, pairs)
+    q = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("quality"))
+    kd = dedup_keep_decision(cl.join(q, "doc_id"), "quality")
+    return kd.select("doc_id", "cluster_rep", "cluster_size", "quality",
+                     F.col("keep").cast("int").alias("keep"))
 
 
 _BP_HDR_A = "cookie policy accept all terms privacy banner close"
@@ -2306,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_stats": q_pii_redaction_stats,
         "repetition_ratio": q_repetition_ratio,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_decision": q_dedup_keep_decision,
         "boilerplate_removal": q_boilerplate_removal,
         "span_dedup_coverage": q_span_dedup_coverage,
         "bpe_encode_counts": q_bpe_encode_counts,
@@ -2537,6 +2564,49 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) over (partition by comp) as bigint)
                        as cluster_size
             from cc
+        """,
+        "dedup_keep_decision": """
+            with recursive words as (
+                select distinct doc_id,
+                       unnest(string_split(lower(text), ' ')) as w
+                from documents where doc_id < 150),
+            sizes as (select doc_id, count(*) as sz from words group by 1),
+            common as (
+                select a.doc_id as id_a, b.doc_id as id_b,
+                       count(*) as common
+                from words a join words b using (w)
+                where a.doc_id < b.doc_id
+                group by 1, 2),
+            pairs as (
+                select id_a, id_b from common
+                join sizes sa on sa.doc_id = id_a
+                join sizes sb on sb.doc_id = id_b
+                where common / (sa.sz + sb.sz - common) >= 0.75),
+            edges as (
+                select id_a as u, id_b as v from pairs
+                union
+                select id_b, id_a from pairs),
+            lab as (
+                select doc_id as node, doc_id as comp
+                from documents where doc_id < 150
+                union
+                select e.u, l.comp from edges e join lab l on l.node = e.v),
+            cc as (select node, min(comp) as comp from lab group by node),
+            fin as (
+                select cast(node as bigint) as doc_id,
+                       cast(comp as bigint) as cluster_rep,
+                       cast(count(*) over (partition by comp) as bigint)
+                           as cluster_size
+                from cc),
+            q as (select cast(doc_id as bigint) as doc_id,
+                         cast(length(text) as bigint) as quality
+                  from documents where doc_id < 150)
+            select f.doc_id, f.cluster_rep, f.cluster_size, q.quality,
+                   cast(row_number() over (
+                            partition by f.cluster_rep
+                            order by q.quality desc, f.doc_id asc) = 1
+                        as int) as keep
+            from fin f join q using (doc_id)
         """,
         "boilerplate_removal": f"""
             with d as (

@@ -142,3 +142,21 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     w = Window.partitionBy("cluster_rep")
     return out.withColumn("cluster_size",
                           F.count("*").over(w).cast("long"))
+
+
+def dedup_keep_decision(clustered: DataFrame, quality_col: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """The final dedup DECISION: per cluster keep exactly one document —
+    the highest `quality_col` (ties broken by lowest id, so the choice
+    is deterministic). Adds a `keep` boolean; `filter(keep)` is the
+    deduplicated corpus.
+
+    This replaces the naive keep-the-representative policy (the rep is
+    just the min id) with the keep-the-best policy production pipelines
+    use (e.g. keep the highest quality-classifier score among
+    near-duplicates). The ranking window partitions by cluster_rep —
+    the SAME key as dedup_clusters' size window — so Catalyst computes
+    both windows over one hash-partitioned exchange."""
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    return clustered.withColumn("keep", F.row_number().over(w) == 1)

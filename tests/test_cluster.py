@@ -97,3 +97,24 @@ def test_cc_empty_pairs(spark):
     out = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
            for r in dedup_clusters(docs, pairs).collect()}
     assert out == {1: (1, 1), 2: (2, 1)}
+
+
+def test_dedup_keep_decision(spark):
+    from osc_geo_h3grid_srv_spark.operators.cluster import (
+        dedup_keep_decision)
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    # qualities: cluster {0,1,2} -> doc 1 best; {4,5} -> tie, lowest id
+    # (4) wins; singletons keep themselves
+    quality = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 50), (3, 1), (4, 7), (5, 7), (6, 0)],
+        "doc_id long, quality long")
+    cl = dedup_clusters(docs, pairs).join(quality, "doc_id")
+    out = {r["doc_id"]: r["keep"]
+           for r in dedup_keep_decision(cl, "quality").collect()}
+    assert out == {0: False, 1: True, 2: False, 3: True,
+                   4: True, 5: False, 6: True}
+    # exactly one keeper per cluster, always
+    kept = [d for d, k in out.items() if k]
+    assert len(kept) == 4
