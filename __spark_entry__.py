@@ -1859,7 +1859,8 @@ def q_quality_model_scores(spark, sf_dir):
     return quality_classifier(docs, threshold=0.5)
 
 
-def _quality_model_oracle_sql(threshold=0.5):
+def _quality_feats_cte_and_score():
+    """shared DuckDB replay of quality.py's features + sigmoid."""
     from osc_geo_h3grid_srv_spark.operators.quality import (
         QUALITY_BIAS, QUALITY_WEIGHTS, STOPWORDS)
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1867,8 +1868,7 @@ def _quality_model_oracle_sql(threshold=0.5):
                    [f"{name} * ({w})" for name, w in
                     QUALITY_WEIGHTS.items()])
     score = f"round(1.0 / (1.0 + exp(-({z}))), 6)"
-    return f"""
-        with base as (
+    cte = f"""base as (
             select doc_id, text,
                    string_split(lower(text), ' ') as t
             from documents),
@@ -1889,12 +1889,62 @@ def _quality_model_oracle_sql(threshold=0.5):
                                                'g'))
                          / greatest(length(text), 1)::double, 6)
                        as punct_ratio
-            from base)
+            from base)"""
+    return cte, score
+
+
+def _quality_model_oracle_sql(threshold=0.5):
+    cte, score = _quality_feats_cte_and_score()
+    return f"""
+        with {cte}
         select doc_id, n_tokens, log_tokens, type_token_ratio,
                stopword_ratio, digit_ratio, punct_ratio,
                {score} as quality_score,
                case when {score} >= {threshold} then 1 else 0 end as keep
         from feats
+    """
+
+
+def q_quality_top_fraction(spark, sf_dir):
+    """training-data pipeline: percentile-style curation — keep the
+    best 25% of docs per language by the model quality score, exact
+    deterministic selection (ties to lowest id), composed from
+    quality_classifier + top_fraction_by_group (operators/quality.py).
+    Output pins MEMBERSHIP (id sum), not just sizes. Oracle replays
+    features + sigmoid + the same rank windows in DuckDB."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        quality_classifier, top_fraction_by_group)
+    docs = _t(spark, sf_dir, "documents")
+    scored = (quality_classifier(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    kept = top_fraction_by_group(scored, 0.25, "lang", "quality_score")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"),
+                 F.min("quality_score").alias("min_kept_score"))
+            .orderBy("lang"))
+
+
+def _quality_top_fraction_oracle_sql(frac=0.25):
+    cte, score = _quality_feats_cte_and_score()
+    return f"""
+        with {cte},
+        scored as (
+            select f.doc_id, d.lang, {score} as quality_score
+            from feats f join documents d using (doc_id)),
+        ranked as (
+            select lang, doc_id, quality_score,
+                   row_number() over (partition by lang
+                                      order by quality_score desc,
+                                               doc_id asc) as rk,
+                   count(*) over (partition by lang) as n
+            from scored)
+        select lang, count(*)::bigint as n_kept,
+               sum(doc_id)::bigint as id_sum,
+               min(quality_score) as min_kept_score
+        from ranked where rk <= ceil({frac} * n)
+        group by lang order by lang
     """
 
 
@@ -2338,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
+        "quality_top_fraction": q_quality_top_fraction,
         "pagerank_links": q_pagerank_links,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -2941,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "training_mix_sample": _training_mix_oracle_sql(),
         "contamination_flags": _contamination_oracle_sql(),
         "quality_model_scores": _quality_model_oracle_sql(),
+        "quality_top_fraction": _quality_top_fraction_oracle_sql(),
         "pagerank_links": _pagerank_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),

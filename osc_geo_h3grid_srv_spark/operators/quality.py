@@ -82,3 +82,32 @@ def quality_classifier(docs: DataFrame, threshold: float = 0.5,
             .withColumn("keep",
                         (F.col("quality_score") >= F.lit(threshold))
                         .cast("int")))
+
+
+def top_fraction_by_group(df: DataFrame, frac: float, group_col: str,
+                          score_col: str, id_col: str = "doc_id"
+                          ) -> DataFrame:
+    """Curation selection: keep the best `frac` fraction of rows per
+    group by score (ties broken by lowest id — fully deterministic, so
+    re-runs and engine replays select the SAME rows). keep count =
+    ceil(frac * group size), so every non-empty group keeps >= 1 row.
+
+    Both windows (rank + group count) partition on `group_col`, so
+    Catalyst computes them over ONE exchange + sort. This exact-rank
+    form is for reproducible selection at moderate group cardinality;
+    at 10^12 rows per group the same semantics (up to ties) come from
+    an approx_percentile(score, 1-frac) threshold broadcast back as a
+    filter — one aggregate + one map pass, no global sort. Prefer
+    `frac` values with exact binary representations (0.25, 0.5) so the
+    ceil(frac * n) boundary cannot differ between engines."""
+    from pyspark.sql import Window
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac {frac} not in (0, 1]")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    wn = Window.partitionBy(group_col)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(wn))
+            .filter(F.col("__rk")
+                    <= F.ceil(F.lit(float(frac)) * F.col("__n")))
+            .drop("__rk", "__n"))

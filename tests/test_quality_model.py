@@ -72,3 +72,24 @@ def test_plan_is_single_mapside_projection(spark):
     assert "Exchange" not in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_top_fraction_by_group(spark):
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        top_fraction_by_group)
+    rows = [(i, "a", float(i)) for i in range(10)] + \
+           [(100 + i, "b", 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    # group a: 10 rows, frac 0.25 -> ceil(2.5)=3 kept: scores 9,8,7
+    # group b: 3 equal scores -> ceil(0.75)=1 kept: tie -> lowest id
+    kept = {(r["g"], r["doc_id"]) for r in
+            top_fraction_by_group(df, 0.25, "g", "s").collect()}
+    assert kept == {("a", 9), ("a", 8), ("a", 7), ("b", 100)}
+    # frac=1.0 keeps everything; helper columns dropped
+    out = top_fraction_by_group(df, 1.0, "g", "s")
+    assert out.count() == 13
+    assert set(out.columns) == {"doc_id", "g", "s"}
+    # invalid fraction rejected
+    import pytest
+    with pytest.raises(ValueError):
+        top_fraction_by_group(df, 0.0, "g", "s")
