@@ -172,6 +172,14 @@ AUDITS = {
                 "(gh, doc_id) shuffle, distinct-doc count + semi-join "
                 "mark-back — no Python, never the gram text",
     },
+    "quality_top_fraction": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["CartesianProduct", "ArrowEvalPython",
+                   "BatchEvalPython", "MapInPandas"],
+        "note": "top-fraction curation: scoring is map-side codegen; "
+                "rank + group-count windows share one lang-keyed "
+                "exchange; no Python",
+    },
     "bpe_encode_counts": {
         "expect": ["HashAggregate", "codegen id"],
         "forbid": ["CartesianProduct", "ArrowEvalPython",
