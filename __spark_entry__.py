@@ -2328,6 +2328,120 @@ def _bpe_oracle_sql(n_merges=_BPE_MERGES):
             + f"\n        select * from ({union})")
 
 
+_PAGES_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _docs_as_pages(spark, sf_dir):
+    """documents -> canonical pages rows (BASELINE.json input_hint
+    schema): url doc://<doc_id>, warc_ts = epoch + doc_id seconds, html
+    wraps text in the page template so extract_text(html) == text
+    byte-identically (documents.text is whitespace-normalized and
+    tag-free — verified by the oracle hash, not assumed)."""
+    from pyspark.sql import functions as F
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(_PAGES_EPOCH) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><head><title></title></head><body><p>"),
+                     F.col("text"), F.lit("</p></body></html>")),
+            "utf-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+def _url_digest_col():
+    """bigint digest of url: first 8 hex digits of md5 — sums stay far
+    below 2^63 at any test SF, and DuckDB's HUGEINT sum casts back
+    exactly (('0x'||substr(md5(url),1,8))::bigint on the oracle side)."""
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long")
+
+
+def q_warc_roundtrip_ingest(spark, sf_dir):
+    """container ingest (sources/warc.py): documents -> synthetic HTML
+    pages -> WARC/1.0 files on disk (distributed writer, one file per
+    partition, deterministic per-partition names so task retries
+    overwrite instead of duplicating) -> pages_from_warc (binaryFile
+    scan + quarantining parser + byte-identical extract_text) ->
+    per-bucket digests. The oracle computes the same digests straight
+    from documents.text, so a value-hash match proves the whole
+    write->parse->extract chain is byte-identical (the input_hint
+    invariant) and that zero records were quarantined (error rows
+    would surface as a NULL bucket group)."""
+    import os
+    import tempfile
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.sources.warc import (
+        pages_from_warc, write_warc_bytes)
+    pages = _docs_as_pages(spark, sf_dir).drop("doc_id").repartition(8)
+    tmpdir = tempfile.mkdtemp(prefix="warc_entry_")
+
+    def dump(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        recs = []
+        for pdf in batches:
+            recs.extend(zip(pdf["url"], pdf["warc_ts"],
+                            (bytes(h) for h in pdf["html"])))
+        if recs:
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(tmpdir, f"part-{pid:05d}.warc")
+            with open(path, "wb") as fh:
+                fh.write(write_warc_bytes(recs))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    pages.mapInPandas(dump, "n long").collect()
+    got = pages_from_warc(spark, tmpdir)
+    bucket = (F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+              % 10).alias("bucket")
+    tdig = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (got.groupBy(bucket)
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                 F.sum(tdig).alias("text_digest"),
+                 F.min(F.md5("text")).alias("min_md5"),
+                 F.max(F.md5("text")).alias("max_md5")))
+
+
+def q_incremental_ingest_dedup(spark, sf_dir):
+    """incremental crawl ingest (operators/incremental.py): two batches
+    committed into a fresh snapshot catalog with companion-hash dedup —
+    the anti-join reads only {table}__hashes, never the corpus. batch1 =
+    docs with doc_id%3!=0; batch2 = the rest plus a planted re-crawl of
+    every %7 doc under a new url (re://) with warc_ts shifted -500000s
+    for even ids (the re-crawl WINS the intra-batch keep-first) and
+    +500000s for odd (the original wins). Cross-batch dups must fall to
+    the hash table regardless of timestamps. The oracle replays the
+    keep-decision as one window rank over (batch, ts, url)."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.incremental import (
+        incremental_ingest)
+    from osc_geo_h3grid_srv_spark.sources.catalog import Catalog
+    pages = _docs_as_pages(spark, sf_dir)
+    b1 = pages.filter(F.col("doc_id") % 3 != 0).drop("doc_id")
+    recrawl = (
+        pages.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("url", F.concat(F.lit("re://"), F.col("doc_id")))
+        .withColumn("warc_ts", F.timestamp_seconds(
+            F.lit(_PAGES_EPOCH) + F.col("doc_id")
+            + F.when(F.col("doc_id") % 2 == 0, -500000)
+            .otherwise(500000))))
+    b2 = (pages.filter(F.col("doc_id") % 3 == 0).drop("doc_id")
+          .unionByName(recrawl.drop("doc_id")))
+    catalog = Catalog(tempfile.mkdtemp(prefix="incr_entry_"), spark)
+    incremental_ingest(catalog, b1, "pages_raw", batch_source="batch-1")
+    incremental_ingest(catalog, b2, "pages_raw", batch_source="batch-2")
+    final = catalog.load("pages_raw")
+    bucket = (F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+              % 10).alias("bucket")
+    return (final.groupBy(bucket)
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                 F.sum(_url_digest_col()).alias("url_digest")))
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2396,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,
+        "warc_roundtrip_ingest": q_warc_roundtrip_ingest,
+        "incremental_ingest_dedup": q_incremental_ingest_dedup,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
         "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
@@ -3000,6 +3116,39 @@ def oracle_sql() -> dict[str, str]:
         "domain_rollup": _domain_rollup_oracle_sql(),
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
+        "warc_roundtrip_ingest": """
+            select doc_id % 10 as bucket, count(*) as n_pages,
+                   cast(sum(length(text)) as bigint) as sum_chars,
+                   cast(sum(('0x' || substr(md5(text), 1, 8))::bigint)
+                        as bigint) as text_digest,
+                   min(md5(text)) as min_md5, max(md5(text)) as max_md5
+            from documents group by 1
+        """,
+        "incremental_ingest_dedup": """
+            with pages as (
+                select doc_id, text, 'doc://' || doc_id as url,
+                       cast(doc_id as bigint) as ts_off, 1 as b
+                from documents where doc_id % 3 <> 0
+                union all
+                select doc_id, text, 'doc://' || doc_id,
+                       cast(doc_id as bigint), 2
+                from documents where doc_id % 3 = 0
+                union all
+                select doc_id, text, 're://' || doc_id,
+                       doc_id + case when doc_id % 2 = 0
+                                     then -500000 else 500000 end, 2
+                from documents where doc_id % 7 = 0),
+            r as (
+                select *, row_number() over (
+                    partition by md5(text)
+                    order by b, ts_off, url) as rk
+                from pages)
+            select doc_id % 10 as bucket, count(*) as n_pages,
+                   cast(sum(length(text)) as bigint) as sum_chars,
+                   cast(sum(('0x' || substr(md5(url), 1, 8))::bigint)
+                        as bigint) as url_digest
+            from r where rk = 1 group by 1
+        """,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "geometry_stats": _geometry_stats_oracle_sql(),
         "simplify_polygon": _simplify_oracle_sql(),
