@@ -1297,6 +1297,142 @@ def q_span_dedup_coverage(spark, sf_dir):
     return span_dedup_stats(docs, k=8, min_docs=2)
 
 
+def q_span_dedup_removal(spark, sf_dir):
+    """training-data pipeline: the CLEANING step behind the coverage
+    measure — duplicated 8-gram spans removed from every doc except the
+    gram's keep-first winner (min doc_id), text rebuilt from surviving
+    tokens (operators/spandedup.py remove_duplicated_spans; Lee et al.
+    2022 span-union semantics). Oracle replays winner election, span
+    union, and the token-level rebuild on gram STRINGS in DuckDB, so
+    the full cleaned text of every doc is value-hash-gated — an
+    off-by-one in the span window or a wrong winner flips the hash."""
+    from osc_geo_h3grid_srv_spark.operators.spandedup import (
+        remove_duplicated_spans)
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, k=8, min_docs=2)
+
+
+_SPAN_REMOVAL_ORACLE = """
+    with base as (
+        select doc_id, string_split(lower(text), ' ') as ws
+        from documents),
+    sized as (
+        select doc_id, ws, len(ws) as n_tok from base),
+    occ as (
+        select doc_id, i, array_to_string(ws[i:i+7], ' ') as g
+        from (select doc_id, ws,
+                     unnest(generate_series(1, n_tok - 7)) as i
+              from sized where n_tok >= 8)),
+    win as (
+        select g, min(doc_id) as w from occ
+        group by g having count(distinct doc_id) >= 2),
+    rem as (
+        select o.doc_id, o.i from occ o join win w on o.g = w.g
+        where o.doc_id <> w.w),
+    cut as (
+        select distinct doc_id, p
+        from (select doc_id,
+                     unnest(generate_series(i, i + 7)) as p
+              from rem)),
+    tok as (
+        select doc_id, unnest(ws) as tk,
+               unnest(generate_series(1, n_tok)) as p
+        from sized),
+    kept as (
+        select t.doc_id, t.tk, t.p
+        from tok t left join cut c
+          on t.doc_id = c.doc_id and t.p = c.p
+        where c.doc_id is null),
+    agg as (
+        select doc_id, string_agg(tk, ' ' order by p) as clean_text,
+               count(*) as n_kept
+        from kept group by doc_id)
+    select s.doc_id,
+           coalesce(a.clean_text, '') as clean_text,
+           s.n_tok::bigint as n_tokens,
+           (s.n_tok - coalesce(a.n_kept, 0))::bigint as n_removed
+    from sized s left join agg a using (doc_id)
+"""
+
+
+def q_html_link_graph(spark, sf_dir):
+    """web-corpus link-graph ingestion (operators/weburl.py
+    extract_links / link_domain_edges): documents are wrapped into
+    deterministic HTML pages carrying 0-3 <a href> outlinks (target id
+    (doc_id*m + j*17) mod N for (j,m) in ((0,3),(1,5),(2,7)), link j
+    present unless (doc_id+j)%3==0, a tracking ?utm_source=syn appended
+    when (doc_id+j)%5==0); the binary html is then scanned with a
+    single JVM regexp_extract_all pass and rolled up into the
+    host-level edge list (src_host, dst_host, n_links, n_urls) where
+    n_urls counts distinct CANONICAL targets (utm stripped). Oracle
+    rebuilds the same html strings in DuckDB and replays the regex
+    extraction + host parse + canonical collapse, so a regex, decode,
+    explode, or canonicalization bug flips the hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.weburl import link_domain_edges
+    docs = _t(spark, sf_dir, "documents")
+    nm = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    d = docs.crossJoin(F.broadcast(nm))
+    tags = []
+    for j, m in ((0, 3), (1, 5), (2, 7)):
+        t = (F.col("doc_id") * m + j * 17) % F.col("nm")
+        utm = F.when((F.col("doc_id") + j) % 5 == 0,
+                     F.lit("?utm_source=syn")).otherwise(F.lit(""))
+        tag = F.concat(F.lit('<a href="https://site-'), (t % 23),
+                       F.lit(".example/p/"), t, utm, F.lit('"></a>'))
+        tags.append(F.when((F.col("doc_id") + j) % 3 != 0, tag)
+                    .otherwise(F.lit("")))
+    pages = d.select(
+        F.concat(F.lit("https://site-"), F.col("doc_id") % 23,
+                 F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p>"), *tags, F.lit("</body></html>")),
+                 "utf-8").alias("html"))
+    return link_domain_edges(pages)
+
+
+_HTML_LINK_ORACLE = r"""
+    with nn as (select max(doc_id) + 1 as nm from documents),
+    pages as (
+        select 'https://site-' || (doc_id % 23) || '.example/p/' || doc_id
+                   as url,
+               '<html><body><p>' || text || '</p>'
+               || case when (doc_id + 0) % 3 <> 0 then
+                      '<a href="https://site-' || ((doc_id*3 + 0) % nm % 23)
+                      || '.example/p/' || ((doc_id*3 + 0) % nm)
+                      || case when (doc_id + 0) % 5 = 0
+                              then '?utm_source=syn' else '' end
+                      || '"></a>' else '' end
+               || case when (doc_id + 1) % 3 <> 0 then
+                      '<a href="https://site-' || ((doc_id*5 + 17) % nm % 23)
+                      || '.example/p/' || ((doc_id*5 + 17) % nm)
+                      || case when (doc_id + 1) % 5 = 0
+                              then '?utm_source=syn' else '' end
+                      || '"></a>' else '' end
+               || case when (doc_id + 2) % 3 <> 0 then
+                      '<a href="https://site-' || ((doc_id*7 + 34) % nm % 23)
+                      || '.example/p/' || ((doc_id*7 + 34) % nm)
+                      || case when (doc_id + 2) % 5 = 0
+                              then '?utm_source=syn' else '' end
+                      || '"></a>' else '' end
+               || '</body></html>' as html
+        from documents, nn),
+    links as (
+        select url,
+               unnest(regexp_extract_all(html, '<a\s+href="([^"]*)"', 1))
+                   as href
+        from pages),
+    hosts as (
+        select split_part(split_part(url, '://', 2), '/', 1) as src_host,
+               split_part(split_part(href, '://', 2), '/', 1) as dst_host,
+               split_part(href, '?', 1) as canon
+        from links)
+    select src_host, dst_host, count(*)::bigint as n_links,
+           count(distinct canon)::bigint as n_urls
+    from hosts group by src_host, dst_host
+"""
+
+
 _SPAN_DEDUP_ORACLE = """
     with base as (
         select doc_id, lang, string_split(lower(text), ' ') as ws
@@ -2499,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_decision": q_dedup_keep_decision,
         "boilerplate_removal": q_boilerplate_removal,
         "span_dedup_coverage": q_span_dedup_coverage,
+        "span_dedup_removal": q_span_dedup_removal,
+        "html_link_graph": q_html_link_graph,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -2817,6 +2955,8 @@ def oracle_sql() -> dict[str, str]:
             from tot left join outp using (doc_id)
         """,
         "span_dedup_coverage": _SPAN_DEDUP_ORACLE,
+        "span_dedup_removal": _SPAN_REMOVAL_ORACLE,
+        "html_link_graph": _HTML_LINK_ORACLE,
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

@@ -82,3 +82,68 @@ def span_dedup_stats(docs: DataFrame, k: int = 8, min_docs: int = 2,
                  F.round(F.avg(F.col("dup_pos")
                                / F.col("n_grams")), 6).alias("avg_dup_cov"))
             .orderBy(group_col))
+
+
+def remove_duplicated_spans(docs: DataFrame, k: int = 8, min_docs: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Rewrite each document with cross-doc duplicated spans REMOVED
+    (the actual cleaning step behind span_dedup_stats' measurement —
+    Lee et al. 2022 remove the duplicated substrings from all but one
+    copy; this is the fixed-k-gram distributed relaxation with
+    keep-first semantics).
+
+    A k-gram occurring in >= min_docs distinct documents has a WINNER:
+    the smallest `id_col` among the docs containing it (deterministic,
+    order-free). In every other doc, all token positions covered by an
+    occurrence of that gram are cut; the doc's text is rebuilt from the
+    surviving tokens in order. The winner keeps its copy, so shared
+    content survives exactly once per gram (a doc may still lose a
+    position to one gram while winning an overlapping one — coverage
+    is the union over losing occurrences, matching the paper's
+    span-union semantics).
+
+    Returns (id_col, clean_text, n_tokens, n_removed) for EVERY input
+    doc (docs shorter than k tokens pass through untouched).
+
+    Scale design: the gram shuffle carries (gram_hash, id, pos) — 20
+    bytes/row, never gram text; winner election is one groupBy with
+    map-side partial agg; cut positions re-join occurrences on the
+    same gram_hash key (AQE reuses the partitioning and skew-splits
+    hot boilerplate grams); the rebuild is a per-doc array filter in
+    codegen, no Python. Tokenization is lowercase-whitespace, shared
+    with span_dedup_stats so measured coverage and removed mass agree.
+    """
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+    base = base.withColumn("n_tok", F.size("ws"))
+    sized = base.filter(F.col("n_tok") >= k)
+    pos = F.sequence(F.lit(0), F.col("n_tok") - k)
+    grams_arr = F.transform(
+        pos, lambda i: F.struct(
+            i.alias("i"),
+            F.xxhash64(F.concat_ws(" ", F.slice("ws", i + 1, k)))
+            .alias("gh")))
+    occ = (sized.select("_id", F.explode(grams_arr).alias("o"))
+           .select("_id", F.col("o.i").alias("i"), F.col("o.gh").alias("gh")))
+    win = (occ.groupBy("gh")
+           .agg(F.count_distinct("_id").alias("nd"),
+                F.min("_id").alias("w"))
+           .filter(F.col("nd") >= min_docs)
+           .select("gh", "w"))
+    cut = (occ.join(win, "gh")
+           .filter(F.col("_id") != F.col("w"))
+           .select("_id", F.explode(
+               F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("p"))
+           .distinct())
+    cuts = cut.groupBy("_id").agg(F.collect_set("p").alias("cutset"))
+    out = (base.join(cuts, "_id", "left")
+           .withColumn("cutset", F.coalesce(
+               "cutset", F.array().cast("array<int>")))
+           .withColumn("kept", F.filter(
+               "ws", lambda t, idx: ~F.array_contains("cutset", idx))))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        (F.col("n_tok") - F.size("kept")).cast("long").alias("n_removed"))

@@ -116,6 +116,46 @@ def registrable_domain(host) -> Column:
             .otherwise(last2))
 
 
+# href attribute of <a> tags; group 1 = the target URL. Double-quoted
+# hrefs only (the synthetic corpus and WARC fixtures emit exactly this
+# form; single-quote/unquoted variants are a regex alternation away).
+LINK_HREF_RE = r'<a\s+href="([^"]*)"'
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src_url, href) edge list from raw page HTML — the link-graph
+    ingestion step of a web-corpus pipeline (Common-Crawl wat-style
+    outlink extraction).
+
+    One JVM projection: the binary html column is cast to string
+    (UTF-8 decode in codegen) and scanned with `regexp_extract_all`,
+    then exploded. No Python, no shuffle — the exchange (if any)
+    belongs to whatever aggregates the edges downstream. Pages with no
+    <a href> emit no rows (explode drops empty arrays), which is what
+    a link graph wants."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(LINK_HREF_RE), F.lit(1))
+    return pages.select(F.col(url_col).alias("src_url"),
+                        F.explode(hrefs).alias("href"))
+
+
+def link_domain_edges(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """host-level link graph: (src_host, dst_host, n_links bigint,
+    n_urls bigint) with n_urls = distinct CANONICAL targets (tracking
+    params collapse). extract_links + the module's canonical host
+    algebra + one groupBy — the module's second intentional shuffle."""
+    e = extract_links(pages, url_col=url_col, html_col=html_col)
+    e = e.select(
+        host_from_url(F.col("src_url")).alias("src_host"),
+        host_from_url(F.col("href")).alias("dst_host"),
+        canonicalize_url(F.col("href")).alias("canon"))
+    return (e.groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("bigint").alias("n_links"),
+                 F.countDistinct("canon").cast("bigint").alias("n_urls")))
+
+
 def url_table(docs: DataFrame, url_col: str = "url",
               blocked_domains: tuple = ()) -> DataFrame:
     """per-row canonical URL + host + registrable domain + blocklist

@@ -63,3 +63,51 @@ def test_url_table_plan_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_extract_links_from_html_binary(spark):
+    rows = [
+        (1, "https://src.com/a",
+         b'<html><body><a href="https://x.com/1"></a>'
+         b'<a href="https://y.com/2?utm_source=t"></a></body></html>'),
+        (2, "https://src.com/b", b"<html><body>no links</body></html>"),
+        (3, "https://other.net/c",
+         b'<p><a href="https://x.com/1"></a></p>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    from osc_geo_h3grid_srv_spark.operators.weburl import (
+        extract_links, link_domain_edges)
+    got = sorted((r["src_url"], r["href"])
+                 for r in extract_links(df).collect())
+    assert got == [
+        ("https://other.net/c", "https://x.com/1"),
+        ("https://src.com/a", "https://x.com/1"),
+        ("https://src.com/a", "https://y.com/2?utm_source=t"),
+    ]
+    edges = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_urls"])
+             for r in link_domain_edges(df).collect()}
+    assert edges == {("src.com", "x.com"): (1, 1),
+                     ("src.com", "y.com"): (1, 1),
+                     ("other.net", "x.com"): (1, 1)}
+
+
+def test_extract_links_is_pythonless_single_projection(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x", b"<html></html>")],
+                               "doc_id long, url string, html binary")
+    from osc_geo_h3grid_srv_spark.operators.weburl import extract_links
+    plan = extract_links(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_canonical_collapses_tracking_variants_in_edges(spark):
+    # two hrefs to the same target differing only by utm params:
+    # n_links counts both, n_urls collapses to one canonical target.
+    rows = [(1, "https://src.com/a",
+             b'<a href="https://x.com/p/9"></a>'
+             b'<a href="https://x.com/p/9?utm_source=syn"></a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    from osc_geo_h3grid_srv_spark.operators.weburl import link_domain_edges
+    r = link_domain_edges(df).collect()[0]
+    assert (r["n_links"], r["n_urls"]) == (2, 1)
