@@ -32,8 +32,9 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(10_000_000 * _SF))))
 def prepare_pages(spark, n_pages):
     """materialize the deterministic pages table once (data prep, not part
     of the measured pipeline - production reads pages from the lake)."""
-    from osc_geo_h3grid_srv_spark.sources.pages import pages_dataframe
-    path = f"/tmp/spark_graft_pages_{n_pages}.parquet"
+    from osc_geo_h3grid_srv_spark.sources.pages import (
+        PAGES_VERSION, pages_dataframe)
+    path = f"/tmp/spark_graft_pages_v{PAGES_VERSION}_{n_pages}.parquet"
     if not os.path.exists(path + "/_SUCCESS"):
         pages_dataframe(spark, n_pages, partitions=CPUS * 2) \
             .write.mode("overwrite").parquet(path)

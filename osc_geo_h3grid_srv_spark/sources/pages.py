@@ -156,13 +156,42 @@ def synthesize_pages_pdf(start: int, count: int) -> pd.DataFrame:
             np.char.add(np.char.mod("%.6f", lat2), np.char.add(",", np.char.mod("%.6f", lng2)))),
             "</span>"),
         "")
+    # outlinks: up to 2 <a href> elements targeting EARLIER pages
+    # (target index uniform over [0, i), so any generated prefix is a
+    # closed link graph). EMPTY anchor text: the tags strip to
+    # whitespace, so extract_text output — and every downstream text
+    # invariant — is byte-identical to the link-free corpus. Link
+    # identity derives from the ROW hash h (not the content-source
+    # hash), so planted content dups legitimately carry different
+    # outlinks, like real mirrored pages.
+    hl1 = mix64(h ^ _U64(0x1111111111111111))
+    hl2 = mix64(h ^ _U64(0x2222222222222222))
+    imax = np.maximum(i, _U64(1))
+    t1 = (hl1 % imax).astype(np.int64)
+    t2 = (hl2 % imax).astype(np.int64)
+    has_l1 = (i > _U64(0)) & ((hl1 >> _U64(61)) != _U64(0))   # 7/8
+    has_l2 = (i > _U64(0)) & ((hl2 >> _U64(62)) == _U64(0))   # 1/4
+
+    def _link_tag(t):
+        host_n = (mix64(t.astype(np.uint64)) % _U64(1000)) \
+            .astype(np.int64).astype(str)
+        return np.char.add(
+            np.char.add('<a href="https://example-', host_n),
+            np.char.add(".org/page/",
+                        np.char.add(t.astype(str), '"></a>')))
+
+    link1 = np.where(has_l1, _link_tag(t1), "").astype(str)
+    link2 = np.where(has_l2, _link_tag(t2), "").astype(str)
+
     html_str = np.char.add(
         np.char.add(
             np.char.add("<html><head><title>Page ", title_w.astype(str)),
             "</title></head><body><p>"),
         np.char.add(
             np.char.add(body.astype(str), "</p>"),
-            np.char.add(np.char.add(anchor1, anchor2), "</body></html>")))
+            np.char.add(np.char.add(anchor1, anchor2),
+                        np.char.add(np.char.add(link1, link2),
+                                    "</body></html>"))))
 
     html = pd.Series([s.encode("utf-8") for s in html_str.tolist()])
     pdf = pd.DataFrame({
@@ -174,6 +203,10 @@ def synthesize_pages_pdf(start: int, count: int) -> pd.DataFrame:
     pdf["text"] = extract_text(pdf["html"])
     return pdf[["url", "warc_ts", "html", "text", "lang"]]
 
+
+# bump when the generator's output changes so materialized caches
+# (bench.prepare_pages) are keyed to the generation, not just the count
+PAGES_VERSION = 2
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")

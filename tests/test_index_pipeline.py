@@ -238,3 +238,30 @@ def test_partition_pruning_near_pole_radius(engine, spark):
         n_got, n_brute = got.count(), brute.count()
         assert n_got == n_brute, (qlat, qlng, r, n_got, n_brute)
         assert n_brute > 0
+
+
+def test_outlinks_resolve_to_existing_pages(pages):
+    # generator v2 plants 0-2 <a href> outlinks per page targeting
+    # EARLIER page indices, so any generated prefix is a CLOSED link
+    # graph: every extracted href must be the url of a page in the same
+    # batch. Empty anchor text keeps extract_text byte-identical
+    # (test_text_invariant covers that on this same fixture).
+    from osc_geo_h3grid_srv_spark.operators.weburl import extract_links
+    links = extract_links(pages)
+    n = links.count()
+    # ~7/8 of pages carry link 1 and ~1/4 link 2 (page 0 carries none)
+    assert N_PAGES * 0.9 < n < N_PAGES * 1.3
+    unresolved = links.join(
+        pages.select(F.col("url").alias("href")),
+        "href", "left_anti").count()
+    assert unresolved == 0
+    # determinism: same batch regenerated -> same edge multiset
+    from osc_geo_h3grid_srv_spark.sources.pages import synthesize_pages_pdf
+    import re
+    pdf = synthesize_pages_pdf(0, N_PAGES)
+    want = sorted(
+        (u, m) for u, h in zip(pdf["url"], pdf["html"])
+        for m in re.findall(rb'<a\s+href="([^"]*)"', bytes(h)))
+    got = sorted((r["src_url"], r["href"].encode())
+                 for r in links.collect())
+    assert got == want
