@@ -293,6 +293,24 @@ AUDITS = {
                 "groupBy(doc_id) — the corpus is never re-joined or "
                 "shuffled by gram",
     },
+    "span_dedup_removal": {
+        "expect": ["HashAggregate", "Generate", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "span removal: gram winner election and the cut-position "
+                "re-join both key on the 8-byte gram hash (never gram "
+                "text); the per-doc rebuild is a codegen array filter — "
+                "no Python anywhere",
+    },
+    "html_link_graph": {
+        "expect": ["Generate", "HashAggregate", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin"],
+        "note": "outlink extraction: binary->string cast + "
+                "regexp_extract_all + explode in ONE codegen "
+                "projection; the only exchange is the host-edge "
+                "rollup's groupBy with map-side partial agg",
+    },
 }
 
 
