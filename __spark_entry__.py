@@ -1433,6 +1433,100 @@ _HTML_LINK_ORACLE = r"""
 """
 
 
+def q_cdx_random_access(spark, sf_dir):
+    """CDX crawl-index generation + seek random access (sources/warc.py
+    cdx_from_warc / fetch_warc_records, operators/weburl.py
+    surt_urlkey): documents -> real WARC/1.0 files on disk (one file
+    per doc_id%8, records ordered by doc_id so byte offsets are
+    deterministic) -> single-scan CDX rows (filename, offset, length,
+    digest) -> every record RE-FETCHED by seek(offset)+read(length)
+    and re-digested. The oracle computes offsets ANALYTICALLY in DuckDB
+    (record length = header template + digit widths + payload, window
+    cumsum per file) and the digest from the rebuilt html, so a single
+    byte of drift in the writer, the offset scanner, or the range fetch
+    flips the hash — and the digest column only matches if the random
+    access actually returned the right record."""
+    import os
+    import tempfile
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.weburl import surt_urlkey
+    from osc_geo_h3grid_srv_spark.sources.warc import (
+        cdx_from_warc, fetch_warc_records, write_warc_bytes)
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://w"), F.col("doc_id") % 7,
+                 F.lit(".example.org/d/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(_PAGES_EPOCH) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")),
+                 "utf-8").alias("html"),
+        (F.col("doc_id") % 8).alias("file_id"),
+        F.col("doc_id"))
+    tmpdir = tempfile.mkdtemp(prefix="cdx_entry_")
+
+    def dump(key, pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("doc_id")
+        path = os.path.join(tmpdir, f"{int(key[0]):05d}.warc")
+        with open(path, "wb") as fh:
+            fh.write(write_warc_bytes(
+                list(zip(pdf["url"], pdf["warc_ts"],
+                         (bytes(h) for h in pdf["html"])))))
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    pages.groupBy("file_id").applyInPandas(dump, "n long").collect()
+    cdx = cdx_from_warc(spark, tmpdir)
+    fetched = fetch_warc_records(spark, cdx, tmpdir)
+    return fetched.select(
+        "filename", surt_urlkey(F.col("url")).alias("urlkey"),
+        "offset", "length", "digest")
+
+
+_CDX_ORACLE = """
+    with pg as (
+        select doc_id,
+               'https://w' || (doc_id % 7) || '.example.org/d/' || doc_id
+                   as url,
+               '<html><body><p>' || text || '</p></body></html>' as html,
+               doc_id % 8 as file_id
+        from documents),
+    lens as (
+        select *,
+               strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+                 || 'Content-Type: text/html; charset=utf-8'
+                 || chr(13) || chr(10)
+                 || 'Content-Length: ' || strlen(html)
+                 || chr(13) || chr(10) || chr(13) || chr(10))
+               + strlen(html) as http_len
+        from pg),
+    recs as (
+        select *,
+               strlen('WARC/1.0' || chr(13) || chr(10)
+                 || 'WARC-Type: response' || chr(13) || chr(10)
+                 || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+                 || 'WARC-Date: 00000000000000000000'
+                 || chr(13) || chr(10)
+                 || 'Content-Length: ' || http_len
+                 || chr(13) || chr(10))
+               + 2 + http_len + 4 as rec_len
+        from lens),
+    off as (
+        select *,
+               coalesce(sum(rec_len) over (
+                   partition by file_id order by doc_id
+                   rows between unbounded preceding and 1 preceding),
+                   0) as rec_off
+        from recs)
+    select printf('%05d.warc', file_id) as filename,
+           'org,example,w' || (doc_id % 7) || ')/d/' || doc_id as urlkey,
+           rec_off::bigint as "offset",
+           rec_len::bigint as length,
+           md5(html) as digest
+    from off
+"""
+
+
 _SPAN_DEDUP_ORACLE = """
     with base as (
         select doc_id, lang, string_split(lower(text), ' ') as ws
@@ -2637,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_coverage": q_span_dedup_coverage,
         "span_dedup_removal": q_span_dedup_removal,
         "html_link_graph": q_html_link_graph,
+        "cdx_random_access": q_cdx_random_access,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -2957,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_coverage": _SPAN_DEDUP_ORACLE,
         "span_dedup_removal": _SPAN_REMOVAL_ORACLE,
         "html_link_graph": _HTML_LINK_ORACLE,
+        "cdx_random_access": _CDX_ORACLE,
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

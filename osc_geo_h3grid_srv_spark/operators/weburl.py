@@ -99,6 +99,24 @@ def host_from_url(url) -> Column:
         r"^www\.", "")
 
 
+def surt_urlkey(url) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform, the public
+    key format of CDX crawl indexes): host labels reversed and
+    comma-joined, then ')' + path — `https://www.example.org/a/b` ->
+    `org,example)/a/b`. Hosts sort by registrable domain first, so a
+    CDX file range-scans per site. Pure JVM column algebra (reverse +
+    array_join on the already-canonical host), fragment dropped, empty
+    path -> '/'."""
+    host = host_from_url(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(F.substring_index(url, "#", 1),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.substring_index(rest, "/", 1)
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(rev, F.lit(")"), path)
+
+
 def registrable_domain(host) -> Column:
     """PSL-rule registrable domain: last two labels, or last three when
     the two-label suffix is on the embedded two-level list."""

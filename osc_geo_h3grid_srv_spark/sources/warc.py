@@ -60,11 +60,16 @@ def write_warc_bytes(records) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
+def parse_warc_bytes(data: bytes, with_offsets: bool = False) -> list[dict]:
     """split a WARC file into records. Returns dicts with url, warc_ts,
     html, error (None when clean); non-response records are skipped;
     malformed records yield one error row and scanning resumes at the
-    next `WARC/1.0` magic."""
+    next `WARC/1.0` magic.
+
+    with_offsets=True additionally records `offset` (byte position of
+    the record's `WARC/1.0` magic) and `length` (full record size
+    including the trailing CRLFCRLF) on every clean row — the fields a
+    CDX index needs for HTTP-range / seek random access."""
     out = []
     pos = 0
     n = len(data)
@@ -77,6 +82,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             if nxt < 0:
                 break
             pos = nxt
+        rec_start = pos
         hend = data.find(_SEP, pos)
         if hend < 0:
             out.append({"url": None, "warc_ts": None, "html": None,
@@ -117,8 +123,12 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             out.append({"url": url, "warc_ts": ts, "html": None,
                         "error": "block is not an HTTP response"})
             continue
-        out.append({"url": url, "warc_ts": ts,
-                    "html": block[sep + len(_SEP):], "error": None})
+        rec = {"url": url, "warc_ts": ts,
+               "html": block[sep + len(_SEP):], "error": None}
+        if with_offsets:
+            rec["offset"] = rec_start
+            rec["length"] = pos - rec_start
+        out.append(rec)
     return out
 
 
@@ -160,3 +170,99 @@ def pages_from_warc(spark, warc_path: str):
                            "error"]]
 
     return files.mapInPandas(parse, WARC_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CDX index: the public companion format of WARC archives (filename,
+# offset, length per record) enabling seek / HTTP-range random access
+# without rescanning containers.
+# ---------------------------------------------------------------------------
+
+CDX_SCHEMA = ("filename string, url string, warc_ts timestamp, "
+              "offset long, length long, digest string")
+
+FETCH_SCHEMA = ("filename string, url string, warc_ts timestamp, "
+                "offset long, length long, html binary, digest string, "
+                "error string")
+
+
+def cdx_from_warc(spark, warc_path: str):
+    """scan WARC files once and emit the CDX index rows: (filename,
+    url, warc_ts, offset, length, md5-hex payload digest) per clean
+    response record. Same binaryFile one-task-per-file grain as
+    pages_from_warc; quarantined records simply get no index row (they
+    are not addressable)."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc").load(warc_path)
+             .select("path", "content"))
+
+    def scan(batches):
+        import hashlib
+        for pdf in batches:
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                recs = [r for r in parse_warc_bytes(bytes(raw),
+                                                    with_offsets=True)
+                        if r["error"] is None]
+                if not recs:
+                    continue
+                yield pd.DataFrame({
+                    "filename": path.rsplit("/", 1)[-1],
+                    "url": [r["url"] for r in recs],
+                    "warc_ts": pd.to_datetime(
+                        [r["warc_ts"] for r in recs],
+                        utc=True).tz_localize(None),
+                    "offset": [r["offset"] for r in recs],
+                    "length": [r["length"] for r in recs],
+                    "digest": [hashlib.md5(r["html"]).hexdigest()
+                               for r in recs],
+                })
+
+    return files.mapInPandas(scan, CDX_SCHEMA)
+
+
+def fetch_warc_records(spark, cdx, warc_dir: str):
+    """random-access record fetch driven by CDX rows (filename, offset,
+    length): seek + bounded read + single-record parse, NO container
+    rescan — the access pattern a serving layer or a targeted re-crawl
+    uses. Rows are grouped per file and read in offset order (one open,
+    sequential seeks). Returns the fetched record plus a recomputed
+    payload digest; a wrong offset/length surfaces as an error row or a
+    digest mismatch, never a wrong-but-plausible page."""
+    import os
+
+    def fetch(batches):
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("filename"):
+                fpath = os.path.join(warc_dir, fname)
+                with open(fpath, "rb") as fh:
+                    for _, r in grp.sort_values("offset").iterrows():
+                        fh.seek(int(r["offset"]))
+                        chunk = fh.read(int(r["length"]))
+                        recs = parse_warc_bytes(chunk)
+                        if len(recs) == 1 and recs[0]["error"] is None:
+                            rec = recs[0]
+                            rows.append((fname, rec["url"],
+                                         rec["warc_ts"], int(r["offset"]),
+                                         int(r["length"]), rec["html"],
+                                         hashlib.md5(rec["html"])
+                                         .hexdigest(), None))
+                        else:
+                            err = (recs[0]["error"] if recs else
+                                   "empty range")
+                            rows.append((fname, None, None,
+                                         int(r["offset"]),
+                                         int(r["length"]), None, None,
+                                         f"bad range: {err}"))
+            if rows:
+                pdf_out = pd.DataFrame(
+                    rows, columns=["filename", "url", "warc_ts",
+                                   "offset", "length", "html", "digest",
+                                   "error"])
+                pdf_out["warc_ts"] = pd.to_datetime(
+                    pdf_out["warc_ts"], utc=True).dt.tz_localize(None)
+                yield pdf_out
+
+    return cdx.select("filename", "offset", "length") \
+        .mapInPandas(fetch, FETCH_SCHEMA)

@@ -71,3 +71,57 @@ def test_distributed_ingest_matches_pages_table(spark, tmp_path):
     # lang is the language-ID of the extracted text (own invariant)
     from osc_geo_h3grid_srv_spark.functions.text import lang_id
     assert list(out["lang"]) == list(lang_id(out["text"].astype(str)))
+
+
+def test_cdx_offsets_slice_to_exact_records():
+    # every (offset, length) must slice the container to EXACTLY one
+    # clean record equal to the sequential parse's record, and the
+    # records must tile the file with no gaps (writer emits no padding).
+    recs, _ = _recs(30)
+    data = write_warc_bytes(recs)
+    got = parse_warc_bytes(data, with_offsets=True)
+    assert len(got) == 30
+    pos = 0
+    for g, (url, _, html) in zip(got, recs):
+        assert g["offset"] == pos
+        chunk = data[g["offset"]:g["offset"] + g["length"]]
+        sub = parse_warc_bytes(chunk)
+        assert len(sub) == 1 and sub[0]["error"] is None
+        assert sub[0]["url"] == url and sub[0]["html"] == html
+        pos += g["length"]
+    assert pos == len(data)
+
+
+def test_surt_urlkey(spark):
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.weburl import surt_urlkey
+    cases = [
+        ("https://www.example.org/a/b?x=1", "org,example)/a/b?x=1"),
+        ("http://sub.site.co.uk/", "uk,co,site,sub)/"),
+        ("https://host.com", "com,host)/"),
+        ("https://Host.COM:8080/p#frag", "com,host)/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(surt_urlkey(F.col("url"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_cdx_random_access_e2e(spark, tmp_path):
+    import hashlib
+    recs, pdf = _recs(40)
+    # two files to exercise per-file offset spaces
+    (tmp_path / "a.warc").write_bytes(write_warc_bytes(recs[:25]))
+    (tmp_path / "b.warc").write_bytes(write_warc_bytes(recs[25:]))
+    from osc_geo_h3grid_srv_spark.sources.warc import (
+        cdx_from_warc, fetch_warc_records)
+    cdx = cdx_from_warc(spark, str(tmp_path))
+    rows = cdx.toPandas()
+    assert len(rows) == 40
+    assert set(rows["filename"]) == {"a.warc", "b.warc"}
+    fetched = fetch_warc_records(spark, cdx, str(tmp_path)).toPandas()
+    assert len(fetched) == 40
+    assert fetched["error"].isna().all()
+    want = {url: hashlib.md5(html).hexdigest() for url, _, html in recs}
+    got = dict(zip(fetched["url"], fetched["digest"]))
+    assert got == want
