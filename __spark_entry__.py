@@ -1527,6 +1527,59 @@ _CDX_ORACLE = """
 """
 
 
+def q_robots_exclusion(spark, sf_dir):
+    """crawl politeness (operators/robots.py, RFC 9309): per-host
+    robots.txt bodies are synthesized (a named-agent group that must be
+    IGNORED, then a `*` group with `Disallow: /d/<k>` and a longer
+    `Allow: /d/<k><k>`), parsed through the full window-tracked
+    group parser, and evaluated with longest-match / allow-wins-ties
+    precedence against every document url. The oracle derives the
+    expected verdict INDEPENDENTLY (string-prefix semantics on doc_id,
+    never touching the parser), so parse, grouping, precedence, and
+    default-allow bugs all flip the membership-pinned hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.robots import (
+        robots_filter, rules_from_robots_txt)
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://w"), F.col("doc_id") % 7,
+                 F.lit(".example.org/d/"), F.col("doc_id")).alias("url"))
+    ks = docs.select((F.col("doc_id") % 7).alias("k")).distinct()
+    body = F.concat(
+        F.lit("User-agent: bot"), F.col("k"),
+        F.lit("\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /d/"), F.col("k"),
+        F.lit("\nAllow: /d/"), F.col("k"), F.col("k"), F.lit("\n"))
+    robots = ks.select(
+        F.concat(F.lit("w"), F.col("k"), F.lit(".example.org"))
+        .alias("host"),
+        body.alias("body"))
+    rules = rules_from_robots_txt(robots)
+    out = robots_filter(urls, rules)
+    return (out.withColumn("host_k", F.col("doc_id") % 7)
+            .groupBy("host_k", "is_allowed")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.sum("doc_id").cast("long").alias("sum_doc_id")))
+
+
+_ROBOTS_ORACLE = """
+    with u as (
+        select doc_id, doc_id % 7 as host_k,
+               cast(doc_id as varchar) as s,
+               cast(doc_id % 7 as varchar) as k
+        from documents),
+    v as (
+        select doc_id, host_k,
+               (not (s like k || '%')) or (s like k || k || '%')
+                   as is_allowed
+        from u)
+    select host_k, is_allowed, count(*)::bigint as n_urls,
+           sum(doc_id)::bigint as sum_doc_id
+    from v group by host_k, is_allowed
+"""
+
+
 _SPAN_DEDUP_ORACLE = """
     with base as (
         select doc_id, lang, string_split(lower(text), ' ') as ws
@@ -2732,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_removal": q_span_dedup_removal,
         "html_link_graph": q_html_link_graph,
         "cdx_random_access": q_cdx_random_access,
+        "robots_exclusion": q_robots_exclusion,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3053,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_removal": _SPAN_REMOVAL_ORACLE,
         "html_link_graph": _HTML_LINK_ORACLE,
         "cdx_random_access": _CDX_ORACLE,
+        "robots_exclusion": _ROBOTS_ORACLE,
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

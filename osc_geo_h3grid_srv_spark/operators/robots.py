@@ -1,0 +1,119 @@
+"""robots.txt crawl-politeness filtering (public spec: RFC 9309,
+Robots Exclusion Protocol) — the gate every compliant crawl pipeline
+applies before fetching or keeping a page.
+
+Two stages, both pure JVM column algebra (no Python, no UDF):
+
+* `rules_from_robots_txt` — parse raw robots.txt bodies into a
+  (host, directive, prefix) rule table. Line split + posexplode; a
+  rule line belongs to the most recent `User-agent:` group above it,
+  tracked with a window CUMSUM of user-agent lines (group id = number
+  of UA lines at-or-before this line) — no per-row state machine.
+  Only groups addressed to `*` are kept (single-agent engine; named
+  agents are a filter away). Blank prefixes on Disallow ("Disallow:")
+  mean allow-all per the RFC and are dropped.
+
+* `robots_filter` — evaluate urls against the rule table with the
+  RFC 9309 precedence: the LONGEST matching prefix wins; on equal
+  length Allow beats Disallow; no matching rule means allowed.
+  Implemented as a broadcast join on host + startswith predicate +
+  one `max_by` aggregate keyed by (prefix_length, is_allow) — the
+  lexicographic struct order IS the precedence rule, so no window
+  re-sort is needed.
+
+Scale notes: the rules side is the web's robots corpus — millions of
+rows, kilobytes each — comfortably broadcastable after the parse
+collapses bodies to rule rows; the url side is never shuffled. Hot
+hosts skew the per-url match fan-out, not the partitioning (the join
+key leaves urls in place under broadcast). For a rules side too large
+to broadcast, swap the hint for a shuffle join on host and let AQE
+skew-split crawl-heavy domains.
+
+Reference scope note: the reference repo has no crawl surface; this
+module belongs to the web-pipeline extension required by the build
+brief (SURVEY.md "beyond the reference" section).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .weburl import host_from_url
+
+
+def rules_from_robots_txt(robots: DataFrame, host_col: str = "host",
+                          body_col: str = "body") -> DataFrame:
+    """(host, body) -> (host, directive 'allow'|'disallow', prefix).
+
+    Group tracking: `ua_cum` counts User-agent lines at-or-before each
+    line; a group is "addressed to *" if ANY of its UA lines is `*`
+    (consecutive UA lines form one group per the RFC). Rule lines in
+    starred groups survive."""
+    lines = F.split(F.col(body_col), "\n")
+    d = robots.select(F.col(host_col).alias("host"),
+                      F.posexplode(lines).alias("pos", "line"))
+    d = d.withColumn("line", F.trim("line"))
+    is_ua = F.lower("line").startswith("user-agent:")
+    ua_val = F.trim(F.substring(F.col("line"), 12, 1 << 20))
+    d = d.withColumn("is_ua", is_ua.cast("int"))
+    d = d.withColumn("ua_star",
+                     F.when(is_ua & (ua_val == "*"), 1).otherwise(0))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("host").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # group id: consecutive UA lines share a group, so number groups by
+    # UA lines that START a run (previous line not a UA line)
+    wlag = Window.partitionBy("host").orderBy("pos")
+    starts_run = (F.col("is_ua") == 1) & \
+        (F.coalesce(F.lag("is_ua").over(wlag), F.lit(0)) == 0)
+    d = d.withColumn("grp", F.sum(starts_run.cast("int")).over(w))
+    starred = (d.groupBy("host", "grp")
+               .agg(F.max("ua_star").alias("star"))
+               .filter(F.col("star") == 1)
+               .select("host", "grp"))
+    rule = F.regexp_extract(F.lower("line"),
+                            r"^(allow|disallow):", 1)
+    d = (d.filter(rule != "")
+         .withColumn("directive", rule)
+         .withColumn("prefix", F.trim(F.col("line").substr(
+             F.instr(F.col("line"), ":") + 1, F.lit(1 << 20)))))
+    d = d.join(F.broadcast(starred), ["host", "grp"], "left_semi")
+    # "Disallow:" (empty prefix) == allow everything -> no rule row;
+    # "Allow:" (empty) is equally vacuous under longest-match.
+    return (d.filter(F.col("prefix") != "")
+            .select("host", "directive", "prefix"))
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """urls + (host, directive, prefix) rules -> urls with `is_allowed`.
+
+    RFC 9309 precedence via one broadcast join + max_by((len, allow)):
+    longest matching prefix wins, Allow wins length ties, default
+    allow when nothing matches."""
+    u = urls.withColumn("_host", host_from_url(F.col(url_col)))
+    rest = F.regexp_replace(F.substring_index(F.col(url_col), "#", 1),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.substring_index(rest, "/", 1)
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    u = u.withColumn("_path",
+                     F.when(path == "", F.lit("/")).otherwise(path))
+    r = F.broadcast(rules.select(F.col("host").alias("_host"),
+                                 "directive", "prefix"))
+    j = (u.join(r, "_host", "left")
+         .withColumn("_m", F.col("prefix").isNotNull()
+                     & F.col("_path").startswith(F.col("prefix"))))
+    verdict = F.max_by(
+        F.col("directive"),
+        F.when(F.col("_m"),
+               F.struct(F.length("prefix").alias("l"),
+                        (F.col("directive") == "allow").cast("int")
+                        .alias("a"))))
+    out_cols = [c for c in urls.columns]
+    agg = (j.groupBy(*[F.col(c) for c in out_cols])
+           .agg(verdict.alias("_verdict")))
+    return agg.withColumn(
+        "is_allowed",
+        F.coalesce(F.col("_verdict") == "allow", F.lit(True))
+    ).drop("_verdict")

@@ -302,6 +302,17 @@ AUDITS = {
                 "text); the per-doc rebuild is a codegen array filter — "
                 "no Python anywhere",
     },
+    "robots_exclusion": {
+        "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+        "note": "RFC 9309 filter: parsed rule table broadcast onto the "
+                "url side (urls never shuffle for the match); the "
+                "window exchanges live on the kilobyte-scale robots "
+                "relation only; precedence is one max_by aggregate, "
+                "no Python anywhere",
+    },
     "html_link_graph": {
         "expect": ["Generate", "HashAggregate", "codegen id"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
