@@ -1580,6 +1580,42 @@ _ROBOTS_ORACLE = """
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """index construction (operators/retrieval.py build_postings): the
+    materialized inverted index behind BM25 — per term: df, total tf,
+    and the posting list serialized in doc-id order with DELTA-GAP
+    encoded ids (Managing-Gigabytes-style index compression), built
+    with two narrow shuffles and a JVM zip_with gap transform (no
+    window over the corpus, no Python). min_df=2 prunes the hapax
+    tail. Oracle replays tokenize -> tf -> lag-gap -> ordered
+    string_agg in DuckDB, so the full byte content of every posting
+    list is value-hash-gated."""
+    from osc_geo_h3grid_srv_spark.operators.retrieval import build_postings
+    docs = _t(spark, sf_dir, "documents")
+    return build_postings(docs, min_df=2, encode="gaps")
+
+
+_POSTINGS_ORACLE = """
+    with tok as (
+        select doc_id as doc,
+               unnest(string_split(lower(text), ' ')) as term
+        from documents),
+    tf as (
+        select term, doc, count(*)::bigint as tf
+        from tok where term <> '' group by term, doc),
+    g as (
+        select term, doc, tf,
+               doc - coalesce(lag(doc) over (
+                   partition by term order by doc), 0) as gap
+        from tf),
+    agg as (
+        select term, count(*)::bigint as df, sum(tf)::bigint as total_tf,
+               string_agg(gap || ':' || tf, ',' order by doc) as postings
+        from g group by term)
+    select term, df, total_tf, postings from agg where df >= 2
+"""
+
+
 _SPAN_DEDUP_ORACLE = """
     with base as (
         select doc_id, lang, string_split(lower(text), ' ') as ws
@@ -2786,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_graph": q_html_link_graph,
         "cdx_random_access": q_cdx_random_access,
         "robots_exclusion": q_robots_exclusion,
+        "inverted_index": q_inverted_index,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3108,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         "html_link_graph": _HTML_LINK_ORACLE,
         "cdx_random_access": _CDX_ORACLE,
         "robots_exclusion": _ROBOTS_ORACLE,
+        "inverted_index": _POSTINGS_ORACLE,
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

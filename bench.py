@@ -247,7 +247,9 @@ def main():
              "contamination_flags", "quality_model_scores",
              "pagerank_links", "chunk_documents", "pack_sequences",
              "url_canonical_domains", "domain_rollup",
-             "bigram_lm_scores", "bpe_merges", "bpe_encode_counts"]
+             "bigram_lm_scores", "bpe_merges", "bpe_encode_counts",
+             "span_dedup_removal", "html_link_graph", "robots_exclusion",
+             "inverted_index"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

@@ -64,3 +64,56 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                  F.count("*").cast("long").alias("n_matched"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def build_postings(docs: DataFrame, min_df: int = 1,
+                   encode: str = "gaps",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted-index construction: per term, the document frequency,
+    total term frequency, and the posting list serialized as a string
+    — `doc:tf` pairs in doc-id order, with `encode="gaps"` storing
+    DELTA-ENCODED doc ids (first id absolute, then successive gaps):
+    the standard index compression that keeps posting bytes
+    proportional to ln(gap) instead of ln(maxdoc) once a varint codec
+    is layered on (public design: Witten/Moffat/Bell, "Managing
+    Gigabytes"; every web index works this way).
+
+    One shuffle to (term, doc) tf counts, one to the per-term rollup.
+    The gap transform runs AFTER sort_array inside the aggregate
+    projection — JVM higher-order functions, no window, no Python.
+    min_df prunes the hapax tail (the classic index-size lever; at
+    10^12 docs the tail dominates vocabulary, not postings mass).
+
+    Returns (term, df, total_tf, postings string)."""
+    if encode not in ("gaps", "ids"):
+        raise ValueError(f"encode must be 'gaps' or 'ids', got {encode!r}")
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    tok = tok.filter(F.col("term") != "")
+    tf = tok.groupBy("term", "doc").agg(
+        F.count("*").cast("long").alias("tf"))
+    agg = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.sort_array(F.collect_list(F.struct("doc", "tf")))
+        .alias("plist"))
+    if min_df > 1:
+        agg = agg.filter(F.col("df") >= min_df)
+    if encode == "gaps":
+        # element i stores doc_i - doc_{i-1} (doc_0 absolute)
+        enc = F.zip_with(
+            "plist",
+            F.concat(F.array(F.struct(
+                F.lit(0).cast("long").alias("doc"),
+                F.lit(0).cast("long").alias("tf"))),
+                F.slice("plist", 1, F.size("plist") - 1)),
+            lambda cur, prev: F.concat_ws(
+                ":", cur["doc"] - prev["doc"], cur["tf"]))
+    else:
+        enc = F.transform(
+            "plist", lambda x: F.concat_ws(":", x["doc"], x["tf"]))
+    return agg.select(
+        "term", "df", "total_tf",
+        F.array_join(enc, ",").alias("postings"))

@@ -94,3 +94,47 @@ def test_stratified_mix_drops_unlisted_strata(spark):
     assert got == {"en", "de"}  # 'xx' dropped
     n_en = out.filter("lang = 'en'").count()
     assert n_en == 300  # fraction 1.0 keeps every en row
+
+
+def test_build_postings_gaps_and_ids(spark):
+    from osc_geo_h3grid_srv_spark.operators.retrieval import build_postings
+    d = spark.createDataFrame(
+        [(3, "a b a"), (10, "a c"), (25, "a b")],
+        "doc_id long, text string")
+    got = {r["term"]: r.asDict()
+           for r in build_postings(d, encode="gaps").collect()}
+    # 'a': docs 3(tf2),10,25 -> gaps 3, 7, 15
+    assert got["a"]["postings"] == "3:2,7:1,15:1"
+    assert (got["a"]["df"], got["a"]["total_tf"]) == (3, 4)
+    # 'b': docs 3, 25 -> gaps 3, 22
+    assert got["b"]["postings"] == "3:1,22:1"
+    # singleton list: absolute id only
+    assert got["c"]["postings"] == "10:1"
+    ids = {r["term"]: r["postings"]
+           for r in build_postings(d, encode="ids").collect()}
+    assert ids["a"] == "3:2,10:1,25:1"
+    # min_df prunes the hapax tail
+    vocab = {r["term"]
+             for r in build_postings(d, min_df=2).collect()}
+    assert vocab == {"a", "b"}
+    import pytest
+    with pytest.raises(ValueError):
+        build_postings(d, encode="varint")
+
+
+def test_build_postings_gap_roundtrip(spark):
+    # cumulative sum of gaps reconstructs the absolute ids exactly
+    from osc_geo_h3grid_srv_spark.operators.retrieval import build_postings
+    rows = [(i * 7 + 1, "x y" if i % 3 else "x") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in build_postings(d, encode="gaps").collect():
+        acc, docs = 0, []
+        for p in r["postings"].split(","):
+            gap, tf = p.split(":")
+            acc += int(gap)
+            docs.append(acc)
+        assert docs == sorted(docs)
+        assert len(docs) == r["df"]
+        want = sorted(i * 7 + 1 for i in range(40)
+                      if r["term"] in rows[i][1].split())
+        assert docs == want

@@ -302,6 +302,15 @@ AUDITS = {
                 "text); the per-doc rebuild is a codegen array filter — "
                 "no Python anywhere",
     },
+    "inverted_index": {
+        "expect": ["HashAggregate", "Generate", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "Window", "SortMergeJoin"],
+        "note": "posting-list build: tokenize explode -> (term,doc) tf "
+                "agg -> per-term rollup; the delta-gap transform is a "
+                "zip_with INSIDE the aggregate projection, so no "
+                "corpus-wide Window and no Python",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
