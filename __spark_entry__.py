@@ -2761,6 +2761,81 @@ def q_incremental_ingest_dedup(spark, sf_dir):
                  F.sum(_url_digest_col()).alias("url_digest")))
 
 
+def q_dsir_selection(spark, sf_dir):
+    """training-data selection: DSIR importance resampling (Xie et al.
+    2023) over the documents corpus — hashed-ngram (unigram+bigram,
+    256 md5-prefix buckets) bag models for the target (lang='en') and
+    raw distributions fitted in ONE bucket groupBy, per-doc importance
+    weight = sum of bucket log-ratios via a broadcast 256-row join,
+    then deterministic Gumbel top-40 (u from md5(salt|doc_id), so the
+    selected SET is pinned — no rand()). Oracle replays grams, fit,
+    weights, and the Gumbel keys verbatim; hash parity relies on
+    computing 'identical' floats from identical integer counts and
+    rounding at 6 dp."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.dsir import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    sel = dsir_select(docs, F.col("lang") == "en", k=40,
+                      temperature=1.0, salt="dsir1", alpha=1.0)
+    return sel.select("doc_id", "n_grams",
+                      F.round("logw", 6).alias("logw_r"),
+                      F.round("sel_key", 6).alias("sel_key_r"))
+
+
+def _hex8_to_num_sql(h: str) -> str:
+    """DuckDB: numeric value of the first 8 hex chars of md5 expr `h`
+    (exact in DOUBLE: < 2^32 < 2^53)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}.0" for i in range(8)) + ")"
+
+
+def _dsir_oracle_sql(k=40, alpha=1.0, temperature=1.0, salt="dsir1"):
+    hexnum = _hex8_to_num_sql(f"md5('{salt}|' || doc_id::varchar)")
+    return f"""
+        with base as (
+            select doc_id, lang, string_split(lower(text), ' ') as t
+            from documents),
+        grams as (
+            select doc_id, lang, substr(md5(gram), 1, 2) as bucket
+            from (
+                select doc_id, lang, unnest(t) as gram from base
+                union all
+                select doc_id, lang,
+                       unnest(list_transform(range(2, len(t) + 1),
+                              i -> t[i-1] || ' ' || t[i])) as gram
+                from base)),
+        cnt as (
+            select bucket, count(*)::double as cq,
+                   sum(case when lang = 'en' then 1 else 0 end)::double
+                       as ct
+            from grams group by bucket),
+        tot as (select sum(cq) as nq, sum(ct) as nt from cnt),
+        ratio as (
+            select bucket,
+                   ln((ct + {alpha}) / (nt + {alpha * 256.0}))
+                   - ln((cq + {alpha}) / (nq + {alpha * 256.0}))
+                       as log_ratio
+            from cnt cross join tot),
+        w as (
+            select g.doc_id, count(*)::bigint as n_grams,
+                   sum(r.log_ratio) as logw
+            from grams g join ratio r using (bucket)
+            group by g.doc_id),
+        keyed as (
+            select doc_id, n_grams, logw,
+                   logw / {temperature}
+                   + (- ln(- ln(({hexnum} + 0.5) / 4294967296.0)))
+                       as sel_key
+            from w)
+        select doc_id, n_grams, round(logw, 6) as logw_r,
+               round(sel_key, 6) as sel_key_r
+        from keyed
+        order by sel_key desc, doc_id asc
+        limit {k}
+    """
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2823,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_random_access": q_cdx_random_access,
         "robots_exclusion": q_robots_exclusion,
         "inverted_index": q_inverted_index,
+        "dsir_selection": q_dsir_selection,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3146,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_random_access": _CDX_ORACLE,
         "robots_exclusion": _ROBOTS_ORACLE,
         "inverted_index": _POSTINGS_ORACLE,
+        "dsir_selection": _dsir_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

@@ -311,6 +311,17 @@ AUDITS = {
                 "zip_with INSIDE the aggregate projection, so no "
                 "corpus-wide Window and no Python",
     },
+    "dsir_selection": {
+        "expect": ["TakeOrderedAndProject", "HashAggregate",
+                   "BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin"],
+        "note": "DSIR selection: the 256-bucket fit is one map-side-"
+                "combined groupBy; the log-ratio table broadcasts into "
+                "the weight pass (BroadcastHashJoin, the corpus side "
+                "never shuffles for it); Gumbel top-k compiles to "
+                "TakeOrderedAndProject, not a global sort",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
