@@ -2782,6 +2782,50 @@ def q_dsir_selection(spark, sf_dir):
                       F.round("sel_key", 6).alias("sel_key_r"))
 
 
+_PHRASE = ["table", "table"]
+
+
+def q_phrase_search(spark, sf_dir):
+    """retrieval: exact positional phrase search for the repeated-term
+    phrase 'table table' (operators/retrieval.py phrase_search) — the
+    k-way positional postings intersection expressed as ONE vote
+    aggregate: each phrase-term token votes for its implied start
+    position via a broadcast m-row offsets join; a start with all m
+    votes is a hit. Vocab filter lands before any shuffle. The
+    repeated term exercises the multi-offset fan-out (one token row
+    votes for two starts). Oracle replays tokens/votes/starts
+    relationally in DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.retrieval import phrase_search
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASE)
+
+
+def _phrase_oracle_sql():
+    m = len(_PHRASE)
+    vals = ", ".join(f"({i}, '{t.lower()}')"
+                     for i, t in enumerate(_PHRASE))
+    return f"""
+        with base as (
+            select doc_id, string_split(lower(text), ' ') as t
+            from documents),
+        toks as (
+            select doc_id, unnest(range(0, len(t))) as pos,
+                   unnest(t) as term
+            from base),
+        offs(i, term) as (values {vals}),
+        votes as (
+            select doc_id, pos - i as start
+            from toks join offs using (term)
+            where pos - i >= 0),
+        starts as (
+            select doc_id, start from votes
+            group by doc_id, start having count(*) = {m})
+        select doc_id, count(*)::bigint as n_hits,
+               min(start)::bigint as first_pos
+        from starts group by doc_id
+    """
+
+
 def _hex8_to_num_sql(h: str) -> str:
     """DuckDB: numeric value of the first 8 hex chars of md5 expr `h`
     (exact in DOUBLE: < 2^32 < 2^53)."""
@@ -2899,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_exclusion": q_robots_exclusion,
         "inverted_index": q_inverted_index,
         "dsir_selection": q_dsir_selection,
+        "phrase_search": q_phrase_search,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3223,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_exclusion": _ROBOTS_ORACLE,
         "inverted_index": _POSTINGS_ORACLE,
         "dsir_selection": _dsir_oracle_sql(),
+        "phrase_search": _phrase_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

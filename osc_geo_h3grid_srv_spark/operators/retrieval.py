@@ -117,3 +117,55 @@ def build_postings(docs: DataFrame, min_df: int = 1,
     return agg.select(
         "term", "df", "total_tf",
         F.array_join(enc, ",").alias("postings"))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search via positional postings alignment — the
+    positional-index query every web search stack runs after the
+    boolean stage (public design: positional inverted files,
+    Witten/Moffat/Bell ch. 4; here the positions come straight off the
+    tokenizer, i.e. the logical plan a positional index materializes).
+
+    A phrase occurrence of m terms starting at position s means term i
+    sits at position s+i for every i in [0, m). Each token row that
+    matches term i votes for start s = pos - i; a start with all m
+    distinct votes is a hit. Scale shape:
+
+    * the vocab filter (term IN phrase) lands BEFORE any shuffle, so
+      the aggregate input is only the phrase-term hits, not the corpus
+      token stream;
+    * a token row fans out once per offset at which its term occurs in
+      the phrase (repeated phrase terms -> several votes) via a
+      broadcast join against the m-row offsets table;
+    * one groupBy(doc, start) then one groupBy(doc) — both narrow,
+      map-side combined. No window, no Python, no self-join per term
+      (the classic k-way postings intersection becomes ONE aggregate).
+
+    Returns (id, n_hits, first_pos) per matching doc; positions are
+    0-based token offsets."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    m = len(phrase)
+    terms = [t.lower() for t in phrase]
+    spark = docs.sparkSession
+    offs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i long, term string")
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+        .alias("pos", "term"))
+        .filter(F.col("term").isin(terms)))
+    votes = (toks.join(F.broadcast(offs), "term")
+             .select(id_col, (F.col("pos") - F.col("i")).alias("start"),
+                     "i")
+             .filter(F.col("start") >= 0))
+    # (doc, start, i) is unique per token row (pos = start + i), so
+    # count(*) == m  <=>  every offset matched
+    starts = (votes.groupBy(id_col, "start")
+              .agg(F.count("*").alias("nv"))
+              .filter(F.col("nv") == m))
+    return (starts.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_hits"),
+                 F.min("start").cast("long").alias("first_pos")))

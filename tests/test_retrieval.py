@@ -138,3 +138,41 @@ def test_build_postings_gap_roundtrip(spark):
         want = sorted(i * 7 + 1 for i in range(40)
                       if r["term"] in rows[i][1].split())
         assert docs == want
+
+
+def test_phrase_search_hand_cases(spark):
+    from osc_geo_h3grid_srv_spark.operators.retrieval import phrase_search
+    d = spark.createDataFrame([
+        (1, "a b c a b"),        # 'a b' at 0 and 3
+        (2, "b a b a"),          # 'a b' at 1
+        (3, "c c c"),            # no hit
+        (4, "A B x"),            # case-folded hit at 0
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_search(d, ["a", "b"]).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 4: (1, 0)}
+
+
+def test_phrase_search_repeated_term_and_overlap(spark):
+    from osc_geo_h3grid_srv_spark.operators.retrieval import phrase_search
+    d = spark.createDataFrame([
+        (1, "t t t t"),    # 't t' at 0,1,2 (overlapping occurrences)
+        (2, "t x t"),      # none
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in phrase_search(d, ["t", "t"]).collect()}
+    assert got == {1: (3, 0)}
+    # three-term phrase spanning the repeated token
+    got3 = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+            for r in phrase_search(d, ["t", "t", "t"]).collect()}
+    assert got3 == {1: (2, 0)}
+
+
+def test_phrase_search_single_term_and_validation(spark):
+    import pytest
+    from osc_geo_h3grid_srv_spark.operators.retrieval import phrase_search
+    d = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    got = phrase_search(d, ["x"]).collect()[0]
+    assert (got["n_hits"], got["first_pos"]) == (2, 0)
+    with pytest.raises(ValueError):
+        phrase_search(d, [])

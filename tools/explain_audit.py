@@ -322,6 +322,16 @@ AUDITS = {
                 "never shuffles for it); Gumbel top-k compiles to "
                 "TakeOrderedAndProject, not a global sort",
     },
+    "phrase_search": {
+        "expect": ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin", "Window"],
+        "note": "positional phrase search: vocab IN-filter before any "
+                "shuffle, m-row offsets table broadcast into the vote "
+                "fan-out, two narrow map-side-combined aggregates "
+                "replace the k-way postings intersection — no per-term "
+                "self-joins, no window",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
