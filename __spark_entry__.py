@@ -2826,6 +2826,62 @@ def _phrase_oracle_sql():
     """
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """crawl-frontier politeness scheduling (operators/frontier.py):
+    per-host fetch rounds over the deterministic messy URLs — at most
+    per_host=2 fetches of a host per round, priority = n_chars (bigger
+    docs first), ties by url; hosts truncated at max_per_host=4 (crawl
+    budget — drops the 5th candidate of the densest hosts). ONE host-keyed shuffle; Mercator-style back-queue rotation
+    as a window rank. Oracle replays host folding + the same window in
+    DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.frontier import (
+        schedule_frontier)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    urls = docs.withColumn("url", _synth_url_col())
+    sched = schedule_frontier(urls, per_host=2, max_per_host=4,
+                              priority_col="n_chars")
+    return sched.select("doc_id", "url", "host", "host_rank",
+                        "fetch_round")
+
+
+_FRONTIER_SCHED_CTE = """,
+    sched as (
+        select doc_id, url, host, n_chars,
+               row_number() over (partition by host
+                   order by n_chars desc, url asc)::bigint as host_rank
+        from p4),
+    kept as (
+        select doc_id, url, host, host_rank,
+               ((host_rank - 1) // 2)::bigint as fetch_round
+        from sched where host_rank <= 4)
+"""
+
+
+def _frontier_oracle_sql():
+    return ("with " + _URL_ORACLE_CTE + _FRONTIER_SCHED_CTE
+            + " select doc_id, url, host, host_rank, fetch_round"
+              " from kept")
+
+
+def q_frontier_round_load(spark, sf_dir):
+    """fetcher capacity planning: per-round load rollup of the
+    politeness schedule — (fetch_round, n_urls, n_hosts)."""
+    from osc_geo_h3grid_srv_spark.operators.frontier import (
+        round_load, schedule_frontier)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    urls = docs.withColumn("url", _synth_url_col())
+    sched = schedule_frontier(urls, per_host=2, max_per_host=4,
+                              priority_col="n_chars")
+    return round_load(sched)
+
+
+def _frontier_load_oracle_sql():
+    return ("with " + _URL_ORACLE_CTE + _FRONTIER_SCHED_CTE + """
+        select fetch_round, count(*)::bigint as n_urls,
+               count(distinct host)::bigint as n_hosts
+        from kept group by fetch_round""")
+
+
 def _hex8_to_num_sql(h: str) -> str:
     """DuckDB: numeric value of the first 8 hex chars of md5 expr `h`
     (exact in DOUBLE: < 2^32 < 2^53)."""
@@ -2944,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "dsir_selection": q_dsir_selection,
         "phrase_search": q_phrase_search,
+        "frontier_schedule": q_frontier_schedule,
+        "frontier_round_load": q_frontier_round_load,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3269,6 +3327,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _POSTINGS_ORACLE,
         "dsir_selection": _dsir_oracle_sql(),
         "phrase_search": _phrase_oracle_sql(),
+        "frontier_schedule": _frontier_oracle_sql(),
+        "frontier_round_load": _frontier_load_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

@@ -1,0 +1,80 @@
+"""Crawl-frontier politeness scheduling tests (operators/frontier.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osc_geo_h3grid_srv_spark.operators.frontier import (
+    round_load, schedule_frontier)
+
+URLS = [
+    ("https://a.com/1", 5),
+    ("https://a.com/2", 9),
+    ("https://www.A.com/3", 1),   # same host as a.com after folding
+    ("https://b.org/x", 7),
+    ("https://b.org/y", 7),       # priority tie -> url order
+    ("https://c.net/only", 2),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(URLS, "url string, prio long")
+
+
+def test_politeness_invariant_and_priority(spark):
+    out = schedule_frontier(_df(spark), per_host=1,
+                            priority_col="prio").collect()
+    rows = {r["url"]: r for r in out}
+    # no host twice in one round
+    seen = {}
+    for r in out:
+        key = (r["host"], r["fetch_round"])
+        assert key not in seen, key
+        seen[key] = r["url"]
+    # a.com: prio 9 first, then 5, then 1 (www-folded into same host)
+    assert rows["https://a.com/2"]["fetch_round"] == 0
+    assert rows["https://a.com/1"]["fetch_round"] == 1
+    assert rows["https://www.A.com/3"]["fetch_round"] == 2
+    # tie on b.org broken by url
+    assert rows["https://b.org/x"]["fetch_round"] == 0
+    assert rows["https://b.org/y"]["fetch_round"] == 1
+
+
+def test_per_host_width_and_budget(spark):
+    out = schedule_frontier(_df(spark), per_host=2, max_per_host=2,
+                            priority_col="prio").collect()
+    hosts = {}
+    for r in out:
+        hosts.setdefault(r["host"], []).append(r)
+        assert r["fetch_round"] == 0  # 2 kept per host, width 2
+    assert {h: len(v) for h, v in hosts.items()} == {
+        "a.com": 2, "b.org": 2, "c.net": 1}
+    # the budget dropped a.com's lowest-priority candidate
+    kept = {r["url"] for r in out}
+    assert "https://www.A.com/3" not in kept
+
+
+def test_round_load_rollup(spark):
+    sched = schedule_frontier(_df(spark), per_host=1,
+                              priority_col="prio")
+    got = {r["fetch_round"]: (r["n_urls"], r["n_hosts"])
+           for r in round_load(sched).collect()}
+    assert got == {0: (3, 3), 1: (2, 2), 2: (1, 1)}
+
+
+def test_determinism_and_validation(spark):
+    a = sorted(map(tuple, schedule_frontier(
+        _df(spark), per_host=1, priority_col="prio").collect()))
+    b = sorted(map(tuple, schedule_frontier(
+        _df(spark), per_host=1, priority_col="prio").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        schedule_frontier(_df(spark), per_host=0)
+    with pytest.raises(ValueError):
+        schedule_frontier(_df(spark), per_host=1, max_per_host=-1)
+
+
+def test_lexicographic_without_priority(spark):
+    out = schedule_frontier(_df(spark), per_host=1)
+    rows = {r["url"]: r["fetch_round"] for r in out.collect()}
+    assert rows["https://a.com/1"] == 0
+    assert rows["https://a.com/2"] == 1

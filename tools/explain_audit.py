@@ -332,6 +332,16 @@ AUDITS = {
                 "replace the k-way postings intersection — no per-term "
                 "self-joins, no window",
     },
+    "frontier_schedule": {
+        "expect": ["Window", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin",
+                   "BroadcastNestedLoopJoin"],
+        "note": "crawl-frontier politeness: ONE host-keyed exchange "
+                "feeding the row_number window; rank filter and round "
+                "division are codegen projections on top — no joins, "
+                "no Python, hosts schedule independently",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
