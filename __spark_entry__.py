@@ -2826,6 +2826,37 @@ def _phrase_oracle_sql():
     """
 
 
+def q_shard_assignment(spark, sf_dir):
+    """training-data writer: deterministic global shuffle + shard
+    assignment (operators/packing.py assign_shards) — shard =
+    hexint(md5(salt|id)) mod 8, position = md5-rank inside the shard;
+    ONE shard-keyed shuffle, per-shard local sort, no corpus-wide range
+    exchange, no rand(). Oracle replays the hex parse, mod, and window
+    in DuckDB, pinning every (shard, pos) pair."""
+    from osc_geo_h3grid_srv_spark.operators.packing import assign_shards
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_shards(docs, n_shards=8, salt="shuf1") \
+        .select("doc_id", "lang", "shard", "pos")
+
+
+def _shard_oracle_sql(n_shards=8, salt="shuf1"):
+    hexnum = _hex8_to_num_sql("h")
+    return f"""
+        with k as (
+            select doc_id, lang,
+                   md5('{salt}|' || doc_id::varchar) as h
+            from documents),
+        s as (
+            select doc_id, lang, h,
+                   ({hexnum})::bigint % {n_shards} as shard
+            from k)
+        select doc_id, lang, shard,
+               (row_number() over (partition by shard
+                    order by h asc, doc_id asc) - 1)::bigint as pos
+        from s
+    """
+
+
 def q_frontier_schedule(spark, sf_dir):
     """crawl-frontier politeness scheduling (operators/frontier.py):
     per-host fetch rounds over the deterministic messy URLs — at most
@@ -3002,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "frontier_schedule": q_frontier_schedule,
         "frontier_round_load": q_frontier_round_load,
+        "shard_assignment": q_shard_assignment,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3329,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _phrase_oracle_sql(),
         "frontier_schedule": _frontier_oracle_sql(),
         "frontier_round_load": _frontier_load_oracle_sql(),
+        "shard_assignment": _shard_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

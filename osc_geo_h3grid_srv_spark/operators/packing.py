@@ -73,3 +73,35 @@ def pack_sequences(docs: DataFrame, seq_len: int = 256,
             .withColumn("fill_ratio",
                         F.round(F.col("tokens_total") / F.lit(seq_len),
                                 6)))
+
+
+def assign_shards(docs: DataFrame, n_shards: int, salt: str = "shuf1",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the writer-side step that turns a curated corpus into N output
+    shards in a reproducible pseudorandom order (training loaders read
+    shards sequentially, so the shuffle must happen HERE, and re-runs /
+    resumed writers must produce byte-identical shards).
+
+    No global sort and no rand(): shard = hexint(md5(salt|id)[0:8]) mod
+    n_shards (uniform in expectation), position within a shard = rank of
+    the full md5 digest — ONE shuffle keyed by shard, each shard orders
+    independently (the per-shard sort is the window's local sort, never
+    a corpus-wide range exchange). Changing the salt redraws the whole
+    order; keeping it pins every (shard, pos) across re-runs, which is
+    what makes `write.partitionBy(shard)` resumable and auditable.
+
+    Returns the input plus (shard, pos) with pos 0-based per shard."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                         F.col(id_col).cast("string")))
+    df = docs.withColumn("__key", key).withColumn(
+        "shard",
+        (F.conv(F.substring("__key", 1, 8), 16, 10).cast("long")
+         % n_shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy(F.col("__key").asc(),
+                                            F.col(id_col).asc())
+    return (df.withColumn("pos", (F.row_number().over(w) - 1)
+                          .cast("long"))
+            .drop("__key"))

@@ -81,3 +81,46 @@ def test_packing_deterministic_across_runs(spark):
     b = sorted(map(tuple, pack_sequences(
         df.repartition(13), seq_len=256).collect()))
     assert a == b
+
+
+def test_assign_shards_deterministic_partition_invariant(spark):
+    import hashlib
+    from osc_geo_h3grid_srv_spark.operators.packing import assign_shards
+    rows = [(i, f"d{i}") for i in range(200)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string")
+    d8 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    a = sorted((r["doc_id"], r["shard"], r["pos"])
+               for r in assign_shards(d1, 4).collect())
+    b = sorted((r["doc_id"], r["shard"], r["pos"])
+               for r in assign_shards(d8, 4).collect())
+    assert a == b  # layout-invariant and re-run stable
+    # brute-force replay of the assignment rule
+    def key(i):
+        return hashlib.md5(f"shuf1|{i}".encode()).hexdigest()
+    want = {}
+    for i, _ in rows:
+        want[i] = int(key(i)[:8], 16) % 4
+    per = {}
+    for doc, shard, pos in a:
+        assert shard == want[doc]
+        per.setdefault(shard, []).append((pos, doc))
+    for shard, lst in per.items():
+        lst.sort()
+        # positions dense 0..n-1 and ordered by md5 digest
+        assert [p for p, _ in lst] == list(range(len(lst)))
+        docs_by_hash = sorted((key(d), d) for _, d in lst)
+        assert [d for _, d in docs_by_hash] == [d for _, d in lst]
+
+
+def test_assign_shards_salt_and_validation(spark):
+    import pytest
+    from osc_geo_h3grid_srv_spark.operators.packing import assign_shards
+    d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in assign_shards(d, 4, salt="s1").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in assign_shards(d, 4, salt="s2").collect()}
+    assert any(a[i] != b[i] for i in a)  # salt redraws the order
+    with pytest.raises(ValueError):
+        assign_shards(d, 0)

@@ -342,6 +342,17 @@ AUDITS = {
                 "division are codegen projections on top — no joins, "
                 "no Python, hosts schedule independently",
     },
+    "shard_assignment": {
+        "expect": ["Window", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin",
+                   "\\], true, 0", "rangepartitioning"],
+        "note": "training-shard writer: hash-derived shard key -> ONE "
+                "hash exchange + per-shard LOCAL window sort; the "
+                "forbids on rangepartitioning and global Sort (the "
+                "', true, 0' argument form) pin that the 'global "
+                "shuffle' never becomes a corpus-wide range exchange",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
