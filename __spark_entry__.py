@@ -2826,6 +2826,76 @@ def _phrase_oracle_sql():
     """
 
 
+_DRIFT_CTE = """
+    toks as (
+        select (doc_id % 2 = 0) as a,
+               unnest(string_split(lower(text), ' ')) as term
+        from documents),
+    cnt as (
+        select term,
+               sum(case when a then 1 else 0 end)::double as ca,
+               sum(case when not a then 1 else 0 end)::double as cb
+        from toks group by term),
+    tot as (
+        select sum(ca) as na, sum(cb) as nb, count(*)::double as v
+        from cnt),
+    pq as (
+        select term, ca, cb,
+               (ca + 0.5) / (na + 0.5 * v) as p,
+               (cb + 0.5) / (nb + 0.5 * v) as q
+        from cnt cross join tot)
+"""
+
+
+def q_corpus_drift(spark, sf_dir):
+    """dataset monitoring: token-distribution drift between two corpus
+    halves (operators/drift.py) — smoothed unigram KL both ways + the
+    bounded Jensen-Shannon divergence over the union vocabulary,
+    computed from ONE shared tokenize+groupBy(term) pass with
+    conditional side sums (the shuffle carries vocab-sized partials,
+    never the token stream). Oracle replays counts, smoothing, and the
+    divergence sums in DuckDB."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.drift import vocab_divergence
+    docs = _t(spark, sf_dir, "documents")
+    d = vocab_divergence(docs, F.col("doc_id") % 2 == 0, alpha=0.5)
+    return d.select("n_terms", F.round("kl_ab", 6).alias("kl_ab_r"),
+                    F.round("kl_ba", 6).alias("kl_ba_r"),
+                    F.round("js", 6).alias("js_r"))
+
+
+def _drift_oracle_sql():
+    return ("with " + _DRIFT_CTE + """
+        select count(*)::bigint as n_terms,
+               round(sum(p * ln(p / q)), 6) as kl_ab_r,
+               round(sum(q * ln(q / p)), 6) as kl_ba_r,
+               round((sum(p * ln(p / ((p + q) / 2)))
+                      + sum(q * ln(q / ((p + q) / 2)))) / 2, 6) as js_r
+        from pq""")
+
+
+def q_drifted_terms(spark, sf_dir):
+    """dataset monitoring: the top-12 terms driving the drift — signed
+    per-term KL(a||b) contributions over the vocab table, TakeOrdered
+    by |contribution| (positive = overrepresented in the even-doc_id
+    half)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.drift import drifted_terms
+    docs = _t(spark, sf_dir, "documents")
+    t = drifted_terms(docs, F.col("doc_id") % 2 == 0, k=12, alpha=0.5)
+    return t.select("term", "ca", "cb",
+                    F.round("kl_contrib", 6).alias("kl_contrib_r"))
+
+
+def _drifted_terms_oracle_sql(k=12):
+    return ("with " + _DRIFT_CTE + f"""
+        select term, ca::bigint as ca, cb::bigint as cb,
+               round(p * ln(p / q), 6) as kl_contrib_r
+        from pq
+        order by abs(p * ln(p / q)) desc, term asc
+        limit {k}""")
+
+
 def q_shard_assignment(spark, sf_dir):
     """training-data writer: deterministic global shuffle + shard
     assignment (operators/packing.py assign_shards) — shard =
@@ -3034,6 +3104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "frontier_round_load": q_frontier_round_load,
         "shard_assignment": q_shard_assignment,
+        "corpus_drift": q_corpus_drift,
+        "drifted_terms": q_drifted_terms,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
         "quality_model_scores": q_quality_model_scores,
@@ -3362,6 +3434,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": _frontier_oracle_sql(),
         "frontier_round_load": _frontier_load_oracle_sql(),
         "shard_assignment": _shard_oracle_sql(),
+        "corpus_drift": _drift_oracle_sql(),
+        "drifted_terms": _drifted_terms_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """
             with d as (

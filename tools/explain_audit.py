@@ -353,6 +353,16 @@ AUDITS = {
                 "', true, 0' argument form) pin that the 'global "
                 "shuffle' never becomes a corpus-wide range exchange",
     },
+    "drifted_terms": {
+        "expect": ["TakeOrderedAndProject", "HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin", "Window",
+                   "rangepartitioning"],
+        "note": "corpus drift: one tokenize+groupBy(term) pass with "
+                "conditional side sums (vocab-sized shuffle), one-row "
+                "totals broadcast, per-term contributions a codegen "
+                "projection, top-k via TakeOrderedAndProject",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
