@@ -2826,6 +2826,119 @@ def _phrase_oracle_sql():
     """
 
 
+_PQ_DIM, _PQ_M, _PQ_K = 64, 8, 16
+
+
+def _pq_codebooks():
+    from osc_geo_h3grid_srv_spark.operators.similarity import (
+        pq_seed_codebooks)
+    return pq_seed_codebooks(_PQ_DIM, _PQ_M, _PQ_K)
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """similarity at 10^12-vector scale: product quantization (Jegou
+    et al. 2011) — encode every embedding to 8 4-bit-ish codes against
+    deterministic splitmix codebooks (pure JVM argmax per subspace, no
+    shuffle), then asymmetric-distance top-20 for the vec_id=7 query
+    via per-subspace lookup tables inlined as literals: the search
+    reads ONLY the code column, never the vectors. Oracle replays
+    encode (slice dot-products, first-match argmax) AND the ADC lookup
+    (per-code CASE recomputed from the query row) in DuckDB."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter("vec_id = 7").collect()[0]
+    qv = list(row["embedding"])
+    cb = _pq_codebooks()
+    enc = pq_encode(emb, cb)
+    top = pq_adc_topk(enc, qv, cb, k=20)
+    return top.select(
+        "vec_id", "label",
+        F.concat_ws(",", F.col("pq_codes").cast("array<string>"))
+        .alias("codes_str"),
+        F.round("adc_score", 6).alias("adc_r"))
+
+
+def q_pq_code_hist(spark, sf_dir):
+    """PQ encode corpus-wide gate: histogram of the first-subspace code
+    over all vectors (count + vec_id checksum pins every assignment)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.similarity import pq_encode
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, _pq_codebooks())
+    return (enc.groupBy(F.element_at("pq_codes", 1).alias("code0"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("vec_id").cast("long").alias("id_sum")))
+
+
+def _pq_oracle_parts():
+    """shared DuckDB CTE text for the PQ encode replay."""
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.operators.similarity import pq_half_sq
+    cb = np.asarray(_pq_codebooks())
+    m, _k, sub = cb.shape
+
+    def clit(c):
+        return "[" + ", ".join(
+            f"cast('{float(x)!r}' as double)" for x in c) + "]"
+
+    code_cols = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        scores = "[" + ", ".join(
+            f"list_dot_product(emb_d[{lo}:{hi}], {clit(c)})"
+            f" - cast('{pq_half_sq(c)!r}' as double)"
+            for c in cb[j]) + "]"
+        code_cols.append(
+            f"list_position({scores}, list_max({scores})) - 1"
+            f" as code_{j}")
+    enc_cte = f"""
+        e0 as (
+            select vec_id, label,
+                   list_transform(embedding, x -> x::double) as emb_d
+            from embeddings),
+        enc as (
+            select vec_id, label, {', '.join(code_cols)}
+            from e0)"""
+    return cb, m, sub, clit, enc_cte
+
+
+def _pq_adc_oracle_sql(k=20):
+    from osc_geo_h3grid_srv_spark.operators.similarity import pq_half_sq
+    cb, m, sub, clit, enc_cte = _pq_oracle_parts()
+    score_terms = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        arms = " ".join(
+            f"when {ci} then list_dot_product(q_d[{lo}:{hi}], {clit(c)})"
+            f" - cast('{pq_half_sq(c)!r}' as double)"
+            for ci, c in enumerate(cb[j]))
+        score_terms.append(f"(case code_{j} {arms} end)")
+    codes_list = "[" + ", ".join(f"code_{j}" for j in range(m)) + "]"
+    return f"""
+        with q0 as (
+            select list_transform(embedding, x -> x::double) as q_d
+            from embeddings where vec_id = 7),{enc_cte}
+        select vec_id, label,
+               array_to_string({codes_list}, ',') as codes_str,
+               round({' + '.join(score_terms)}, 6) as adc_r
+        from enc, q0
+        order by {' + '.join(score_terms)} desc, vec_id asc
+        limit {k}
+    """
+
+
+def _pq_hist_oracle_sql():
+    _cb, _m, _sub, _clit, enc_cte = _pq_oracle_parts()
+    return f"""
+        with {enc_cte}
+        select code_0 as code0, count(*)::bigint as n,
+               sum(vec_id)::bigint as id_sum
+        from enc group by code_0
+    """
+
+
 _DRIFT_CTE = """
     toks as (
         select (doc_id % 2 = 0) as a,
@@ -3105,6 +3218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_round_load": q_frontier_round_load,
         "shard_assignment": q_shard_assignment,
         "corpus_drift": q_corpus_drift,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_code_hist": q_pq_code_hist,
         "drifted_terms": q_drifted_terms,
         "bpe_encode_counts": q_bpe_encode_counts,
         "contamination_flags": q_contamination_flags,
@@ -3435,6 +3550,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_round_load": _frontier_load_oracle_sql(),
         "shard_assignment": _shard_oracle_sql(),
         "corpus_drift": _drift_oracle_sql(),
+        "pq_adc_topk": _pq_adc_oracle_sql(),
+        "pq_code_hist": _pq_hist_oracle_sql(),
         "drifted_terms": _drifted_terms_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),
         "bpe_token_counts": """

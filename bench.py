@@ -250,7 +250,8 @@ def main():
              "bigram_lm_scores", "bpe_merges", "bpe_encode_counts",
              "span_dedup_removal", "html_link_graph", "robots_exclusion",
              "inverted_index", "dsir_selection", "phrase_search",
-             "frontier_schedule", "shard_assignment", "corpus_drift"]
+             "frontier_schedule", "shard_assignment", "corpus_drift",
+             "pq_adc_topk"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

@@ -202,3 +202,109 @@ def ann_topk_ivf(emb_assigned: DataFrame, query_vec, centroids, k: int,
     probes = [int(i) for i in order[:int(n_probe)]]
     cand = emb_assigned.filter(F.col(list_col).isin(probes))
     return ann_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------- PQ --
+
+def pq_seed_codebooks(dim: int, m: int, k: int, seed: int = 77):
+    """deterministic product-quantization codebooks: (m, k, dim//m)
+    splitmix64-derived float64 numerals (same on any machine), NOT
+    normalized — PQ centroids live in data space, and argmin-L2 works
+    for any placement. dim must divide evenly into m subspaces."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = (int(seed) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    idx = (np.arange(m * k * sub, dtype=np.uint64) + np.uint64(base))
+    u = (mix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u.reshape(m, k, sub) - 0.5) * 0.25
+
+
+def pq_half_sq(c) -> float:
+    """||c||^2 / 2 with SEQUENTIAL double arithmetic — the one numeral
+    shared by encode, ADC lookup, and the DuckDB replay."""
+    s = 0.0
+    for x in c:
+        s += float(x) * float(x)
+    return 0.5 * s
+
+
+def _pq_sub_scores(vec_col: str, cb_j, start: int, sub: int):
+    """array of K per-code scores for ONE subspace: dot(x_sub, c) -
+    ||c||^2/2 (argmax of this == argmin L2 distance; the ||x_sub||^2
+    term is code-independent). String-literal double casts keep the
+    numerals identical in the DuckDB replay."""
+    exprs = []
+    for c in cb_j:
+        clit = ", ".join(f"cast('{float(x)!r}' as double)" for x in c)
+        half = pq_half_sq(c)
+        exprs.append(F.expr(
+            f"aggregate(zip_with(slice({vec_col}, {start}, {sub}), "
+            f"array({clit}), (x, y) -> x * y), cast(0.0 as double), "
+            f"(acc, v) -> acc + v) - cast('{half!r}' as double)"))
+    return F.array(*exprs)
+
+
+def pq_encode(emb: DataFrame, codebooks, vec_col: str = "embedding",
+              out_col: str = "pq_codes") -> DataFrame:
+    """Product-quantization encoding (public method: Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    vector into m subvectors, store only the index of the nearest
+    codebook centroid per subspace — dim floats become m small ints,
+    the memory move that makes 10^12-vector ANN feasible.
+
+    Pure JVM expressions, one map-side pass, no shuffle: per subspace
+    an array of K dot-product scores and a first-match argmax
+    (array_position of array_max — same flat-plan trick as ivf_assign;
+    ties to the lower code). Adds `out_col` = array<int> of m codes."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _k, sub = cb.shape
+    codes = []
+    for j in range(m):
+        scores = _pq_sub_scores(vec_col, cb[j], j * sub + 1, sub)
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1)
+                     .cast("int"))
+    return emb.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(encoded: DataFrame, query_vec, codebooks, k: int,
+                id_col: str = "vec_id",
+                codes_col: str = "pq_codes") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; each candidate's distance is a sum of m table lookups. The
+    per-subspace lookup tables (K entries each) are computed once
+    driver-side with SEQUENTIAL double arithmetic (matches the SQL
+    replay's evaluation order) and inlined as array literals — the scan
+    reads ONLY the m-int code column, never the vectors: that is the
+    whole point of PQ at 10^12 rows.
+
+    Scores are similarities (dot(q_sub, c) - ||c||^2/2 summed over
+    subspaces); max score == min L2 ADC distance since the
+    ||q_sub||^2 terms are candidate-independent. Top-k compiles to
+    TakeOrderedAndProject."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = cb.shape
+    q = [float(x) for x in query_vec]
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != {m * sub}")
+    terms = []
+    for j in range(m):
+        qs = q[j * sub:(j + 1) * sub]
+        lut = []
+        for c in cb[j]:
+            s = 0.0
+            for a, b in zip(qs, c):   # sequential: replayable order
+                s += a * float(b)
+            lut.append(s - pq_half_sq(c))
+        llit = ", ".join(f"cast('{v!r}' as double)" for v in lut)
+        terms.append(F.expr(
+            f"element_at(array({llit}), "
+            f"element_at({codes_col}, {j + 1}) + 1)"))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return (encoded.withColumn("adc_score", score)
+            .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+            .limit(k))

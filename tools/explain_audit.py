@@ -363,6 +363,16 @@ AUDITS = {
                 "totals broadcast, per-term contributions a codegen "
                 "projection, top-k via TakeOrderedAndProject",
     },
+    "pq_adc_topk": {
+        "expect": ["TakeOrderedAndProject", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin", "Window",
+                   "Exchange hashpartitioning"],
+        "note": "PQ/ADC search: encode is a map-side codegen argmax "
+                "per subspace, ADC a literal-table lookup sum — zero "
+                "shuffles before TakeOrderedAndProject (at scale the "
+                "scan reads only the m-int code column)",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
