@@ -1368,8 +1368,16 @@ def q_html_link_graph(spark, sf_dir):
     rebuilds the same html strings in DuckDB and replays the regex
     extraction + host parse + canonical collapse, so a regex, decode,
     explode, or canonicalization bug flips the hash."""
-    from pyspark.sql import functions as F
     from osc_geo_h3grid_srv_spark.operators.weburl import link_domain_edges
+    return link_domain_edges(_linked_pages(spark, sf_dir))
+
+
+def _linked_pages(spark, sf_dir):
+    """deterministic (url, html binary) pages over the documents table
+    with 0-3 planted outlinks — shared input of the link-graph and
+    inlink-profile entries (construction documented in
+    q_html_link_graph)."""
+    from pyspark.sql import functions as F
     docs = _t(spark, sf_dir, "documents")
     nm = docs.agg((F.max("doc_id") + 1).alias("nm"))
     d = docs.crossJoin(F.broadcast(nm))
@@ -1382,17 +1390,28 @@ def q_html_link_graph(spark, sf_dir):
                        F.lit(".example/p/"), t, utm, F.lit('"></a>'))
         tags.append(F.when((F.col("doc_id") + j) % 3 != 0, tag)
                     .otherwise(F.lit("")))
-    pages = d.select(
+    return d.select(
         F.concat(F.lit("https://site-"), F.col("doc_id") % 23,
                  F.lit(".example/p/"), F.col("doc_id")).alias("url"),
         F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
                           F.lit("</p>"), *tags, F.lit("</body></html>")),
                  "utf-8").alias("html"))
-    return link_domain_edges(pages)
 
 
-_HTML_LINK_ORACLE = r"""
-    with nn as (select max(doc_id) + 1 as nm from documents),
+def q_inlink_profile(spark, sf_dir):
+    """web-corpus quality prior: per-target inlink profile over the
+    planted link graph (operators/weburl.py inlink_profile) — for each
+    canonical target url, total inlinks and DISTINCT source hosts (the
+    single-host-inlink-mass spam signal). One groupBy(target) with a
+    partial-distinct aggregate; tracking params collapse into the
+    canonical target. Oracle rebuilds the html and replays extraction,
+    canonical collapse, and both aggregates."""
+    from osc_geo_h3grid_srv_spark.operators.weburl import inlink_profile
+    return inlink_profile(_linked_pages(spark, sf_dir))
+
+
+_LINKED_PAGES_SQL = r"""
+    nn as (select max(doc_id) + 1 as nm from documents),
     pages as (
         select 'https://site-' || (doc_id % 23) || '.example/p/' || doc_id
                    as url,
@@ -1421,7 +1440,10 @@ _HTML_LINK_ORACLE = r"""
         select url,
                unnest(regexp_extract_all(html, '<a\s+href="([^"]*)"', 1))
                    as href
-        from pages),
+        from pages)
+"""
+
+_HTML_LINK_ORACLE = "with " + _LINKED_PAGES_SQL + r""",
     hosts as (
         select split_part(split_part(url, '://', 2), '/', 1) as src_host,
                split_part(split_part(href, '://', 2), '/', 1) as dst_host,
@@ -1430,6 +1452,16 @@ _HTML_LINK_ORACLE = r"""
     select src_host, dst_host, count(*)::bigint as n_links,
            count(distinct canon)::bigint as n_urls
     from hosts group by src_host, dst_host
+"""
+
+_INLINK_ORACLE = "with " + _LINKED_PAGES_SQL + r""",
+    t as (
+        select split_part(href, '?', 1) as target,
+               split_part(split_part(url, '://', 2), '/', 1) as src_host
+        from links)
+    select target, count(*)::bigint as n_inlinks,
+           count(distinct src_host)::bigint as n_src_hosts
+    from t group by target
 """
 
 
@@ -3219,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": q_shard_assignment,
         "corpus_drift": q_corpus_drift,
         "pq_adc_topk": q_pq_adc_topk,
+        "inlink_profile": q_inlink_profile,
         "pq_code_hist": q_pq_code_hist,
         "drifted_terms": q_drifted_terms,
         "bpe_encode_counts": q_bpe_encode_counts,
@@ -3551,6 +3584,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_assignment": _shard_oracle_sql(),
         "corpus_drift": _drift_oracle_sql(),
         "pq_adc_topk": _pq_adc_oracle_sql(),
+        "inlink_profile": _INLINK_ORACLE,
         "pq_code_hist": _pq_hist_oracle_sql(),
         "drifted_terms": _drifted_terms_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),

@@ -201,3 +201,22 @@ def domain_rollup(urls: DataFrame, weight_col: str = "n_chars"
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.countDistinct("host").cast("bigint").alias("n_hosts"),
                  F.sum(weight_col).cast("bigint").alias("total_weight")))
+
+
+def inlink_profile(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """per-TARGET inlink profile: (target canonical url, n_inlinks,
+    n_src_hosts) — the classic page-quality prior (a page linked from
+    many distinct hosts is unlikely to be spam/boilerplate; single-host
+    inlink mass usually is). extract_links + canonical collapse + ONE
+    groupBy(target): n_src_hosts uses a partial-distinct aggregate, so
+    the shuffle carries (target, src_host) pairs at worst — never the
+    raw href strings. Self-links (src host == target host) are counted
+    but visible via n_src_hosts=1, leaving the policy to the caller."""
+    e = extract_links(pages, url_col=url_col, html_col=html_col)
+    e = e.select(canonicalize_url(F.col("href")).alias("target"),
+                 host_from_url(F.col("src_url")).alias("src_host"))
+    return (e.groupBy("target")
+            .agg(F.count("*").cast("bigint").alias("n_inlinks"),
+                 F.countDistinct("src_host").cast("bigint")
+                 .alias("n_src_hosts")))

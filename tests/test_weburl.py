@@ -111,3 +111,20 @@ def test_canonical_collapses_tracking_variants_in_edges(spark):
     from osc_geo_h3grid_srv_spark.operators.weburl import link_domain_edges
     r = link_domain_edges(df).collect()[0]
     assert (r["n_links"], r["n_urls"]) == (2, 1)
+
+
+def test_inlink_profile_counts_and_distinct_hosts(spark):
+    from osc_geo_h3grid_srv_spark.operators.weburl import inlink_profile
+    pages = spark.createDataFrame([
+        ("https://a.com/1",
+         b'<a href="https://t.com/x"></a><a href="https://t.com/x?utm_source=z"></a>'),
+        ("https://b.com/1", b'<a href="https://t.com/x"></a>'),
+        ("https://a.com/2", b'<a href="https://u.com/y"></a>'),
+        ("https://c.com/1", b'no links here'),
+    ], "url string, html binary")
+    got = {r["target"]: (r["n_inlinks"], r["n_src_hosts"])
+           for r in inlink_profile(pages).collect()}
+    # tracking variant collapses into the same target; a.com counted once
+    assert got["https://t.com/x"] == (3, 2)
+    assert got["https://u.com/y"] == (1, 1)
+    assert len(got) == 2  # linkless page contributes nothing
