@@ -2971,6 +2971,60 @@ def _pq_hist_oracle_sql():
     """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """partial-copy detection index: winnowing fingerprints (Schleimer
+    et al. 2003, the MOSS rule) over token 4-grams with window w=5 —
+    per doc: gram count, selected-fingerprint count, exact bigint
+    checksum of the selected hashes, and the winnow density (theory
+    ~2/(w+1)). Selection is ONE window-min over a packed integer key
+    (min hash, rightmost on ties), every step exact integer arithmetic,
+    so the DuckDB replay gates the precise selected SET, not a
+    statistic of it."""
+    from osc_geo_h3grid_srv_spark.operators.winnow import (
+        fingerprint_stats)
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_stats(docs, k=4, w=5)
+
+
+def _winnow_oracle_sql(k=4, w=5):
+    span = 1 << 21
+    hexp = _hex8_to_num_sql(
+        f"md5(array_to_string(t[i:i+{k - 1}], ' '))")
+    return f"""
+        with base as (
+            select doc_id, string_split(lower(text), ' ') as t
+            from documents),
+        hs as (
+            select doc_id,
+                   case when len(t) >= {k} then
+                       list_transform(range(1, len(t) - {k} + 2),
+                                      i -> ({hexp})::bigint)
+                   else [] end as hl
+            from base),
+        g as (
+            select doc_id, len(hl)::bigint as n_grams,
+                   unnest(range(0, len(hl)))::bigint as pos,
+                   unnest(hl) as h
+            from hs where len(hl) > 0),
+        keyed as (
+            select doc_id, n_grams, pos, h,
+                   min(h * {span} + ({span - 1} - pos)) over (
+                       partition by doc_id order by pos
+                       rows between {w - 1} preceding and current row)
+                       as minkey
+            from g),
+        sel as (
+            select distinct doc_id, n_grams, minkey
+            from keyed
+            where pos >= least({w}, n_grams) - 1)
+        select doc_id, n_grams,
+               count(*)::bigint as n_fp,
+               sum(minkey // {span})::bigint as fp_checksum,
+               round(count(*)::double / n_grams, 6) as density
+        from sel group by doc_id, n_grams
+    """
+
+
 _DRIFT_CTE = """
     toks as (
         select (doc_id % 2 = 0) as a,
@@ -3252,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "pq_adc_topk": q_pq_adc_topk,
         "inlink_profile": q_inlink_profile,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "pq_code_hist": q_pq_code_hist,
         "drifted_terms": q_drifted_terms,
         "bpe_encode_counts": q_bpe_encode_counts,
@@ -3585,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _drift_oracle_sql(),
         "pq_adc_topk": _pq_adc_oracle_sql(),
         "inlink_profile": _INLINK_ORACLE,
+        "winnow_fingerprints": _winnow_oracle_sql(),
         "pq_code_hist": _pq_hist_oracle_sql(),
         "drifted_terms": _drifted_terms_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),

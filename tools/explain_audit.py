@@ -373,6 +373,16 @@ AUDITS = {
                 "shuffles before TakeOrderedAndProject (at scale the "
                 "scan reads only the m-int code column)",
     },
+    "winnow_fingerprints": {
+        "expect": ["Window", "HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin",
+                   "rangepartitioning"],
+        "note": "winnowing: codegen gram-hash transform + posexplode, "
+                "selection is ONE doc-partitioned window-min over the "
+                "packed (hash,pos) key; distinct and rollup reuse the "
+                "doc partitioning — docs fingerprint independently",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
