@@ -3025,6 +3025,83 @@ def _winnow_oracle_sql(k=4, w=5):
     """
 
 
+# unicode junk injected per doc (visible as escapes here; the SQL and
+# Column expressions receive the decoded literal characters)
+# unicode junk injected per doc — built from escapes so the source
+# stays printable; the SQL receives the decoded literal characters
+_NORM_PRE = "\u2018s\u2019\u00a0"                     # doc_id%3==0
+_NORM_SUFFIXES = {
+    0: "\u00a0\u2014dash\u2026end",
+    1: " \u201cq\u201d\u0007ctl",
+    2: "\u3000wide\u2009thin\u200bzw",
+    3: "  plain\t tail ",
+}
+_NORM_SRC = ("\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f"
+             "\u2013\u2014\u2212\u00a0\u2002\u2003\u2009\u3000")
+_NORM_DST = "\'\'\'\'" + '""""' + "---" + "     "
+_NORM_ZW = "\u200b\u200c\u200d\ufeff\u00ad"
+_NORM_CTL = ("\u0001-\u0008\u000b\u000c\u000e-\u001f\u007f"
+             )  # NUL excluded: a raw 0x00 can't ride a SQL literal
+
+
+def q_normalize_text(spark, sf_dir):
+    """training-data pipeline: unicode text normalization
+    (functions/text.py normalize_text_expr) — deterministic unicode
+    junk (curly quotes, nbsp/em-space family, zero-width marks, a
+    control char, an ellipsis, whitespace runs) is injected per doc,
+    then folded/stripped/collapsed by the codegen translate +
+    regexp_replace chain. The FULL cleaned text of every doc is
+    value-hash-gated against the DuckDB replay (same decoded literal
+    characters, regexp_replace \'g\')."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.text import (
+        normalize_text_expr)
+    docs = _t(spark, sf_dir, "documents")
+    suf = F.when(F.col("doc_id") % 4 == 0, F.lit(_NORM_SUFFIXES[0]))
+    for i in (1, 2):
+        suf = suf.when(F.col("doc_id") % 4 == i,
+                       F.lit(_NORM_SUFFIXES[i]))
+    suf = suf.otherwise(F.lit(_NORM_SUFFIXES[3]))
+    pre = F.when(F.col("doc_id") % 3 == 0,
+                 F.lit(_NORM_PRE)).otherwise(F.lit(""))
+    d = docs.withColumn("dirty", F.concat(pre, F.col("text"), suf))
+    d = d.withColumn("clean", normalize_text_expr(F.col("dirty")))
+    return d.select(
+        "doc_id", "clean",
+        (F.length("dirty") - F.length("clean")).cast("long")
+        .alias("n_removed"))
+
+
+def _normalize_oracle_sql():
+    sufs = " ".join(
+        f"when {i} then \'{_NORM_SUFFIXES[i]}\'" for i in range(3))
+    dst_sql = _NORM_DST.replace("\'", "\'\'")
+    return f"""
+        with d as (
+            select doc_id,
+                   (case when doc_id % 3 = 0 then \'{_NORM_PRE}\'
+                         else \'\' end)
+                   || text
+                   || (case doc_id % 4 {sufs}
+                       else \'{_NORM_SUFFIXES[3]}\' end) as dirty
+            from documents),
+        c as (
+            select doc_id, dirty,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
+                           translate(dirty, \'{_NORM_SRC}\',
+                                     \'{dst_sql}\'),
+                           \'[{_NORM_ZW}]\', \'\', \'g\'),
+                       \'\u2026\', \'...\', \'g\'),
+                       \'[{_NORM_CTL}]\', \'\', \'g\'),
+                       \'[ \t\r\n]+\', \' \', \'g\')) as clean
+            from d)
+        select doc_id, clean,
+               (length(dirty) - length(clean))::bigint as n_removed
+        from c
+    """
+
+
 _DRIFT_CTE = """
     toks as (
         select (doc_id % 2 = 0) as a,
@@ -3307,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "inlink_profile": q_inlink_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "normalize_text": q_normalize_text,
         "pq_code_hist": q_pq_code_hist,
         "drifted_terms": q_drifted_terms,
         "bpe_encode_counts": q_bpe_encode_counts,
@@ -3641,6 +3719,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_oracle_sql(),
         "inlink_profile": _INLINK_ORACLE,
         "winnow_fingerprints": _winnow_oracle_sql(),
+        "normalize_text": _normalize_oracle_sql(),
         "pq_code_hist": _pq_hist_oracle_sql(),
         "drifted_terms": _drifted_terms_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),

@@ -251,7 +251,8 @@ def main():
              "span_dedup_removal", "html_link_graph", "robots_exclusion",
              "inverted_index", "dsir_selection", "phrase_search",
              "frontier_schedule", "shard_assignment", "corpus_drift",
-             "pq_adc_topk", "inlink_profile", "winnow_fingerprints"]
+             "pq_adc_topk", "inlink_profile", "winnow_fingerprints",
+             "normalize_text"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

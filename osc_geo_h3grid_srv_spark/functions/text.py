@@ -283,3 +283,37 @@ def rolling_fingerprint(text: pd.Series, window=16) -> np.ndarray:
         hashes = (mat * pows[::-1]).sum(axis=1)
         out[i] = mix64(hashes.min())
     return out
+
+
+def normalize_text_expr(col):
+    """Unicode text-normalization chain for web-extracted text -- the
+    cleanup every training pipeline runs before tokenization (public
+    practice; e.g. the C4/CCNet cleaning steps): control chars dropped,
+    the unicode space family mapped to plain space, curly quotes /
+    dashes / ellipsis folded to ASCII, zero-width marks removed, runs
+    of whitespace collapsed, ends trimmed.
+
+    Returns a Column; pure codegen (translate + regexp_replace chain;
+    the unicode characters are embedded as LITERALS so the pattern
+    means the same thing in Java regex and RE2 -- no escape-dialect
+    dependence). Shuffle-free by construction: a projection."""
+    from pyspark.sql import functions as F
+    c = F.col(col) if isinstance(col, str) else col
+    # 1:1 character folds (translate = one table lookup per char):
+    # curly quotes -> ', double curlies -> ", en/em dash + minus -> -,
+    # nbsp / en-space / em-space / thin space / ideographic space -> ' '
+    src = ("\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f"
+           "\u2013\u2014\u2212\u00a0\u2002\u2003\u2009\u3000")
+    dst = "''''" + '""""' + "---" + "     "
+    c = F.translate(c, src, dst)
+    # zero-width family + soft hyphen: removed outright
+    c = F.regexp_replace(
+        c, "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+    # ellipsis -> three dots
+    c = F.regexp_replace(c, "\u2026", "...")
+    # remaining C0/C1 control chars except tab/newline/cr
+    c = F.regexp_replace(
+        c, "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f]", "")
+    # collapse whitespace runs, trim
+    c = F.regexp_replace(c, "[ \t\r\n]+", " ")
+    return F.trim(c)

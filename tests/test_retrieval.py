@@ -176,3 +176,25 @@ def test_phrase_search_single_term_and_validation(spark):
     assert (got["n_hits"], got["first_pos"]) == (2, 0)
     with pytest.raises(ValueError):
         phrase_search(d, [])
+
+
+def test_normalize_text_expr_folds(spark):
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.text import (
+        normalize_text_expr)
+    cases = [
+        (1, "\u2018a\u2019 \u201cb\u201d", "'a' \"b\""),
+        (2, "x\u2013y\u2014z\u2212w", "x-y-z-w"),
+        (3, "a\u00a0b\u2002c\u3000d", "a b c d"),
+        (4, "z\u200bw\u200c\ufeffv\u00adu", "zwvu"),
+        (5, "end\u2026", "end..."),
+        (6, "ctl\u0007\u0001x", "ctlx"),
+        (7, "  a \t\r\n b  ", "a b"),
+        (8, "plain ascii stays", "plain ascii stays"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in cases],
+                               "id long, t string")
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", normalize_text_expr("t").alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, repr(got[i]), repr(want))

@@ -383,6 +383,14 @@ AUDITS = {
                 "packed (hash,pos) key; distinct and rollup reuse the "
                 "doc partitioning — docs fingerprint independently",
     },
+    "normalize_text": {
+        "expect": ["Project", "codegen id"],
+        "forbid": ["Exchange", "ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas", "CartesianProduct", "Window"],
+        "note": "unicode normalization is a pure map-side codegen "
+                "projection (translate + regexp_replace chain) — zero "
+                "exchanges; at 100 TB this pass is scan-bound",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
