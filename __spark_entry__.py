@@ -3102,6 +3102,133 @@ def _normalize_oracle_sql():
     """
 
 
+def q_hll_token_distinct(spark, sf_dir):
+    """sketches: HyperLogLog distinct-token count vs the exact answer
+    (operators/sketch.py) — md5-derived 32-bit hashes, 64 registers
+    (6 index bits, rho = leading-zero rank of the low 26 bits computed
+    from the binary-string length), bias-corrected harmonic estimate
+    with linear-counting fallback. The register table is a fixed-size
+    mergeable DataFrame, rebuilt bit-identically by the DuckDB oracle
+    (which derives rho from threshold CASEs instead of bin() — two
+    independent integer paths to the same registers)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    regs = hll_registers(toks, F.col("term"))
+    est = hll_estimate(regs)
+    exact = toks.agg(F.countDistinct("term").alias("n_exact"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_exact", "n_registers_hit",
+                    F.round("hll_estimate", 6).alias("hll_r")))
+
+
+def _hll_oracle_sql(salt="hll1"):
+    hexp = _hex8_to_num_sql(f"md5('{salt}|' || term)")
+    # rho via integer threshold CASE (26 arms), no float log anywhere
+    arms = " ".join(f"when rest >= {1 << (25 - z)} then {z + 1}"
+                    for z in range(26))
+    m, alpha = 64, 0.709
+    return f"""
+        with toks as (
+            select unnest(string_split(lower(text), ' ')) as term
+            from documents),
+        h as (
+            select ({hexp})::bigint as hv from toks),
+        br as (
+            select hv // 67108864 as bucket, hv % 67108864 as rest
+            from h),
+        regs as (
+            select bucket,
+                   max(case {arms} else 27 end) as rho
+            from br group by bucket),
+        agg as (
+            select count(*)::bigint as hit,
+                   sum(power(2.0, -rho)) as s_hit
+            from regs),
+        est as (
+            select hit,
+                   case when ({alpha} * {m} * {m})
+                             / (s_hit + ({m} - hit)) <= {2.5 * m}
+                             and ({m} - hit) > 0
+                        then {m}.0 * ln({m}.0 / ({m} - hit))
+                        else ({alpha} * {m} * {m})
+                             / (s_hit + ({m} - hit)) end as e
+            from agg),
+        exact as (
+            select count(distinct term)::bigint as n_exact from toks)
+        select n_exact, hit as n_registers_hit, round(e, 6) as hll_r
+        from est, exact
+    """
+
+
+_CMS_PROBES = ["table", "spark", "window", "zzz-absent", "merge",
+               "query", "the", "value"]
+
+
+def q_cms_term_frequencies(spark, sf_dir):
+    """sketches: Count-Min frequency estimates vs exact counts for 8
+    probe terms (operators/sketch.py) — per-term totals aggregated
+    once (vocab-sized), fanned into a fixed 4x256 counter table; point
+    estimate = min over the 4 rows. The one-sided guarantee
+    (est >= exact, including 0 for the absent probe) is part of the
+    gated output. Oracle rebuilds the whole table and the probes from
+    the same md5 bucket formula."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.sketch import (
+        cms_point_estimates, cms_table)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    cms = cms_table(toks, F.col("term"))
+    est = cms_point_estimates(cms, _CMS_PROBES)
+    exact = (toks.filter(F.col("term").isin(_CMS_PROBES))
+             .groupBy(F.col("term").alias("key"))
+             .agg(F.count("*").cast("long").alias("exact")))
+    return (est.join(exact, "key", "left")
+            .withColumn("exact", F.coalesce("exact", F.lit(0)))
+            .withColumn("one_sided_ok",
+                        (F.col("est") >= F.col("exact")))
+            .select("key", "exact", "est", "one_sided_ok"))
+
+
+def _cms_oracle_sql(d=4, w=256, salt="cms1"):
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    hexp = _hex8_to_num_sql(
+        f"md5('{salt}' || r.row || '|' || k)")
+    phexp = _hex8_to_num_sql(
+        f"md5('{salt}' || r.row || '|' || p.key)")
+    return f"""
+        with toks as (
+            select unnest(string_split(lower(text), ' ')) as term
+            from documents),
+        per_key as (
+            select term as k, count(*)::bigint as c
+            from toks group by term),
+        rws as (select unnest(range(0, {d})) as row),
+        cms as (
+            select r.row, ({hexp})::bigint % {w} as bucket,
+                   sum(c)::bigint as total
+            from per_key, rws r
+            group by 1, 2),
+        pr as (select unnest([{probes}]) as key),
+        probe as (
+            select p.key, r.row, ({phexp})::bigint % {w} as bucket
+            from pr p, rws r),
+        est as (
+            select key, min(coalesce(total, 0))::bigint as est
+            from probe left join cms using (row, bucket)
+            group by key),
+        exact as (
+            select k as key, c as exact from per_key)
+        select e.key, coalesce(x.exact, 0)::bigint as exact, e.est,
+               e.est >= coalesce(x.exact, 0) as one_sided_ok
+        from est e left join exact x using (key)
+    """
+
+
 _DRIFT_CTE = """
     toks as (
         select (doc_id % 2 = 0) as a,
@@ -3385,6 +3512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlink_profile": q_inlink_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
         "normalize_text": q_normalize_text,
+        "hll_token_distinct": q_hll_token_distinct,
+        "cms_term_frequencies": q_cms_term_frequencies,
         "pq_code_hist": q_pq_code_hist,
         "drifted_terms": q_drifted_terms,
         "bpe_encode_counts": q_bpe_encode_counts,
@@ -3720,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
         "inlink_profile": _INLINK_ORACLE,
         "winnow_fingerprints": _winnow_oracle_sql(),
         "normalize_text": _normalize_oracle_sql(),
+        "hll_token_distinct": _hll_oracle_sql(),
+        "cms_term_frequencies": _cms_oracle_sql(),
         "pq_code_hist": _pq_hist_oracle_sql(),
         "drifted_terms": _drifted_terms_oracle_sql(),
         "bpe_encode_counts": _bpe_encode_oracle_sql(_BPE_ENC_MERGES),

@@ -252,7 +252,8 @@ def main():
              "inverted_index", "dsir_selection", "phrase_search",
              "frontier_schedule", "shard_assignment", "corpus_drift",
              "pq_adc_topk", "inlink_profile", "winnow_fingerprints",
-             "normalize_text"]
+             "normalize_text", "hll_token_distinct",
+             "cms_term_frequencies"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())

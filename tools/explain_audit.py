@@ -391,6 +391,15 @@ AUDITS = {
                 "projection (translate + regexp_replace chain) — zero "
                 "exchanges; at 100 TB this pass is scan-bound",
     },
+    "cms_term_frequencies": {
+        "expect": ["HashAggregate", "Generate", "BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin", "Window"],
+        "note": "Count-Min: per-key totals aggregated once (vocab-"
+                "sized shuffle), the d-fold hash fan-out touches the "
+                "vocabulary never the token stream, the probe table "
+                "broadcasts against the fixed 4x256 sketch",
+    },
     "robots_exclusion": {
         "expect": ["BroadcastHashJoin", "Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
