@@ -195,24 +195,114 @@ class Catalog:
     def load(self, table, snapshot=None):
         """DataFrame over exactly the manifest's files (time travel)."""
         man = self.read_manifest(table, snapshot)
-        paths = [os.path.join(self.root, f["path"]) for f in man["files"]]
+        return self._df_for_files(table, man["files"],
+                                  man["partition_by"])
+
+    def _df_for_files(self, table, files, partition_by):
+        paths = [os.path.join(self.root, f["path"]) for f in files]
         if not paths:
             raise KeyError(f"snapshot of {table!r} is empty")
-        reader = self.spark.read.option("basePath", self.root)
-        df = reader.parquet(*paths)
-        # hive partition cols resolve against basePath=root, which injects
-        # no columns; re-derive partition columns from the file layout
-        if man["partition_by"]:
-            # read with per-file basePath so partition columns materialize
-            bases = {os.path.join(self.root, f["path"].split(os.sep)[0],
-                                  f["path"].split(os.sep)[1])
-                     for f in man["files"]}
-            df = None
-            for b in sorted(bases):
-                part = self.spark.read.option("basePath", b).parquet(
-                    *[p for p in paths if p.startswith(b + os.sep)])
-                df = part if df is None else df.unionByName(part)
+        if not partition_by:
+            return self.spark.read.option("basePath", self.root) \
+                .parquet(*paths)
+        # partitioned: read per data-dir base so hive partition columns
+        # materialize (a single basePath=root read would either inject
+        # no partition columns or, across several data dirs, trip
+        # CONFLICTING_DIRECTORY_STRUCTURES)
+        bases = {os.path.join(self.root, f["path"].split(os.sep)[0],
+                              f["path"].split(os.sep)[1])
+                 for f in files}
+        df = None
+        for b in sorted(bases):
+            part = self.spark.read.option("basePath", b).parquet(
+                *[p for p in paths if p.startswith(b + os.sep)])
+            df = part if df is None else df.unionByName(part)
         return df
+
+    def plan_compaction(self, table, target_bytes, min_files=2,
+                        snapshot=None):
+        """(rewrite_files, keep_files): which manifest files a compaction
+        pass would rewrite. Pure metadata-plane planning: files are
+        grouped by hive partition tuple; inside a group, files already
+        >= target_bytes are kept, and the under-sized ones are rewrite
+        candidates when there are at least `min_files` of them (one
+        lonely small file gains nothing from a rewrite)."""
+        man = self.read_manifest(table, snapshot)
+        groups = {}
+        for f in man["files"]:
+            key = tuple(sorted(f["partition"].items()))
+            groups.setdefault(key, []).append(f)
+        rewrite, keep = [], []
+        for fs in groups.values():
+            small = [f for f in fs if f["bytes"] < target_bytes]
+            keep += [f for f in fs if f["bytes"] >= target_bytes]
+            if len(small) >= min_files:
+                rewrite += small
+            else:
+                keep += small
+        return rewrite, keep
+
+    def compact(self, table, target_bytes=128 * 1024 * 1024,
+                min_files=2):
+        """Small-file compaction — the maintenance pass any snapshot
+        warehouse needs once streaming/incremental appends accumulate
+        (each append snapshot adds its own small files; scan cost and
+        scheduler overhead grow with file COUNT, not bytes). Rewrites
+        each partition's under-sized files into ~target_bytes outputs
+        and commits a new snapshot that reuses every untouched file
+        verbatim — readers of older snapshots are unaffected (time
+        travel intact), rows are never changed, and a crash before the
+        HEAD rename leaves the previous snapshot current (same commit
+        protocol as write()).
+
+        Returns the new snapshot id, or None if nothing qualified."""
+        t0 = time.time()
+        man = self.read_manifest(table)
+        rewrite, keep = self.plan_compaction(table, target_bytes,
+                                             min_files)
+        if not rewrite:
+            return None
+        df = self._df_for_files(table, rewrite, man["partition_by"])
+        n_out = max(1, -(-sum(f["bytes"] for f in rewrite)
+                         // target_bytes))
+        tdir = self._tdir(table)
+        staging = os.path.join(tdir, f"data-{uuid.uuid4().hex[:12]}")
+        writer = df.repartition(int(n_out)).write.mode("overwrite")
+        if man["partition_by"]:
+            writer = writer.partitionBy(*man["partition_by"])
+        writer.parquet(staging)
+        new_files = self._scan_files(staging)
+        parent = self.current_snapshot(table)
+        sid = parent + 1
+        manifest = {
+            "table": table,
+            "snapshot_id": sid,
+            "parent_snapshot_id": parent,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+            "mode": "compact",
+            "partition_by": man["partition_by"],
+            "files": keep + new_files,
+            "total_rows": sum(f["rows"] for f in keep + new_files),
+            "lineage": {"stage": "compact",
+                        "inputs": {table: parent},
+                        "rewritten_files": len(rewrite),
+                        "new_files": len(new_files)},
+            "metrics": {"commit_wall_clock_s": round(time.time() - t0,
+                                                     3)},
+        }
+        assert manifest["total_rows"] == man["total_rows"], \
+            "compaction must preserve row count"
+        mpath = self._manifest_path(table, sid)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, mpath)
+        htmp = self._head_path(table) + ".tmp"
+        with open(htmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(htmp, self._head_path(table))
+        return sid
 
     def tables(self):
         return sorted(

@@ -1,0 +1,66 @@
+"""Catalog small-file compaction tests (sources/catalog.py compact)."""
+
+from pyspark.sql import functions as F
+
+from osc_geo_h3grid_srv_spark.sources.catalog import Catalog
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_compact_unpartitioned_preserves_rows_and_time_travel(
+        spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    for b in range(5):  # five append snapshots -> many small files
+        df = spark.range(b * 100, (b + 1) * 100, 1, 4).select(
+            F.col("id"), (F.col("id") % 7).alias("v"))
+        cat.write("t", df, mode="append" if b else "overwrite")
+    man_before = cat.read_manifest("t")
+    before = _rows(cat.load("t"))
+    head_before = cat.current_snapshot("t")
+
+    sid = cat.compact("t", target_bytes=1 << 30, min_files=2)
+    assert sid == head_before + 1
+    man_after = cat.read_manifest("t")
+    assert man_after["mode"] == "compact"
+    assert len(man_after["files"]) < len(man_before["files"])
+    assert man_after["total_rows"] == man_before["total_rows"]
+    assert _rows(cat.load("t")) == before
+    # time travel: the pre-compaction snapshot still reads verbatim
+    assert _rows(cat.load("t", snapshot=head_before)) == before
+    # second pass: nothing left to compact
+    assert cat.compact("t", target_bytes=1 << 30) is None
+
+
+def test_compact_partitioned_groups_within_partitions(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    for b in range(3):
+        df = spark.range(b * 60, (b + 1) * 60, 1, 3).select(
+            F.col("id"), (F.col("id") % 2).alias("p"))
+        cat.write("t", df, mode="append" if b else "overwrite",
+                  partition_by=["p"])
+    before = _rows(cat.load("t").select("id", "p"))
+    n_files_before = len(cat.read_manifest("t")["files"])
+
+    sid = cat.compact("t", target_bytes=1 << 30)
+    assert sid is not None
+    man = cat.read_manifest("t")
+    assert len(man["files"]) < n_files_before
+    # partition values survive the rewrite
+    assert _rows(cat.load("t").select("id", "p")) == before
+    parts = {tuple(sorted(f["partition"].items())) for f in man["files"]}
+    assert parts == {(("p", "0"),), (("p", "1"),)}
+
+
+def test_plan_respects_min_files_and_target(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(0, 50, 1, 1))  # one file only
+    rewrite, keep = cat.plan_compaction("t", target_bytes=1 << 30,
+                                        min_files=2)
+    assert rewrite == [] and len(keep) == 1
+    assert cat.compact("t", target_bytes=1 << 30) is None
+    # big files are never rewritten
+    cat.write("t", spark.range(50, 100, 1, 1), mode="append")
+    rewrite, keep = cat.plan_compaction("t", target_bytes=10)  # tiny cap
+    assert rewrite == [] and len(keep) == 2
