@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--batch-source", required=True,
                     help="stable batch id for idempotent re-runs")
     ap.add_argument("--table", default="pages_raw")
+    ap.add_argument("--compact-target-bytes", type=int, default=0,
+                    help="after the append, rewrite partitions whose "
+                         "files are under this size into ~this-sized "
+                         "outputs (0 = skip). Continuous ingest is the "
+                         "canonical small-file producer; compaction "
+                         "keeps scan cost bound to bytes, not file "
+                         "count, without touching older snapshots.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,6 +50,12 @@ def main():
     batch = spark.read.parquet(args.batch_path)
     report = incremental_ingest(cat, batch, table=args.table,
                                 batch_source=args.batch_source)
+    if args.compact_target_bytes > 0:
+        sid = cat.compact(args.table,
+                          target_bytes=args.compact_target_bytes)
+        report["compacted_snapshot"] = sid
+        report["files_after"] = len(cat.read_manifest(
+            args.table)["files"])
     print(json.dumps(report))
 
 

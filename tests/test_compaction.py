@@ -64,3 +64,35 @@ def test_plan_respects_min_files_and_target(spark, tmp_path):
     cat.write("t", spark.range(50, 100, 1, 1), mode="append")
     rewrite, keep = cat.plan_compaction("t", target_bytes=10)  # tiny cap
     assert rewrite == [] and len(keep) == 2
+
+
+def test_incremental_ingest_then_compact(spark, tmp_path):
+    # the canonical small-file producer: repeated batch appends; the
+    # maintenance pass shrinks file count without changing the corpus
+    from osc_geo_h3grid_srv_spark.operators.incremental import (
+        incremental_ingest)
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    for b in range(4):
+        batch = spark.range(b * 50, (b + 1) * 50, 1, 4).select(
+            F.concat(F.lit("https://x/p"), F.col("id")).alias("url"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id"))
+            .alias("warc_ts"))
+        batch = batch.withColumn(
+            "text", F.concat(F.lit("body "), F.col("url")))
+        incremental_ingest(cat, batch, table="pages_raw",
+                           batch_source=f"b{b}")
+    before = _rows(cat.load("pages_raw").select("url"))
+    n_before = len(cat.read_manifest("pages_raw")["files"])
+    sid = cat.compact("pages_raw", target_bytes=1 << 30)
+    assert sid is not None
+    assert len(cat.read_manifest("pages_raw")["files"]) < n_before
+    assert _rows(cat.load("pages_raw").select("url")) == before
+    # a later batch still dedups against the compacted corpus
+    import datetime
+    dup = spark.createDataFrame(
+        [("https://x/p0", datetime.datetime(2024, 1, 1),
+          "body https://x/p0")],
+        "url string, warc_ts timestamp, text string")
+    rep = incremental_ingest(cat, dup, table="pages_raw",
+                             batch_source="b-dup")
+    assert rep["rows_appended"] == 0
