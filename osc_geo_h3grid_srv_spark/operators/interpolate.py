@@ -31,15 +31,22 @@ Coverage guarantee (round-3 fix of the >34-degree-latitude gap):
   old code used the equatorial pitch for both axes, which silently
   dropped due-east/west neighbors whenever ``cos(lat) < 1/1.2``
   (|lat| > 33.6 deg).
-* near the poles (``sin(d/2R) >= 0.99 * cos(e)`` or pitch >= 360) the
-  bound degenerates; the band collapses to a single 360-degree bucket
-  (bx is then -1 or 0 over raw longitude, still covered by the +-1
-  explode).
+* near the poles (``sin(d/2R) >= 0.99 * cos(e)``) or once the bound
+  exceeds 120 degrees, the band collapses to a single 360-degree
+  bucket (bx is then -1 or 0 over raw longitude, still covered by the
+  +-1 explode).  The 120-degree ceiling (not 360) keeps the wrap
+  explode below collision range - see next point.
 
-Known limitation (unchanged, matches the reference's flat-longitude
-treatment): candidate search does not wrap the antimeridian - a
-neighbor across lng=+-180 is not found unless it is within the same raw
-longitude bucket window.
+Antimeridian wrap (round-3 fix of the documented seam limitation): a
+point within one band-pitch of lng=+-180 gets a second copy shifted by
+-+360 degrees, so a cell on the other side of the seam finds it in its
+own bucket neighborhood.  Haversine is computed from the SHIFTED
+longitude, which is exact (sin((d+-360)/2 deg) differs only in sign).
+The copy's buckets cannot collide with the original's: with pitch
+< 120 the two bucket ranges are >= 3 apart, so no (cell, point) pair
+is ever double-counted; bands whose pitch would be in [120, 360)
+degenerate to the single 360-degree bucket instead, which is seam-
+correct by construction.
 """
 
 from __future__ import annotations
@@ -70,7 +77,10 @@ def _lng_pitch_deg(by_col: Column, pitch_deg: float,
     ratio = F.lit(half) / cos_e
     p = F.lit(1.2) * F.degrees(
         F.lit(2.0) * F.asin(F.least(ratio, F.lit(1.0))))
-    return F.when((ratio >= F.lit(0.99)) | (p >= F.lit(360.0)),
+    # degenerate above 120 deg (not 360): guarantees the antimeridian
+    # wrap copies land >= 3 buckets from their originals (no pair is
+    # counted twice)
+    return F.when((ratio >= F.lit(0.99)) | (p >= F.lit(120.0)),
                   F.lit(360.0)).otherwise(p)
 
 
@@ -106,6 +116,31 @@ def idw_interpolate(cells: DataFrame, points: DataFrame,
         F.col("longitude").alias("p_lng"),
         *[F.col(v).alias(f"p_val_{i}") for i, v in enumerate(vcols)],
         *keys)
+    # antimeridian wrap: a point within one band-pitch of lng=+-180
+    # gains a -+360-shifted copy so seam-crossing cells see it in their
+    # bucket window; haversine from the shifted longitude is exact, and
+    # the degenerate-at-120-deg pitch rule makes double-matching
+    # impossible (module docstring).
+    # trigger margin: the largest NON-degenerate pitch among the three
+    # bands this point explodes into (a copy is useful exactly when
+    # some candidate band buckets finer than 360 degrees and the point
+    # sits within that band's pitch of the seam; degenerate bands are
+    # served by the original, see the filter below)
+    by0 = F.floor(F.col("p_lat") / F.lit(pitch))
+    m = F.greatest(*[
+        F.when(p < F.lit(360.0), p).otherwise(F.lit(0.0))
+        for p in (_lng_pitch_deg(by0 + F.lit(d), pitch, max_dist_km)
+                  for d in (-1, 0, 1))])
+    shift = (F.when((m > F.lit(0.0))
+                    & (F.col("p_lng") >= F.lit(180.0) - m),
+                    F.lit(-360.0))
+             .when((m > F.lit(0.0))
+                   & (F.col("p_lng") <= F.lit(-180.0) + m),
+                   F.lit(360.0)))
+    pts = pts.withColumn(
+        "__sh", F.explode(F.array_compact(
+            F.array(F.lit(0.0), shift)))) \
+        .withColumn("p_lng", F.col("p_lng") + F.col("__sh"))
     # explode points into their 3x3 neighborhood buckets (9x duplication of
     # the small side beats any theta-join); bx is computed against the
     # TARGET band's longitude pitch so the equi-join key matches the cell
@@ -118,9 +153,14 @@ def idw_interpolate(cells: DataFrame, points: DataFrame,
     pts = pts.withColumn(
         "by", F.floor(F.col("p_lat") / F.lit(pitch)) + F.col("off.dy"))
     p_pitch = _lng_pitch_deg(F.col("by"), pitch, max_dist_km)
+    # in a single-360-degree-bucket band the ORIGINAL row already
+    # reaches every cell (bx in {-1, 0}, covered by the +-1 dx
+    # explode); a wrap copy there would sit one bucket over and
+    # double-match — drop copies in such bands
+    pts = pts.filter((F.col("__sh") == 0) | (p_pitch < F.lit(360.0)))
     pts = pts.withColumn(
         "bx", F.floor(F.col("p_lng") / p_pitch) + F.col("off.dx")
-    ).drop("off")
+    ).drop("off", "__sh")
 
     c = cells.alias("c").withColumn(
         "by", F.floor(F.col("c.latitude") / F.lit(pitch)))

@@ -138,3 +138,51 @@ def test_exact_hit_epsilon_clamp(spark):
     got = _run(spark, cells, pts, k=3, power=2.0, max_dist_km=100.0)
     assert got["0"][1] == 3
     assert got["0"][0] == pytest.approx(42.0, abs=1e-6)
+
+
+def test_antimeridian_wrap(spark):
+    # cells hugging lng=+-180 at mid/high latitude; true nearest
+    # neighbors sit on the OTHER side of the seam (formerly the
+    # documented miss). Brute force wraps naturally via haversine.
+    cells = [(f"c{i}", 40.0 + 3.0 * i, 179.6 if i % 2 else -179.7)
+             for i in range(8)]
+    pts = []
+    for i in range(8):
+        lat = 40.0 + 3.0 * i
+        # one point just across the seam (within ~60km), one same-side
+        pts.append((lat + 0.1, -179.8 if i % 2 else 179.5,
+                    float(10 * i + 1)))
+        pts.append((lat - 0.2, 179.9 if i % 2 else -179.9,
+                    float(10 * i + 2)))
+    _check(spark, cells, pts, k=3, max_dist=200.0)
+
+
+def test_antimeridian_sparse_exact_neighbor_count(spark):
+    # exactly one neighbor per cell, always across the seam: a miss
+    # shows up as a missing output row, not just a value drift
+    cells = [(f"s{i}", 35.0 + 5.0 * i, 179.95) for i in range(6)]
+    pts = [(35.0 + 5.0 * i, -179.95, float(i)) for i in range(6)]
+    got = _run(spark, cells, pts, k=3, power=2.0, max_dist_km=50.0)
+    assert set(got) == {f"s{i}" for i in range(6)}
+    for i in range(6):
+        assert got[f"s{i}"][1] == 1
+
+
+def test_no_seam_no_behavior_change(spark):
+    # far from the seam the wrap explode must be a no-op: every point
+    # keeps exactly one copy (output identical to brute force)
+    cells = [(f"n{i}", -60.0 + 10.0 * i, 10.0 + i) for i in range(10)]
+    pts = [(-60.0 + 10.0 * i + dy, 10.0 + i + dx, float(i + dy + dx))
+           for i in range(10) for dy in (-0.3, 0.2) for dx in (-0.4, 0.3)]
+    _check(spark, cells, pts, k=3, max_dist=120.0)
+
+
+def test_seam_across_degenerate_band_boundary(spark):
+    # point in a single-360-bucket (near-pole) band serving a seam cell
+    # in the adjacent NORMAL band, and vice versa — the copy trigger
+    # must consider all three candidate bands, and copies must never
+    # double-match inside the degenerate band
+    cells = [("hi", 74.0, 179.2), ("lo", 64.0, -179.3)]
+    pts = [(76.0, -179.0, 3.0), (66.0, 179.5, 7.0),
+           (75.5, 179.8, 11.0), (64.5, -179.9, 13.0)]
+    _check(spark, cells, pts, k=5, power=1.5, max_dist=1500.0)
