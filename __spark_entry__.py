@@ -3299,6 +3299,51 @@ def _drifted_terms_oracle_sql(k=12):
         limit {k}""")
 
 
+def q_frontier_timeline(spark, sf_dir):
+    """crawl politeness TIMELINE: the frontier schedule joined with
+    robots.txt Crawl-delay values parsed from synthesized bodies —
+    each .com host declares delay (k%5)+1 in its `*` group (a named
+    group declaring 99 must be ignored); other hosts fall back to the
+    1.0s default. fetch_at_s = fetch_round * delay_s is the earliest
+    compliant offset. The oracle derives delays ANALYTICALLY from the
+    host name (never touching the parser), so group tracking, the
+    numeric extract, and the broadcast join are all gated."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.frontier import (
+        schedule_with_delays)
+    from osc_geo_h3grid_srv_spark.operators.robots import crawl_delays
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    urls = docs.withColumn("url", _synth_url_col())
+    ks = spark.range(0, 23).select(F.col("id").alias("k"))
+    robots = ks.select(
+        F.concat(F.lit("site"), F.col("k"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: fastbot\nCrawl-delay: 99\n\n"),
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.col("k") % 5 + 1).cast("string"),
+            F.lit("\nDisallow: /private\n")).alias("body"))
+    t = schedule_with_delays(urls, crawl_delays(robots), per_host=2,
+                             max_per_host=4, priority_col="n_chars")
+    return t.select("doc_id", "host", "fetch_round",
+                    F.round("delay_s", 6).alias("delay_r"),
+                    F.round("fetch_at_s", 6).alias("fetch_at_r"))
+
+
+def _frontier_timeline_oracle_sql():
+    return ("with " + _URL_ORACLE_CTE + _FRONTIER_SCHED_CTE + """,
+        t as (
+            select doc_id, host, fetch_round,
+                   case when regexp_full_match(host, 'site[0-9]+\\.com')
+                        then (regexp_extract(host,
+                              'site([0-9]+)', 1)::bigint % 5 + 1)::double
+                        else 1.0 end as delay_s
+            from kept)
+        select doc_id, host, fetch_round,
+               round(delay_s, 6) as delay_r,
+               round(fetch_round * delay_s, 6) as fetch_at_r
+        from t""")
+
+
 def q_shard_assignment(spark, sf_dir):
     """training-data writer: deterministic global shuffle + shard
     assignment (operators/packing.py assign_shards) — shard =
@@ -3507,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "frontier_round_load": q_frontier_round_load,
         "shard_assignment": q_shard_assignment,
+        "frontier_timeline": q_frontier_timeline,
         "corpus_drift": q_corpus_drift,
         "pq_adc_topk": q_pq_adc_topk,
         "inlink_profile": q_inlink_profile,
@@ -3844,6 +3890,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": _frontier_oracle_sql(),
         "frontier_round_load": _frontier_load_oracle_sql(),
         "shard_assignment": _shard_oracle_sql(),
+        "frontier_timeline": _frontier_timeline_oracle_sql(),
         "corpus_drift": _drift_oracle_sql(),
         "pq_adc_topk": _pq_adc_oracle_sql(),
         "inlink_profile": _INLINK_ORACLE,

@@ -65,3 +65,31 @@ def round_load(schedule: DataFrame) -> DataFrame:
     return (schedule.groupBy("fetch_round")
             .agg(F.count("*").cast("long").alias("n_urls"),
                  F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
+def schedule_with_delays(urls: DataFrame, delays: DataFrame,
+                         per_host: int = 1,
+                         default_delay_s: float = 1.0,
+                         max_per_host: int | None = None,
+                         url_col: str = "url",
+                         priority_col: str | None = None) -> DataFrame:
+    """politeness schedule as a concrete TIMELINE: the round schedule
+    joined with per-host crawl delays (robots.crawl_delays output;
+    hosts without a declared delay get default_delay_s), giving
+    fetch_at_s = fetch_round * delay_s — the earliest offset a
+    compliant fetcher may issue the request, with one wave per round
+    and per_host requests per wave. The delays table is host-keyed and
+    tiny relative to the frontier -> broadcast; the frontier is never
+    reshuffled for it."""
+    from pyspark.sql import functions as F
+    sched = schedule_frontier(urls, per_host=per_host,
+                              max_per_host=max_per_host,
+                              url_col=url_col,
+                              priority_col=priority_col)
+    d = F.broadcast(delays.select("host", "delay_s"))
+    return (sched.join(d, "host", "left")
+            .withColumn("delay_s",
+                        F.coalesce("delay_s",
+                                   F.lit(float(default_delay_s))))
+            .withColumn("fetch_at_s",
+                        F.col("fetch_round") * F.col("delay_s")))

@@ -42,14 +42,13 @@ from pyspark.sql import functions as F
 from .weburl import host_from_url
 
 
-def rules_from_robots_txt(robots: DataFrame, host_col: str = "host",
-                          body_col: str = "body") -> DataFrame:
-    """(host, body) -> (host, directive 'allow'|'disallow', prefix).
+def _starred_lines(robots: DataFrame, host_col: str,
+                   body_col: str) -> DataFrame:
+    """(host, pos, line) for every line inside a `*`-addressed group.
 
-    Group tracking: `ua_cum` counts User-agent lines at-or-before each
-    line; a group is "addressed to *" if ANY of its UA lines is `*`
-    (consecutive UA lines form one group per the RFC). Rule lines in
-    starred groups survive."""
+    Group tracking: a group is "addressed to *" if ANY of its UA lines
+    is `*` (consecutive UA lines form one group per the RFC); group
+    runs are numbered with a window cumsum of run-starting UA lines."""
     lines = F.split(F.col(body_col), "\n")
     d = robots.select(F.col(host_col).alias("host"),
                       F.posexplode(lines).alias("pos", "line"))
@@ -62,8 +61,6 @@ def rules_from_robots_txt(robots: DataFrame, host_col: str = "host",
     from pyspark.sql import Window
     w = (Window.partitionBy("host").orderBy("pos")
          .rowsBetween(Window.unboundedPreceding, 0))
-    # group id: consecutive UA lines share a group, so number groups by
-    # UA lines that START a run (previous line not a UA line)
     wlag = Window.partitionBy("host").orderBy("pos")
     starts_run = (F.col("is_ua") == 1) & \
         (F.coalesce(F.lag("is_ua").over(wlag), F.lit(0)) == 0)
@@ -72,17 +69,40 @@ def rules_from_robots_txt(robots: DataFrame, host_col: str = "host",
                .agg(F.max("ua_star").alias("star"))
                .filter(F.col("star") == 1)
                .select("host", "grp"))
+    return d.join(F.broadcast(starred), ["host", "grp"], "left_semi")
+
+
+def rules_from_robots_txt(robots: DataFrame, host_col: str = "host",
+                          body_col: str = "body") -> DataFrame:
+    """(host, body) -> (host, directive 'allow'|'disallow', prefix)
+    over the `*`-addressed groups."""
+    d = _starred_lines(robots, host_col, body_col)
     rule = F.regexp_extract(F.lower("line"),
                             r"^(allow|disallow):", 1)
     d = (d.filter(rule != "")
          .withColumn("directive", rule)
          .withColumn("prefix", F.trim(F.col("line").substr(
              F.instr(F.col("line"), ":") + 1, F.lit(1 << 20)))))
-    d = d.join(F.broadcast(starred), ["host", "grp"], "left_semi")
     # "Disallow:" (empty prefix) == allow everything -> no rule row;
     # "Allow:" (empty) is equally vacuous under longest-match.
     return (d.filter(F.col("prefix") != "")
             .select("host", "directive", "prefix"))
+
+
+def crawl_delays(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, delay_s): the `Crawl-delay:` value of the `*` group —
+    the de-facto politeness extension (not in RFC 9309 but emitted by
+    a large fraction of real robots.txt files and honored by major
+    crawlers). Multiple values in starred groups collapse to the MAX
+    (conservative politeness); non-numeric values are ignored."""
+    d = _starred_lines(robots, host_col, body_col)
+    val = F.trim(F.regexp_extract(F.lower("line"),
+                                  r"^crawl-delay:\s*([0-9.]+)\s*$", 1))
+    d = d.filter(val != "").withColumn("delay_s", val.cast("double"))
+    return (d.filter(F.col("delay_s").isNotNull())
+            .groupBy("host")
+            .agg(F.max("delay_s").alias("delay_s")))
 
 
 def robots_filter(urls: DataFrame, rules: DataFrame,

@@ -78,3 +78,32 @@ def test_lexicographic_without_priority(spark):
     rows = {r["url"]: r["fetch_round"] for r in out.collect()}
     assert rows["https://a.com/1"] == 0
     assert rows["https://a.com/2"] == 1
+
+
+def test_crawl_delays_parse_and_timeline(spark):
+    from osc_geo_h3grid_srv_spark.operators.frontier import (
+        schedule_with_delays)
+    from osc_geo_h3grid_srv_spark.operators.robots import crawl_delays
+    robots = spark.createDataFrame([
+        # starred group delay 2.5; named group 99 ignored
+        ("a.com", "User-agent: fast\nCrawl-delay: 99\n\n"
+                  "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"),
+        # two starred declarations -> max wins
+        ("b.org", "User-agent: *\nCrawl-delay: 1\n\n"
+                  "User-agent: *\nCrawl-delay: 3\n"),
+        # non-numeric ignored -> host absent from the table
+        ("c.net", "User-agent: *\nCrawl-delay: soon\n"),
+    ], "host string, body string")
+    d = {r["host"]: r["delay_s"] for r in crawl_delays(robots).collect()}
+    assert d == {"a.com": 2.5, "b.org": 3.0}
+
+    urls = spark.createDataFrame(
+        [(f"https://a.com/{i}", i) for i in range(3)]
+        + [("https://c.net/1", 9), ("https://c.net/2", 8)],
+        "url string, prio long")
+    t = {(r["host"], r["fetch_round"]): (r["delay_s"], r["fetch_at_s"])
+         for r in schedule_with_delays(
+             urls, crawl_delays(robots), per_host=1,
+             default_delay_s=1.5, priority_col="prio").collect()}
+    assert t[("a.com", 2)] == (2.5, 5.0)   # declared delay scales rounds
+    assert t[("c.net", 1)] == (1.5, 1.5)   # fallback default
