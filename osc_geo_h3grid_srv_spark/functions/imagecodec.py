@@ -1,11 +1,11 @@
 """Pure-NumPy image codecs for the multimodal column family: Windows BMP
 (BITMAPINFOHEADER, uncompressed BI_RGB, 24-bit color / 8-bit paletted or
-grayscale) and Netpbm PPM/PGM (P5/P6 binary, maxval <= 255). Both are
-fully public formats (the BMP layout is the classic Windows file format;
-Netpbm headers are whitespace-separated ASCII) and need no external
-libraries, which makes them the one end-to-end REAL decode path in this
-container (VERDICT r02 next-step #6) — PIL/libvips codecs slot in behind
-the same decode_image() dispatcher on a real cluster.
+grayscale), Netpbm PPM/PGM (P5/P6 binary, maxval <= 255), and PNG
+(critical chunks, 8-bit gray/RGB/palette/alpha, filters 0-4; inflate is
+stdlib zlib). All fully public formats needing no external libraries —
+the end-to-end REAL decode paths in this container (VERDICT r02
+next-step #6); only JPEG remains external (PIL/libvips slots in behind
+the same decode_image() dispatcher on a real cluster).
 
 All decoders return uint8 arrays shaped (H, W) for grayscale or
 (H, W, 3) for RGB.
@@ -176,6 +176,161 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf[:2] in (b"P5", b"P6"):
         return decode_pnm(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(buf)
     raise ImageDecodeError(
-        f"unknown image container (magic {buf[:2]!r}); JPEG/PNG decode "
+        f"unknown image container (magic {buf[:2]!r}); JPEG decode "
         "requires PIL/libvips — not available in this environment")
+
+
+# -- PNG (public spec: RFC 2083 / W3C PNG) -----------------------------------
+#
+# Critical chunks only, bit depth 8, color types 0 (gray), 2 (RGB),
+# 3 (palette), 4/6 (gray/RGB + alpha; alpha dropped — the stats
+# pipeline consumes color planes). Interlaced (Adam7) images are
+# refused -> quarantine. Inflate is stdlib zlib (not an external lib).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """reverse the per-scanline filters; returns (h, w*ch) uint8."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ImageDecodeError("PNG: truncated scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:
+            out[y] = row
+        elif ft == 1:   # Sub: cumulative sum per channel lane mod 256
+            lanes = row.reshape(w, ch).astype(np.uint64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256) \
+                .astype(np.uint8).reshape(stride)
+        elif ft == 2:   # Up
+            out[y] = row + prev
+        elif ft == 3:   # Average (left dependency -> per-byte loop)
+            o = out[y]
+            for x in range(stride):
+                left = int(o[x - ch]) if x >= ch else 0
+                o[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:   # Paeth
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                o[x] = (int(row[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ImageDecodeError(f"PNG: unknown filter type {ft}")
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    import zlib
+    if buf[:8] != _PNG_MAGIC:
+        raise ImageDecodeError("PNG: bad signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(buf):
+        ln, typ = struct.unpack(">I4s", buf[pos:pos + 8])
+        data = buf[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ImageDecodeError("PNG: truncated chunk")
+        pos += 12 + ln  # skip CRC (payload integrity is the codec
+        #                 test's job here, not transport checksums)
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ImageDecodeError("PNG: missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ImageDecodeError(
+            f"PNG: unsupported depth/compression ({depth},{comp},{filt})")
+    if inter != 0:
+        raise ImageDecodeError("PNG: Adam7 interlace not supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise ImageDecodeError(f"PNG: unknown color type {ctype}")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ImageDecodeError("PNG: unreasonable dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ImageDecodeError(f"PNG: bad zlib stream ({e})") from e
+    px = _unfilter(raw, w, h, ch)
+    if ctype == 0:
+        return px.reshape(h, w)
+    if ctype == 2:
+        return px.reshape(h, w, 3)
+    if ctype == 3:
+        if plte is None:
+            raise ImageDecodeError("PNG: palette image without PLTE")
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ImageDecodeError("PNG: palette index out of range")
+        return plte[idx]
+    if ctype == 4:
+        return px.reshape(h, w, 2)[:, :, 0]
+    return px.reshape(h, w, 4)[:, :, :3]  # ctype 6: drop alpha
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """minimal encoder (the test's round-trip source): color type 0 or
+    2, one filter type applied to every scanline (0/1/2/3/4 all
+    supported so decode's unfilter paths are each exercisable)."""
+    import zlib
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ch = 1 if gray else 3
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    rows = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = cur - (left + prev) // 2
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            enc = cur.copy()
+            for x in range(w * ch):
+                enc[x] = cur[x] - _paeth(int(left[x]), int(prev[x]),
+                                         int(ul[x]))
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        rows.append(bytes([filter_type]) + (enc % 256)
+                    .astype(np.uint8).tobytes())
+    def chunk(typ, data):
+        import zlib as z
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", z.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))

@@ -84,7 +84,8 @@ def test_pnm_header_comments_and_whitespace():
     (b"P6\n0 2\n255\n", "dimensions"),
     (b"P6\n2 2\n70000\n", "maxval"),
     (b"BMxxxxxxxxxxxx", "not a BM|truncated"),
-    (b"\x89PNG\r\n\x1a\n", "unknown image container"),
+    (b"\x89PNG\r\n\x1a\n", "missing IHDR/IDAT"),
+    (b"\xff\xd8\xff\xe0jpeg", "unknown image container"),
 ])
 def test_decode_errors(buf, msg):
     with pytest.raises(ic.ImageDecodeError, match=msg):
@@ -172,3 +173,90 @@ def test_bmp_malformed_palette_quarantines():
     out = decode_bmp(bmp8(16, pal, pix))
     assert out.ndim == 3 and out.shape == (4, 4, 3)
     assert (out[0, 0] == [99, 10, 10]).all()  # RGB order
+
+
+def _img_rgb(h, w, seed=3):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (h, w, 3), dtype="uint8")
+
+
+def test_png_roundtrip_every_filter_type():
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        decode_png, encode_png)
+    img = _img_rgb(13, 7)
+    gray = img[:, :, 0]
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(img, ft)), img), ft
+        assert np.array_equal(decode_png(encode_png(gray, ft)), gray), ft
+
+
+def test_png_via_dispatcher_and_palette_alpha():
+    import struct
+    import zlib
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        _PNG_MAGIC, decode_image, decode_png)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # palette image: 2x2 indices into a 3-color palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 1])  # filter 0 rows: [0,1], [2,1]
+    png = (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_image(png)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+
+    # RGBA: alpha dropped
+    ihdr6 = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    raw6 = bytes([0, 10, 20, 30, 99])
+    png6 = (_PNG_MAGIC + chunk(b"IHDR", ihdr6)
+            + chunk(b"IDAT", zlib.compress(raw6)) + chunk(b"IEND", b""))
+    assert decode_png(png6)[0, 0].tolist() == [10, 20, 30]
+
+
+def test_png_malformed_quarantine_paths():
+    import struct
+    import zlib
+    import numpy as np
+    import pytest
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        _PNG_MAGIC, ImageDecodeError, decode_png, encode_png)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    good = encode_png(_img_rgb(4, 4))
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNX" + good[4:])  # bad signature
+    with pytest.raises(ImageDecodeError):
+        decode_png(good[:40])  # truncated
+    # interlaced refused
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00aa\x00aa"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ImageDecodeError):
+        decode_png(png)
+    # corrupt zlib stream
+    bad = good.replace(b"IDAT", b"IDAT")  # locate idat, flip payload
+    i = bad.find(b"IDAT") + 4
+    bad = bad[:i + 2] + bytes([bad[i + 2] ^ 0xFF]) + bad[i + 3:]
+    with pytest.raises(ImageDecodeError):
+        decode_png(bad)
+    # palette index out of range
+    ihdr3 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    png3 = (_PNG_MAGIC + chunk(b"IHDR", ihdr3)
+            + chunk(b"PLTE", bytes([1, 2, 3]))
+            + chunk(b"IDAT", zlib.compress(bytes([0, 9])))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ImageDecodeError):
+        decode_png(png3)
