@@ -1843,12 +1843,13 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_image_decode_stats(spark, sf_dir):
-    """round-3 real-decode gate: synth PPM (P6) payloads -> the REAL
-    Netpbm parser (functions/imagecodec.py) -> pixel statistics. The
-    oracle replays the pixel bytes from the generation recipe WITHOUT
-    parsing, so any header/raster offset bug in the decoder shows up as
-    a hash mismatch (width/height come from the parsed header, sums
-    from the decoded array)."""
+    """round-3 real-decode gate: synth payloads (PPM P6; every third
+    row the SAME pixels in a PNG container with cycling scanline
+    filters) -> the REAL parsers (functions/imagecodec.py) -> pixel
+    statistics. The oracle replays the pixel bytes from the generation
+    recipe WITHOUT parsing, so a header/raster/zlib/unfilter bug in
+    EITHER decoder shows up as a hash mismatch (width/height come from
+    the parsed containers, sums from the decoded arrays)."""
     from pyspark.sql import functions as F
     from osc_geo_h3grid_srv_spark.operators.multimodal import (
         decode_pixel_stats, synth_image_media)

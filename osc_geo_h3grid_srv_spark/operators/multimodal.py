@@ -60,11 +60,15 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def synth_image_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
-    """deterministic media table whose image payloads are REAL PPM (P6)
-    files (functions/imagecodec.py): header + mix64-derived RGB raster.
-    Round-3: gives the multimodal family an end-to-end real decode path
-    — the pixel stats the decoder recovers are oracle-replayable from
-    the generation recipe, so a header/raster parsing bug cannot hide."""
+    """deterministic media table whose image payloads are REAL image
+    files (functions/imagecodec.py): mix64-derived RGB rasters wrapped
+    as PPM (P6), except every third row which carries the SAME pixels
+    in a PNG container (filter cycling over the row index so all five
+    unfilter paths run). The decoded stats are container-independent,
+    so the oracle replay of the generation recipe gates BOTH parsers
+    without knowing which container each row used."""
+    from ..functions.imagecodec import encode_png
+
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -77,7 +81,12 @@ def synth_image_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
                 nwords = (npx + 7) // 8
                 words = mix64(np.arange(nwords, dtype=np.uint64) + u)
                 px = np.frombuffer(words.tobytes(), np.uint8)[:npx]
-                payload = (b"P6\n%d %d\n255\n" % (w, ht)) + px.tobytes()
+                if i % 3 == 2:
+                    payload = encode_png(px.reshape(ht, w, 3),
+                                         filter_type=int(i) % 5)
+                else:
+                    payload = (b"P6\n%d %d\n255\n" % (w, ht)) \
+                        + px.tobytes()
                 rows.append((int(i), "image", w, ht, 1, payload))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "media_type", "width", "height", "n_frames",

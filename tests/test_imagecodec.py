@@ -127,14 +127,26 @@ def test_decode_pixel_stats_mixed_payloads(spark):
     assert out[3]["error"] is not None and out[3]["px_sum"] is None
 
 
-def test_synth_image_media_payloads_are_valid_ppm(spark):
+def test_synth_image_media_payloads_are_valid_containers(spark):
+    # PPM rows parse as PPM; every third row is a PNG of the SAME
+    # recipe pixels (container-independent stats)
     from osc_geo_h3grid_srv_spark.operators.multimodal import (
         synth_image_media)
     rows = synth_image_media(spark, 20, partitions=2).collect()
     assert len(rows) == 20
+    n_png = 0
     for r in rows:
-        img = ic.decode_pnm(bytes(r["payload"]))
+        buf = bytes(r["payload"])
+        if r["doc_id"] % 3 == 2:
+            assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+            img = ic.decode_png(buf)
+            n_png += 1
+        else:
+            assert buf[:2] == b"P6"
+            img = ic.decode_pnm(buf)
         assert img.shape == (r["height"], r["width"], 3)
+        assert np.array_equal(ic.decode_image(buf), img)
+    assert n_png == 6
 
 
 def test_bmp_malformed_palette_quarantines():
