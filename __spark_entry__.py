@@ -2988,7 +2988,8 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def _winnow_oracle_sql(k=4, w=5):
-    span = 1 << 21
+    from osc_geo_h3grid_srv_spark.operators.winnow import _POS_SPAN
+    span = _POS_SPAN
     hexp = _hex8_to_num_sql(
         f"md5(array_to_string(t[i:i+{k - 1}], ' '))")
     return f"""

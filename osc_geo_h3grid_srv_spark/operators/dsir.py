@@ -119,6 +119,8 @@ def dsir_select(docs: DataFrame, is_target: Column, k: int,
     a marker column first."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     g = doc_grams(docs.withColumn("__t", is_target), id_col, text_col,
                   keep_cols=["__t"])
     ratio = fit_logratio(g, F.col("__t"), alpha=alpha)

@@ -16,8 +16,8 @@ Engine-portable hashing and selection (everything replayable in SQL):
   any engine with md5 (same trick as operators/sampling.py).
 * "minimum, rightmost on ties, over a trailing window" collapses to
   ONE window-min over the packed key
-      key = h * 2^21 + (2^21 - 1 - pos)
-  (pos < 2^21 enforced): minimizing key minimizes h and, on equal h,
+      key = h * 2^30 + (2^30 - 1 - pos)
+  (pos < 2^30; see _POS_BITS): minimizing key minimizes h and, on equal h,
   maximizes pos. h and pos decode back out of the selected key by
   div/mod — exact integer arithmetic end to end, no float anywhere.
 * short docs (fewer than w grams) keep their global-min gram, so every
@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_POS_BITS = 21
+# 30 position bits: docs up to 2^30 grams (far beyond any real
+# document) while h * 2^30 + pos stays under 2^62 — exact BIGINT
+# arithmetic in both engines (the packed key never touches a double)
+_POS_BITS = 30
 _POS_SPAN = 1 << _POS_BITS
 
 

@@ -97,6 +97,8 @@ def test_select_deterministic_and_k(spark):
     assert any(abs(ka[d] - kb[d]) > 1e-9 for d in ka)
     with pytest.raises(ValueError):
         dsir_select(df, tgt, k=0)
+    with pytest.raises(ValueError):
+        dsir_select(df, tgt, k=2, temperature=0.0)
 
 
 def test_temperature_flattens_weight_influence(spark):
