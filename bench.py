@@ -249,6 +249,7 @@ def main():
              "url_canonical_domains", "domain_rollup",
              "bigram_lm_scores", "bpe_merges", "bpe_encode_counts",
              "span_dedup_removal", "html_link_graph", "robots_exclusion",
+             "robots_wildcard_exclusion",
              "inverted_index", "dsir_selection", "phrase_search",
              "frontier_schedule", "shard_assignment", "corpus_drift",
              "pq_adc_topk", "inlink_profile", "winnow_fingerprints",
@@ -260,17 +261,35 @@ def main():
 
     extras["rep_secs"] = rep_secs
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # HEADLINE SCALARS FIRST, bulky per-query dicts LAST: the driver
+    # captures the tail of stdout, and BENCH_r03.json lost value/
+    # pages_per_sec/flagship to front-truncation of this one line
+    # (VERDICT r3 What's-wrong #2). Also persist the full record to
+    # BENCH.json at the repo root so no capture window can eat it.
+    headline_keys = [
+        "pages_per_sec", "flagship_pages", "flagship_rep_secs",
+        "flagship_clipped_points", "flagship_interp_cells",
+        "correlator_1m_rep_secs", "correlator_1m_matched",
+        "pages_prep_sec", "warmup_sec",
+    ]
+    record = {
         "metric": "H3-indexed pages/sec (cell assign + PIP + kNN "
                   "interpolate) + operator suite",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": _SF,
         "cpus": CPUS,
-        **extras,
+        "flagship_sec": timings.get("flagship_index_pip_idw"),
+        **{k: extras[k] for k in headline_keys if k in extras},
         "wall_total": round(time.time() - t_start, 3),
-    }))
+        "queries": timings,
+        **{k: v for k, v in extras.items() if k not in headline_keys},
+    }
+    out = json.dumps(record)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as fh:
+        fh.write(out + "\n")
+    print(out)
     spark.stop()
 
 

@@ -278,6 +278,57 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b", "cosine"))
 
 
+def srp_blocked_dup_pairs(emb: DataFrame, threshold: float, dim: int,
+                          bits: int = 3, n_tables: int = 2,
+                          seed: int = 7, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """End-to-end ANN-BLOCKED embedding near-dup pairs: the scale path
+    that `embedding_dup_pairs(block_col=...)` promises, wired to a
+    concrete signed-random-projection LSH (Charikar SimHash family for
+    cosine, public literature).
+
+    Blocking: `n_tables` bands of `bits` deterministic unit-norm
+    hyperplanes (splitmix64-seeded, `similarity.ivf_seed_centroids` —
+    no RNG state, identical numerals on every executor and in the
+    DuckDB oracle replay). bucket(v, t) = table tag + packed sign bits
+    of round(dot(v, h_i), 6). Candidates = pairs sharing ANY table's
+    bucket: explode the `n_tables` bucket ids per vector, equi
+    self-join on the bucket key, exact cosine re-rank >= threshold,
+    distinct to collapse pairs found by several tables.
+
+    100 TB story: the only join is an equi-join on the bucket key
+    (never a crossJoin — candidate work is sum of squared bucket
+    sizes, tuned by `bits`); hot buckets are split by AQE skew-join,
+    and at warehouse scale the bucket id doubles as a partition column
+    so each table's candidate generation is partition-local. Vectors
+    are cast to array<double> once so the fold matches the oracle's
+    double-precision arithmetic bit-for-bit.
+
+    Recall is the standard SRP union bound 1-(1-(1-theta/pi)^bits)^
+    n_tables — a property test pins it on planted near-dup pairs; the
+    oracle entry replays the exact same hyperplanes so the gate is
+    deterministic."""
+    from .similarity import ivf_seed_centroids, _dot_expr
+    if bits < 1 or n_tables < 1:
+        raise ValueError("bits and n_tables must be >= 1")
+    planes = ivf_seed_centroids(dim, bits * n_tables, seed)
+    v_dbl = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t in range(n_tables):
+        acc = F.lit(t * (1 << bits)).cast("long")
+        for i in range(bits):
+            bit = (F.round(_dot_expr("__v", planes[t * bits + i]), 6)
+                   >= 0).cast("long") * F.lit(1 << i)
+            acc = acc + bit
+        buckets.append(acc)
+    blocked = (emb.select(F.col(id_col), v_dbl.alias("__v"))
+               .select(F.col(id_col), F.col("__v"),
+                       F.explode(F.array(*buckets)).alias("__blk")))
+    return embedding_dup_pairs(blocked, id_col=id_col, vec_col="__v",
+                               threshold=threshold,
+                               block_col="__blk").distinct()
+
+
 def remove_boilerplate_chunks(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               chunk_words: int = 8,

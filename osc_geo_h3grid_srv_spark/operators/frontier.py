@@ -76,11 +76,14 @@ def schedule_with_delays(urls: DataFrame, delays: DataFrame,
     """politeness schedule as a concrete TIMELINE: the round schedule
     joined with per-host crawl delays (robots.crawl_delays output;
     hosts without a declared delay get default_delay_s), giving
-    fetch_at_s = fetch_round * delay_s — the earliest offset a
-    compliant fetcher may issue the request, with one wave per round
-    and per_host requests per wave. The delays table is host-keyed and
-    tiny relative to the frontier -> broadcast; the frontier is never
-    reshuffled for it."""
+    fetch_at_s = (host_rank - 1) * delay_s — the earliest offset a
+    compliant fetcher may issue the request. Crawl-delay requires
+    delay_s spacing between CONSECUTIVE requests to one host, so the
+    spacing is per host_rank, not per round: with per_host > 1 the
+    requests of one round are still delay_s apart (round membership
+    remains the wave/queue grouping, not the clock). The delays table
+    is host-keyed and tiny relative to the frontier -> broadcast; the
+    frontier is never reshuffled for it."""
     from pyspark.sql import functions as F
     sched = schedule_frontier(urls, per_host=per_host,
                               max_per_host=max_per_host,
@@ -92,4 +95,4 @@ def schedule_with_delays(urls: DataFrame, delays: DataFrame,
                         F.coalesce("delay_s",
                                    F.lit(float(default_delay_s))))
             .withColumn("fetch_at_s",
-                        F.col("fetch_round") * F.col("delay_s")))
+                        (F.col("host_rank") - 1) * F.col("delay_s")))

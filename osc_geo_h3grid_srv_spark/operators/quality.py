@@ -111,3 +111,37 @@ def top_fraction_by_group(df: DataFrame, frac: float, group_col: str,
             .filter(F.col("__rk")
                     <= F.ceil(F.lit(float(frac)) * F.col("__n")))
             .drop("__rk", "__n"))
+
+
+def top_fraction_by_group_approx(df: DataFrame, frac: float,
+                                 group_col: str, score_col: str,
+                                 accuracy: int = 10000) -> DataFrame:
+    """The 10^12-rows-per-group scale path promised by
+    top_fraction_by_group's docstring: instead of an exact per-group
+    rank (which needs a full sort of every group), compute a per-group
+    score threshold with percentile_approx(score, 1 - frac) — a
+    Greenwald-Khanna sketch, mergeable and map-side partial, so the
+    aggregate never materializes a group in one task — broadcast the
+    (group, threshold) table back, and keep rows with
+    score >= threshold as a pure map filter.
+
+    Plan shape: ONE partial+final aggregate over a group-keyed
+    exchange of sketch objects + ONE BroadcastHashJoin + codegen
+    filter. No Window, no rangepartitioning/global sort anywhere.
+
+    Semantics vs exact: the kept fraction per group is frac within the
+    sketch rank error eps ~= 1/accuracy (plus ties at the threshold,
+    which are ALL kept — >= keeps the selection deterministic and a
+    superset under ties). Every non-empty group keeps >= 1 row: the
+    group max always clears its own percentile. frac=1.0 degenerates
+    to the group min -> keeps everything, matching the exact form."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac {frac} not in (0, 1]")
+    if accuracy < 1:
+        raise ValueError(f"accuracy {accuracy} must be >= 1")
+    thr = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, float(1.0 - frac),
+                            int(accuracy)).alias("__thr"))
+    return (df.join(F.broadcast(thr), group_col)
+            .filter(F.col(score_col) >= F.col("__thr"))
+            .drop("__thr"))

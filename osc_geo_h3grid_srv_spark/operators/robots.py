@@ -14,12 +14,16 @@ Two stages, both pure JVM column algebra (no Python, no UDF):
   mean allow-all per the RFC and are dropped.
 
 * `robots_filter` — evaluate urls against the rule table with the
-  RFC 9309 precedence: the LONGEST matching prefix wins; on equal
-  length Allow beats Disallow; no matching rule means allowed.
-  Implemented as a broadcast join on host + startswith predicate +
-  one `max_by` aggregate keyed by (prefix_length, is_allow) — the
-  lexicographic struct order IS the precedence rule, so no window
-  re-sort is needed.
+  RFC 9309 precedence: the matching rule with the MOST pattern octets
+  wins; on equal length Allow beats Disallow; no matching rule means
+  allowed. §2.2.3 special characters are honored: `*` matches any run
+  of octets and a trailing `$` anchors the path end (rules like
+  `Disallow: /*.pdf$` work); wildcard-free rules keep the cheap
+  startswith fast path, wildcard rules compile to an anchored regex on
+  the (tiny, broadcast) rule side. Implemented as a broadcast join on
+  host + match predicate + one `max_by` aggregate keyed by
+  (pattern_length, is_allow) — the lexicographic struct order IS the
+  precedence rule, so no window re-sort is needed.
 
 Scale notes: the rules side is the web's robots corpus — millions of
 rows, kilobytes each — comfortably broadcastable after the parse
@@ -105,35 +109,76 @@ def crawl_delays(robots: DataFrame, host_col: str = "host",
             .agg(F.max("delay_s").alias("delay_s")))
 
 
+def _rule_match_cols(prefix):
+    """(has_wildcard, anchored_regex) columns for an RFC 9309 rule
+    pattern. §2.2.3 special characters: `*` matches any run of octets
+    anywhere in the pattern; `$` anchors the end of the path when it is
+    the LAST octet (elsewhere it is a literal). Everything else is a
+    literal octet, so regex metacharacters in the rule must be escaped
+    before `*` is widened to `.*`."""
+    ends_d = prefix.endswith("$")
+    core = F.when(ends_d, F.substring(
+        prefix, 1, F.length(prefix) - 1)).otherwise(prefix)
+    # escape Java-regex metachars except '*' (handled below); the
+    # replacement '\\$1' emits a literal backslash before the match
+    esc = F.regexp_replace(core, r"([.\\+?\[\]\(\)\^\{\}\|\$])",
+                           r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    rgx = F.concat(F.lit("^"), esc,
+                   F.when(ends_d, F.lit("$")).otherwise(F.lit("")))
+    return (prefix.contains("*") | ends_d), rgx
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url") -> DataFrame:
     """urls + (host, directive, prefix) rules -> urls with `is_allowed`.
 
     RFC 9309 precedence via one broadcast join + max_by((len, allow)):
-    longest matching prefix wins, Allow wins length ties, default
-    allow when nothing matches."""
-    u = urls.withColumn("_host", host_from_url(F.col(url_col)))
+    the matching rule with the most pattern octets wins, Allow wins
+    length ties, default allow when nothing matches. Patterns support
+    the §2.2.3 special characters (`*` any-octets, trailing `$` end
+    anchor) — wildcard rules match via an anchored regex built on the
+    broadcast side; plain-prefix rules keep the cheap startswith path.
+
+    The input row identity is preserved exactly (duplicate url rows
+    stay duplicated): each row gets a join key from
+    monotonically_increasing_id and the verdict is aggregated per key,
+    so user columns named `prefix`/`directive`/etc cannot collide with
+    the rule side either (internal names are __rb_-prefixed)."""
+    RK, HOST, PATH = "__rb_rk", "__rb_host", "__rb_path"
+    DIR, PFX, WILD, RGX = ("__rb_dir", "__rb_prefix", "__rb_wild",
+                           "__rb_regex")
+    for c in (RK, HOST, PATH, DIR, PFX, WILD, RGX):
+        if c in urls.columns:
+            raise ValueError(f"urls must not carry internal column {c}")
+    u = urls.withColumn(RK, F.monotonically_increasing_id())
+    u = u.withColumn(HOST, host_from_url(F.col(url_col)))
     rest = F.regexp_replace(F.substring_index(F.col(url_col), "#", 1),
                             r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.substring_index(rest, "/", 1)
     path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
-    u = u.withColumn("_path",
+    u = u.withColumn(PATH,
                      F.when(path == "", F.lit("/")).otherwise(path))
-    r = F.broadcast(rules.select(F.col("host").alias("_host"),
-                                 "directive", "prefix"))
-    j = (u.join(r, "_host", "left")
-         .withColumn("_m", F.col("prefix").isNotNull()
-                     & F.col("_path").startswith(F.col("prefix"))))
+    pfx = F.col(PFX)
+    wild, rgx = _rule_match_cols(pfx)
+    r = F.broadcast(rules.select(F.col("host").alias(HOST),
+                                 F.col("directive").alias(DIR),
+                                 F.col("prefix").alias(PFX))
+                    .withColumn(WILD, wild)
+                    .withColumn(RGX, rgx))
+    match = F.when(pfx.isNull(), F.lit(False)) \
+        .when(F.col(WILD), F.regexp_like(F.col(PATH), F.col(RGX))) \
+        .otherwise(F.col(PATH).startswith(pfx))
+    j = u.join(r, HOST, "left").withColumn("__rb_m", match)
     verdict = F.max_by(
-        F.col("directive"),
-        F.when(F.col("_m"),
-               F.struct(F.length("prefix").alias("l"),
-                        (F.col("directive") == "allow").cast("int")
+        F.col(DIR),
+        F.when(F.col("__rb_m"),
+               F.struct(F.length(pfx).alias("l"),
+                        (F.col(DIR) == "allow").cast("int")
                         .alias("a"))))
-    out_cols = [c for c in urls.columns]
-    agg = (j.groupBy(*[F.col(c) for c in out_cols])
-           .agg(verdict.alias("_verdict")))
+    firsts = [F.first(F.col(c)).alias(c) for c in urls.columns]
+    agg = j.groupBy(RK).agg(*firsts, verdict.alias("__rb_v"))
     return agg.withColumn(
         "is_allowed",
-        F.coalesce(F.col("_verdict") == "allow", F.lit(True))
-    ).drop("_verdict")
+        F.coalesce(F.col("__rb_v") == "allow", F.lit(True))
+    ).drop("__rb_v", RK)

@@ -272,7 +272,18 @@ class Catalog:
             writer = writer.partitionBy(*man["partition_by"])
         writer.parquet(staging)
         new_files = self._scan_files(staging)
+        # re-check HEAD at commit time: the rewrite above is long, and a
+        # writer that committed a snapshot in between would have its
+        # files silently dropped if we built the new file list from the
+        # manifest read at entry (lost update). Compaction is a pure
+        # maintenance rewrite, so the safe move is to abort and let the
+        # caller retry against the new HEAD.
         parent = self.current_snapshot(table)
+        if parent != man["snapshot_id"]:
+            raise RuntimeError(
+                f"concurrent commit detected on {table!r}: compaction "
+                f"planned against snapshot {man['snapshot_id']} but HEAD "
+                f"is now {parent}; retry compact() against the new HEAD")
         sid = parent + 1
         manifest = {
             "table": table,
@@ -291,8 +302,14 @@ class Catalog:
             "metrics": {"commit_wall_clock_s": round(time.time() - t0,
                                                      3)},
         }
-        assert manifest["total_rows"] == man["total_rows"], \
-            "compaction must preserve row count"
+        # explicit raise (not assert) so the row-count invariant
+        # survives `python -O` — a compaction that changes row count is
+        # data loss and must never commit
+        if manifest["total_rows"] != man["total_rows"]:
+            raise RuntimeError(
+                f"compaction row-count mismatch on {table!r}: "
+                f"{man['total_rows']} before, "
+                f"{manifest['total_rows']} after — refusing to commit")
         mpath = self._manifest_path(table, sid)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:

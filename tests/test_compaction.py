@@ -96,3 +96,40 @@ def test_incremental_ingest_then_compact(spark, tmp_path):
     rep = incremental_ingest(cat, dup, table="pages_raw",
                              batch_source="b-dup")
     assert rep["rows_appended"] == 0
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    # lost-update guard (ADVICE r3): a writer that commits between
+    # compaction planning and the manifest commit must abort the
+    # compaction (its files would otherwise vanish from the new
+    # snapshot). Simulated by appending mid-compaction via a hook on
+    # _scan_files (runs after the rewrite, before the commit).
+    import pytest
+
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    for b in range(3):
+        df = spark.range(b * 10, (b + 1) * 10, 1, 2).select(
+            F.col("id"), (F.col("id") % 3).alias("v"))
+        cat.write("t", df, mode="append" if b else "overwrite")
+    head = cat.current_snapshot("t")
+    real_scan = cat._scan_files
+
+    def scan_and_race(staging):
+        files = real_scan(staging)
+        # restore BEFORE the racing write: write() itself scans its
+        # staging dir, and a still-patched hook would recurse forever
+        cat._scan_files = real_scan
+        cat.write("t", spark.range(100, 110).select(
+            F.col("id"), (F.col("id") % 3).alias("v")), mode="append")
+        return files
+
+    cat._scan_files = scan_and_race
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            cat.compact("t", target_bytes=1 << 30, min_files=2)
+    finally:
+        cat._scan_files = real_scan
+    # the racing append's rows survive; nothing was lost or committed
+    # on top of a stale parent
+    assert cat.current_snapshot("t") == head + 1
+    assert cat.load("t").count() == 40

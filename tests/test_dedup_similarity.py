@@ -264,3 +264,48 @@ def test_remove_boilerplate_reassembly_order(spark):
                df, chunk_words=2, min_docs=3).collect()}
     for i in range(4):
         assert out[i] == f"s{i} a e{i} f"
+
+
+def test_srp_blocked_pairs_subset_and_recall(spark):
+    # end-to-end LSH-blocked embedding dedup (VERDICT r3 Next #6):
+    # blocked output must be a SUBSET of brute-force pairs at the same
+    # threshold, and planted near-identical vectors (cosine ~1, far
+    # from every hyperplane) must land in the same buckets -> found.
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.operators.dedup import (
+        embedding_dup_pairs, srp_blocked_dup_pairs)
+    rng = np.random.RandomState(42)
+    dim = 16
+    base = rng.randn(20, dim)
+    rows = []
+    for i, v in enumerate(base):
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup: tiny perturbation of the same vector
+        w = v + 1e-4 * rng.randn(dim)
+        rows.append((100 + i, [float(x) for x in w / np.linalg.norm(w)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    blocked = {(r["id_a"], r["id_b"]) for r in srp_blocked_dup_pairs(
+        emb, threshold=0.95, dim=dim, bits=3, n_tables=2).collect()}
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
+        emb.withColumn("embedding",
+                       emb["embedding"].cast("array<double>")),
+        "vec_id", "embedding", threshold=0.95).collect()}
+    assert blocked <= brute
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= brute
+    # near-identical vectors share every sign bit -> all planted found
+    assert planted <= blocked
+
+
+def test_srp_blocked_plan_is_equi_join(spark):
+    from osc_geo_h3grid_srv_spark.operators.dedup import (
+        srp_blocked_dup_pairs)
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<float>")
+    plan = srp_blocked_dup_pairs(emb, 0.9, 8, bits=2, n_tables=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan

@@ -107,3 +107,28 @@ def test_crawl_delays_parse_and_timeline(spark):
              default_delay_s=1.5, priority_col="prio").collect()}
     assert t[("a.com", 2)] == (2.5, 5.0)   # declared delay scales rounds
     assert t[("c.net", 1)] == (1.5, 1.5)   # fallback default
+
+
+def test_timeline_spacing_with_per_host_gt1(spark):
+    # Crawl-delay compliance is between CONSECUTIVE same-host requests:
+    # with per_host=2 the two fetches of one round must still be
+    # delay_s apart, i.e. fetch_at_s == (host_rank-1)*delay_s
+    # (ADVICE r3: they used to share one timestamp per round).
+    from osc_geo_h3grid_srv_spark.operators.frontier import (
+        schedule_with_delays)
+    from osc_geo_h3grid_srv_spark.operators.robots import crawl_delays
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, body string")
+    urls = spark.createDataFrame(
+        [(f"https://a.com/{i}", i) for i in range(5)],
+        "url string, prio long")
+    rows = schedule_with_delays(urls, crawl_delays(robots),
+                                per_host=2, priority_col="prio") \
+        .orderBy("host_rank").collect()
+    got = [(r["host_rank"], r["fetch_round"], r["fetch_at_s"])
+           for r in rows]
+    assert got == [(1, 0, 0.0), (2, 0, 2.0), (3, 1, 4.0),
+                   (4, 1, 6.0), (5, 2, 8.0)]
+    ats = [r["fetch_at_s"] for r in rows]
+    assert all(b - a == 2.0 for a, b in zip(ats, ats[1:]))

@@ -93,3 +93,52 @@ def test_top_fraction_by_group(spark):
     import pytest
     with pytest.raises(ValueError):
         top_fraction_by_group(df, 0.0, "g", "s")
+
+
+def test_top_fraction_approx_matches_exact_within_tolerance(spark):
+    # scale-path parity (VERDICT r3 Next #7): at high sketch accuracy
+    # the approx threshold selection agrees with the exact rank form on
+    # distinct scores; with ties it is a deterministic superset.
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        top_fraction_by_group, top_fraction_by_group_approx)
+    rows = [(i, "a", float((i * 37) % 1000)) for i in range(1000)] + \
+           [(10_000 + i, "b", float((i * 11) % 500)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    for frac in (0.25, 0.5, 0.1):
+        exact = {(r["g"], r["doc_id"]) for r in
+                 top_fraction_by_group(df, frac, "g", "s").collect()}
+        approx = {(r["g"], r["doc_id"]) for r in
+                  top_fraction_by_group_approx(
+                      df, frac, "g", "s", accuracy=100_000).collect()}
+        # tolerance band: within eps*|group| of the exact selection
+        sym = exact ^ approx
+        assert len(sym) <= max(2, int(0.01 * len(exact))), \
+            (frac, len(exact), len(approx), len(sym))
+    # frac=1.0 keeps everything, helper column dropped
+    out = top_fraction_by_group_approx(df, 1.0, "g", "s")
+    assert out.count() == 1500
+    assert set(out.columns) == {"doc_id", "g", "s"}
+    # every non-empty group keeps >= 1 row even at tiny frac
+    tiny = top_fraction_by_group_approx(df, 0.001, "g", "s")
+    gs = {r["g"] for r in tiny.select("g").distinct().collect()}
+    assert gs == {"a", "b"}
+    import pytest
+    with pytest.raises(ValueError):
+        top_fraction_by_group_approx(df, 0.0, "g", "s")
+
+
+def test_top_fraction_approx_plan_has_no_window(spark):
+    # plan audit (the point of the approx mode): no full-group window
+    # sort — one sketch aggregate + broadcast join + codegen filter
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        top_fraction_by_group_approx)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "doc_id long, g string, s double")
+    plan = top_fraction_by_group_approx(df, 0.5, "g", "s") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                "CartesianProduct"):
+        assert bad not in plan

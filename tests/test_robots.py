@@ -86,3 +86,63 @@ def test_filter_plan_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+# RFC 9309 §2.2.3 special characters: '*' matches any run of octets,
+# a TRAILING '$' anchors the path end; elsewhere '$' and regex
+# metacharacters are literal octets (ADVICE r3 medium fix — these were
+# previously matched as literal prefixes and never fired).
+WILD_BODY = """User-agent: *
+Disallow: /*.pdf$
+Allow: /docs/*.pdf$
+Disallow: /a*b
+Disallow: /lit(eral)
+Disallow: /cash$$
+"""
+
+
+def _wild_rules(spark):
+    df = spark.createDataFrame([("w.com", WILD_BODY)],
+                               "host string, body string")
+    return rules_from_robots_txt(df)
+
+
+def test_wildcard_and_anchor_matching(spark):
+    urls = [
+        ("https://w.com/x/report.pdf", False),   # /*.pdf$ fires
+        ("https://w.com/x/report.pdfx", True),   # $ anchors: no match
+        ("https://w.com/docs/r.pdf", True),      # longer Allow wins
+        ("https://w.com/a-middle-b", False),     # '*' mid-pattern
+        ("https://w.com/a-middle-bc", False),    # unanchored tail ok
+        ("https://w.com/ab", False),             # '*' matches empty
+        ("https://w.com/lit(eral)x", False),     # metachars literal
+        ("https://w.com/literal", True),
+        # /cash$$ = literal '/cash$' + end anchor: only the exact
+        # path '/cash$' matches (mid '$' is a literal octet, the
+        # TRAILING '$' anchors)
+        ("https://w.com/cash$", False),
+        ("https://w.com/cash$y", True),
+        ("https://w.com/cash", True),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {r["url"]: r["is_allowed"]
+           for r in robots_filter(df, _wild_rules(spark)).collect()}
+    for u, want in urls:
+        assert got[u] is want, (u, want, got[u])
+
+
+def test_filter_preserves_duplicates_and_collision_columns(spark):
+    # duplicate url rows must stay duplicated (the old groupBy-all-
+    # columns rebuild collapsed them), and user columns that shadow the
+    # rule side ('prefix', 'directive') must pass through untouched
+    df = spark.createDataFrame(
+        [("https://a.com/private/x", "keepme", "d1"),
+         ("https://a.com/private/x", "keepme", "d1"),
+         ("https://a.com/ok", "p2", "d2")],
+        "url string, prefix string, directive string")
+    out = robots_filter(df, _rules(spark)).collect()
+    assert len(out) == 3
+    dup = [r for r in out if r["url"].endswith("/private/x")]
+    assert len(dup) == 2
+    assert all(r["prefix"] == "keepme" and r["directive"] == "d1"
+               and r["is_allowed"] is False for r in dup)
