@@ -813,6 +813,121 @@ def _image_decode_oracle_sql(n_rows=300):
     """
 
 
+def _jpeg_decode_oracle_sql(n_rows=240):
+    """replay of synth_jpeg_media + decode_pixel_stats WITHOUT any JPEG
+    machinery: the MCU-constant recipe makes the lossy decode closed-
+    form (jpegcodec.py determinism contract). Per id: h0 = mix64(id)
+    -> grid nx,ny in 1..3, quality index -> DC quantizer literal
+    (13/6/3/2 — pins the IJG scaling curve and Annex K q[0]=16), mode
+    -> channels; per MCU j: v = mix64(id*1000003 + j + 1) % 256,
+    reconstructed constant c = clip(floor(floor(8(v-128)/q + .5)*q/8
+    + 128.5 + 1e-7)). Spark derives the same numbers by PARSING the
+    entropy-coded bitstream with the real decoder."""
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        hm as (select id, {_mix64_sql('id')} as h0 from ids),
+        par as (select id,
+                       (1 + h0 % 3)::int as nx,
+                       (1 + (h0 // 512) % 3)::int as ny,
+                       case ((h0 // 131072) % 4)::int
+                            when 0 then 13 when 1 then 6
+                            when 2 then 3 else 2 end as qdc,
+                       case when ((h0 // 2097152) % 3) = 0
+                            then 1 else 3 end as ch
+                from hm),
+        mc as (select id, nx, ny, qdc, ch,
+                      unnest(range(0, nx * ny)) as j
+               from par),
+        sv as (select id, qdc, ch, (id * 1000003 + j::hugeint + 1) as s
+               from mc),
+        vv as (select id, qdc, ch,
+                      ({_mix64_sql('s')} % 256)::bigint as v
+               from sv),
+        cc as (select id, ch,
+                      least(greatest(floor(
+                          floor(8.0 * (v - 128) / qdc + 0.5) * qdc / 8.0
+                          + 128.5 + 1e-7), 0), 255)::bigint as c
+               from vv),
+        img as (select id, ch, sum(c)::bigint as sum_c,
+                       min(c) as mn, max(c) as mx
+                from cc group by id, ch),
+        stats as (select p.id, p.nx * 16 as w, p.ny * 16 as ht, p.ch,
+                         i.sum_c * 256 * p.ch as s_px,
+                         (p.nx * p.ny)::bigint * 256 * p.ch as n_px,
+                         i.mn, i.mx
+                  from par p join img i on p.id = i.id)
+        select count(*)::bigint as n_images,
+               0::bigint as n_errors,
+               cast(sum(w) as bigint) as sum_w,
+               cast(sum(ht) as bigint) as sum_h,
+               cast(sum(ch) as bigint) as total_channels,
+               cast(sum(s_px) as bigint) as total_sum,
+               cast(min(mn) as int) as px_min,
+               cast(max(mx) as int) as px_max,
+               round(avg(s_px / n_px::double), 4) as avg_byte
+        from stats
+    """
+
+
+def _video_frame_oracle_sql(n_rows=200, every_n=4):
+    """replay of synth_video_media + decode_frame_stats WITHOUT any Y4M
+    machinery: per id, mix64(id) -> dims/frames/colorspace; the pixel
+    stream is mix64(id*1000003 + j) little-endian bytes; luma byte
+    positions < nf*w*ht map to frame = pos // (w*ht); frames with
+    frame % every_n == 0 are the sampled set. Spark derives the same
+    numbers by PARSING the container with the real decoder."""
+    pow_list = ", ".join(str(256 ** k) + "::hugeint" for k in range(8))
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        hm as (select id, {_mix64_sql('id')} as h0 from ids),
+        par as (select id,
+                       (8 + 2 * (h0 % 8))::bigint as w,
+                       (8 + 2 * ((h0 // 512) % 6))::bigint as ht,
+                       (3 + (h0 // 131072) % 16)::bigint as nf,
+                       ((h0 // 8388608) % 2) = 0 as mono
+                from hm),
+        pp as (select id, w, ht, nf, mono,
+                      (nf * w * ht)::bigint as n_y,
+                      case when mono then 0
+                           else 2 * nf * (w // 2) * (ht // 2)
+                      end::bigint as n_c
+               from par),
+        wrds as (select id, w, ht, n_y,
+                        unnest(range(0, (n_y + n_c + 7) // 8)) as j
+                 from pp),
+        sv as (select id, w, ht, n_y, j,
+                      (id * 1000003 + j::hugeint) as s from wrds),
+        vv as (select id, w, ht, n_y, j, {_mix64_sql('s')} as v from sv),
+        by as (select id, w, ht, n_y, j,
+                      unnest(list_transform([{pow_list}],
+                             p -> ((v // p) % 256)::bigint)) as b,
+                      unnest([0,1,2,3,4,5,6,7]) as lane
+               from vv),
+        lum as (select id, b,
+                       ((j * 8 + lane) // (w * ht))::bigint as fidx
+                from by where j * 8 + lane < n_y),
+        samp as (select id, fidx, sum(b)::bigint as s_b,
+                        min(b) as mn, max(b) as mx
+                 from lum where fidx % {every_n} = 0
+                 group by id, fidx),
+        fr as (select case when p.mono then 'mono'
+                           else '420jpeg' end as colorspace,
+                      s.id, s.fidx, s.s_b, s.mn, s.mx, p.w, p.ht
+               from samp s join pp p on s.id = p.id)
+        select colorspace,
+               count(*)::bigint as n_frames,
+               count(distinct id)::bigint as n_docs,
+               0::bigint as n_errors,
+               sum(s_b)::bigint as sum_y,
+               cast(min(mn) as int) as y_min,
+               cast(max(mx) as int) as y_max,
+               sum(fidx)::bigint as sum_fidx,
+               sum(w)::bigint as sum_w,
+               sum(ht)::bigint as sum_h
+        from fr group by colorspace
+    """
+
+
 def _audio_decode_oracle_sql(n_rows=300):
     """replay of synth_audio_media + decode_audio_stats WITHOUT parsing:
     ns = 50 + h0%200, ch = 1 + (h0>>9)%2, rate = 8000*(1 + (h0>>17)%2),
@@ -1932,10 +2047,11 @@ def q_fingerprint_docs(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """multimodal plumbing: binary payload + typed metadata -> stubbed
-    decode -> fixed-dim feature vector via mapInPandas; per-kind counts
-    and mean feature norm (deterministic fake decode; real codecs slot
-    into _decode_image_stub)."""
+    """multimodal plumbing: binary payload + typed metadata ->
+    fixed-dim feature vector (payload-agnostic byte-histogram hash,
+    deliberately decode-free) via mapInPandas; per-kind counts and
+    mean feature norm. The decode-backed gates are image_decode_stats,
+    jpeg_decode_stats, audio_decode_stats, video_frame_stats."""
     from pyspark.sql import functions as F
     from osc_geo_h3grid_srv_spark.operators.multimodal import (
         extract_features, synth_media)
@@ -1978,6 +2094,60 @@ def q_image_decode_stats(spark, sf_dir):
         F.max("px_max").alias("px_max"),
         F.round(F.avg(F.col("px_sum") / F.col("n_px")), 4)
         .alias("avg_byte"))
+
+
+def q_jpeg_decode_stats(spark, sf_dir):
+    """round-4 real-decode gate (VERDICT r3 Next #3): synth payloads
+    are REAL baseline JPEGs (functions/jpegcodec.py — marker walk,
+    canonical Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB,
+    restart intervals) built from MCU-constant gray-valued rasters, so
+    the lossy reconstruction has a closed form the oracle replays in
+    SQL: clip(floor(dcq*q/8 + 128.5 + 1e-7)), dcq = floor(8(v-128)/q
+    + 0.5). A Huffman, dequant, IDCT scale, upsample, color-convert,
+    restart-resync, or quality-curve bug all shift the decoded
+    constants and flip the hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_pixel_stats, synth_jpeg_media)
+    stats = decode_pixel_stats(synth_jpeg_media(spark, 240, partitions=8))
+    return stats.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum(F.col("channels").cast("long")).alias("total_channels"),
+        F.sum("px_sum").alias("total_sum"),
+        F.min("px_min").alias("px_min"),
+        F.max("px_max").alias("px_max"),
+        F.round(F.avg(F.col("px_sum") / F.col("n_px")), 4)
+        .alias("avg_byte"))
+
+
+def q_video_frame_stats(spark, sf_dir):
+    """round-4 video decode gate (VERDICT r3 Next #4): synth payloads
+    are REAL YUV4MPEG2 streams (functions/videocodec.py — public
+    header-only container), sampled every 4th frame via O(1)
+    arithmetic seek so skipped frames are never read. Per-colorspace
+    rollup of per-frame luma stats; the oracle replays the mix64 byte
+    recipe WITHOUT parsing, so the header grammar, frame record
+    arithmetic (a one-byte offset error shifts every y_sum), plane
+    split, and the sampling stride are all hash-gated."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_frame_stats, synth_video_media)
+    stats = decode_frame_stats(synth_video_media(spark, 200, partitions=8),
+                               every_n=4)
+    return (stats.groupBy("colorspace")
+            .agg(F.count("*").alias("n_frames"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(F.col("error").isNotNull().cast("long"))
+                 .alias("n_errors"),
+                 F.sum("y_sum").alias("sum_y"),
+                 F.min("y_min").alias("y_min"),
+                 F.max("y_max").alias("y_max"),
+                 F.sum(F.col("frame_idx").cast("long")).alias("sum_fidx"),
+                 F.sum(F.col("width").cast("long")).alias("sum_w"),
+                 F.sum(F.col("height").cast("long")).alias("sum_h")))
 
 
 def q_audio_decode_stats(spark, sf_dir):
@@ -3672,6 +3842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "simplify_polygon": q_simplify_polygon,
         # -- block 2: new / code-changed in round 4 ------------------
+        "jpeg_decode_stats": q_jpeg_decode_stats,
+        "video_frame_stats": q_video_frame_stats,
         "robots_wildcard_exclusion": q_robots_wildcard,
         "robots_exclusion": q_robots_exclusion,
         "frontier_timeline": q_frontier_timeline,
@@ -4370,5 +4542,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_polygon": _simplify_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "image_decode_stats": _image_decode_oracle_sql(),
+        "jpeg_decode_stats": _jpeg_decode_oracle_sql(),
+        "video_frame_stats": _video_frame_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
     }

@@ -178,17 +178,20 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_pnm(buf)
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(buf)
+    if buf[:2] == b"\xFF\xD8":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(buf)
     raise ImageDecodeError(
-        f"unknown image container (magic {buf[:2]!r}); JPEG decode "
-        "requires PIL/libvips — not available in this environment")
+        f"unknown image container (magic {buf[:2]!r})")
 
 
 # -- PNG (public spec: RFC 2083 / W3C PNG) -----------------------------------
 #
 # Critical chunks only, bit depth 8, color types 0 (gray), 2 (RGB),
 # 3 (palette), 4/6 (gray/RGB + alpha; alpha dropped — the stats
-# pipeline consumes color planes). Interlaced (Adam7) images are
-# refused -> quarantine. Inflate is stdlib zlib (not an external lib).
+# pipeline consumes color planes). Both interlace methods: 0 (null)
+# and 1 (Adam7, 7-pass de-interlace — round 4). Inflate is stdlib
+# zlib (not an external lib).
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -237,6 +240,32 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, from the PNG spec
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int,
+                       ch: int) -> np.ndarray:
+    """Adam7 (round 4, VERDICT r3 Next #9): the inflated stream holds 7
+    sequential sub-images, each filtered independently with its own
+    scanline width; empty passes contribute zero bytes (not even filter
+    bytes). Unfilter each pass with the shared scanline machinery, then
+    scatter into the full-resolution grid."""
+    out = np.zeros((h, w * ch), dtype=np.uint8).reshape(h, w, ch)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        need = ph * (pw * ch + 1)
+        sub = _unfilter(raw[pos:pos + need], pw, ph, ch)
+        pos += need
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    return out.reshape(h, w * ch)
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     import zlib
     if buf[:8] != _PNG_MAGIC:
@@ -263,8 +292,8 @@ def decode_png(buf: bytes) -> np.ndarray:
     if depth != 8 or comp != 0 or filt != 0:
         raise ImageDecodeError(
             f"PNG: unsupported depth/compression ({depth},{comp},{filt})")
-    if inter != 0:
-        raise ImageDecodeError("PNG: Adam7 interlace not supported")
+    if inter not in (0, 1):
+        raise ImageDecodeError(f"PNG: unknown interlace method {inter}")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None:
         raise ImageDecodeError(f"PNG: unknown color type {ctype}")
@@ -274,7 +303,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ImageDecodeError(f"PNG: bad zlib stream ({e})") from e
-    px = _unfilter(raw, w, h, ch)
+    px = (_deinterlace_adam7(raw, w, h, ch) if inter
+          else _unfilter(raw, w, h, ch))
     if ctype == 0:
         return px.reshape(h, w)
     if ctype == 2:
@@ -291,20 +321,51 @@ def decode_png(buf: bytes) -> np.ndarray:
     return px.reshape(h, w, 4)[:, :, :3]  # ctype 6: drop alpha
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """minimal encoder (the test's round-trip source): color type 0 or
     2, one filter type applied to every scanline (0/1/2/3/4 all
-    supported so decode's unfilter paths are each exercisable)."""
+    supported so decode's unfilter paths are each exercisable), and
+    optional Adam7 interlacing (each of the 7 sub-images filtered
+    independently, per the spec)."""
     import zlib
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ch = 1 if gray else 3
-    flat = img.reshape(h, w * ch).astype(np.int32)
+    if interlace:
+        img3 = img.reshape(h, w, ch)
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img3[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_rows(
+                    sub.reshape(sub.shape[0], sub.shape[1] * ch),
+                    ch, filter_type))
+        idat_raw = b"".join(parts)
+    else:
+        idat_raw = _filter_rows(img.reshape(h, w * ch), ch, filter_type)
+    def chunk(typ, data):
+        import zlib as z
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", z.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0,
+                       1 if interlace else 0)
+    idat = zlib.compress(idat_raw)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def _filter_rows(flat: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """apply one PNG filter to every scanline of a (rows, stride)
+    uint8 image; returns the filter-byte-prefixed scanline stream."""
+    flat = flat.astype(np.int32)
+    h, stride = flat.shape
+    w_ch = stride  # stride = width * ch
     rows = []
     for y in range(h):
         cur = flat[y]
-        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        prev = flat[y - 1] if y else np.zeros(w_ch, np.int32)
         if filter_type == 0:
             enc = cur
         elif filter_type == 1:
@@ -319,18 +380,11 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
             ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
             enc = cur.copy()
-            for x in range(w * ch):
+            for x in range(w_ch):
                 enc[x] = cur[x] - _paeth(int(left[x]), int(prev[x]),
                                          int(ul[x]))
         else:
             raise ValueError(f"filter_type {filter_type}")
         rows.append(bytes([filter_type]) + (enc % 256)
                     .astype(np.uint8).tobytes())
-    def chunk(typ, data):
-        import zlib as z
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", z.crc32(typ + data) & 0xFFFFFFFF))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
-    idat = zlib.compress(b"".join(rows))
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
-            + chunk(b"IEND", b""))
+    return b"".join(rows)

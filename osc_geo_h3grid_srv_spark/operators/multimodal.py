@@ -1,15 +1,17 @@
 """Multimodal column handling: image/audio/video as opaque `binary`
 columns with typed metadata.
 
-The image/audio decode libraries are not present in this environment, so
-the DECODE step is a clearly-marked deterministic STUB - but all the
-Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
-mapInPandas signatures, partitioning by media type, and the feature
-pipeline (binary -> fixed-dim float vector) that feeds the similarity
-operators.
-
-Swap `_decode_image_stub` for a real PIL/libvips call on a cluster with
-the libs installed; nothing else changes.
+As of round 4 every decode path here is REAL, from-scratch, public-
+spec code (no external media libraries): BMP/PPM/PGM/PNG/baseline-JPEG
+via functions/imagecodec.py + functions/jpegcodec.py, PCM16 WAV via
+functions/audiocodec.py, and YUV4MPEG2 video via
+functions/videocodec.py. The Spark-side plumbing — schemas, Arrow
+batch shapes, mapInPandas signatures, quarantine columns for dirty
+payloads — is unchanged from the stub era, which was the point of
+building the plumbing first. `synth_media` still produces opaque
+RANDOM payloads on purpose: it exercises the quarantine path and the
+payload-agnostic ops (feature hashing, frame-plan explode), while the
+`synth_*_media` recipes produce real containers for the decode gates.
 """
 
 from __future__ import annotations
@@ -50,13 +52,6 @@ def synth_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: a real implementation would be PIL.Image.open(BytesIO(...)).
-    Deterministic fake: tile the payload bytes to (height, width)."""
-    raw = np.frombuffer(payload, dtype=np.uint8)
-    need = width * height
-    reps = need // len(raw) + 1
-    return np.tile(raw, reps)[:need].reshape(height, width)
 
 
 def synth_image_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
@@ -82,12 +77,76 @@ def synth_image_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
                 words = mix64(np.arange(nwords, dtype=np.uint64) + u)
                 px = np.frombuffer(words.tobytes(), np.uint8)[:npx]
                 if i % 3 == 2:
+                    # every other PNG row is Adam7-interlaced (round 4)
+                    # — decoded pixels are identical, so the recipe
+                    # oracle gates the 7-pass de-interlace for free
                     payload = encode_png(px.reshape(ht, w, 3),
-                                         filter_type=int(i) % 5)
+                                         filter_type=int(i) % 5,
+                                         interlace=i % 6 == 5)
                 else:
                     payload = (b"P6\n%d %d\n255\n" % (w, ht)) \
                         + px.tobytes()
                 rows.append((int(i), "image", w, ht, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+#: the four JPEG qualities synth_jpeg_media cycles through and the DC
+#: luminance quantizer each produces under the public IJG scaling curve
+#: (functions/jpegcodec._scaled_quant of Annex K table K.1[0] = 16).
+#: The oracle replays these as literals; a curve or table change breaks
+#: the gate loudly.
+JPEG_SYNTH_QUALITIES = (60, 80, 90, 95)
+JPEG_SYNTH_DC_Q = (13, 6, 3, 2)
+
+
+def synth_jpeg_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic media table whose payloads are REAL baseline JPEGs
+    (functions/jpegcodec.py) built from MCU-CONSTANT gray-valued
+    rasters, so the lossy decode is analytically predictable: a
+    constant 16x16 MCU of gray value v encodes to a DC-only block and
+    reconstructs to exactly clip(floor(dcq*q/8 + 128.5 + 1e-7)) with
+    dcq = floor(8(v-128)/q + 0.5) — the closed form the DuckDB oracle
+    replays without any reference decoder (see jpegcodec docstring for
+    the determinism contract).
+
+    Per row id: h0 = mix64(id) drives MCU grid (1..3 x 1..3), quality
+    (60/80/90/95 -> DC quantizer 13/6/3/2), mode (gray 4:4:4 / RGB
+    4:4:4 / RGB 4:2:0), and a restart interval on every 4th row; the
+    per-MCU gray value is mix64(id*1000003 + mcu_index + 1) % 256.
+    Gray-VALUED RGB keeps chroma exactly 128 through subsampling, so
+    all three output channels equal the Y closed form."""
+    from ..functions.jpegcodec import encode_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                nx = 1 + h0 % 3
+                ny = 1 + (h0 >> 9) % 3
+                qi = (h0 >> 17) % 4
+                mode = (h0 >> 21) % 3
+                ri = 2 if (h0 >> 24) % 4 == 0 else 0
+                seeds = (np.arange(nx * ny, dtype=np.uint64)
+                         + np.uint64(1)
+                         + u * np.uint64(1000003))
+                vals = (mix64(seeds) % np.uint64(256)).astype(np.uint8)
+                tiles = vals.reshape(ny, nx)
+                img = np.repeat(np.repeat(tiles, 16, 0), 16, 1)
+                if mode:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                payload = encode_jpeg(
+                    img, quality=JPEG_SYNTH_QUALITIES[qi],
+                    subsampling="4:2:0" if mode == 2 else "4:4:4",
+                    restart_interval=ri)
+                rows.append((int(i), "image", nx * 16, ny * 16, 1,
+                             payload))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "media_type", "width", "height", "n_frames",
                 "payload"])
@@ -152,9 +211,10 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """video frame sampling plan: one output row per sampled frame index.
-    Frame DECODE is stubbed (no codecs here); the explode/partition
-    plumbing is real."""
+    """video frame sampling PLAN: one output row per sampled frame
+    index, from the metadata columns only (no payload touched — this is
+    the cheap scheduling/explode stage; `decode_frame_stats` is the
+    stage that actually reads sampled pixels)."""
     v = media.filter(F.col("media_type") == "video")
     return v.select(
         "doc_id", "width", "height",
@@ -162,24 +222,113 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                              F.lit(every_n))).alias("frame_idx"))
 
 
-def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """image resize pipeline: decodes via the stub, nearest-neighbor
-    resamples, re-encodes as raw bytes. Real kernel = PIL/cv2; the
-    mapInPandas batch path is identical."""
-    schema = "doc_id long, width int, height int, payload binary"
+def decode_frame_stats(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling (functions/videocodec.py, VERDICT r3
+    Next #4): parse the Y4M stream header, then decode ONLY every
+    `every_n`-th frame via O(1) arithmetic seek — the access pattern
+    that matters at scale, where a clip is gigabytes and the sampler
+    must not stream the frames it skips. One output row per sampled
+    frame with luma statistics; undecodable payloads quarantine into
+    the error column."""
+    from ..functions.videocodec import (VideoDecodeError, decode_frame,
+                                        parse_y4m_header)
+    schema = ("doc_id long, frame_idx int, width int, height int, "
+              "colorspace string, y_sum long, y_min int, y_max int, "
+              "error string")
 
     def gen(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                img = _decode_image_stub(bytes(r["payload"]),
-                                         int(r["width"]), int(r["height"]))
-                yi = (np.arange(out_h) * img.shape[0] // out_h)
-                xi = (np.arange(out_w) * img.shape[1] // out_w)
-                rows.append(img[np.ix_(yi, xi)].tobytes())
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                try:
+                    hdr = parse_y4m_header(buf)
+                    for k in range(0, hdr["n_frames"], every_n):
+                        y, _, _ = decode_frame(buf, hdr, k)
+                        rows.append((int(did), k, hdr["w"], hdr["h"],
+                                     hdr["colorspace"],
+                                     int(y.sum(dtype=np.int64)),
+                                     int(y.min()), int(y.max()), None))
+                except VideoDecodeError as e:
+                    rows.append((int(did), None, None, None, None,
+                                 None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height", "colorspace",
+                "y_sum", "y_min", "y_max", "error"])
+
+    return (media.filter(F.col("media_type") == "video")
+            .mapInPandas(gen, schema=schema))
+
+
+def synth_video_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic media table whose video payloads are REAL Y4M
+    streams (functions/videocodec.py): per id, mix64 drives dims
+    (8..22 x 8..18, even), frame count (3..18), and colorspace (mono /
+    420 on alternating hash bit); pixel bytes are mix64(id*1000003 +
+    plane_word) uint64 lanes, so every sampled frame's luma stats are
+    oracle-replayable from the recipe without parsing."""
+    from ..functions.videocodec import encode_y4m
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                w = 8 + 2 * (h0 % 8)
+                ht = 8 + 2 * ((h0 >> 9) % 6)
+                nf = 3 + (h0 >> 17) % 16
+                mono = (h0 >> 23) % 2 == 0
+                n_y = nf * w * ht
+                n_c = 0 if mono else 2 * nf * (w // 2) * (ht // 2)
+                nw = (n_y + n_c + 7) // 8
+                words = mix64(np.arange(nw, dtype=np.uint64)
+                              + u * np.uint64(1000003))
+                raw = np.frombuffer(words.tobytes(), np.uint8)
+                y = raw[:n_y].reshape(nf, ht, w)
+                if mono:
+                    payload = encode_y4m(y, colorspace="mono")
+                else:
+                    c = raw[n_y:n_y + n_c].reshape(
+                        2, nf, ht // 2, w // 2)
+                    payload = encode_y4m((y, c[0], c[1]),
+                                         colorspace="420")
+                rows.append((int(i), "video", w, ht, nf, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """image resize pipeline: REAL decode (imagecodec dispatcher — BMP/
+    PPM/PGM/PNG/JPEG), nearest-neighbor resample, re-encode as PPM/PGM
+    (a real container, so resize output is itself decodable and the
+    round-trip is testable). Undecodable payloads quarantine into the
+    error column with a NULL payload instead of failing the batch."""
+    from ..functions.imagecodec import (ImageDecodeError, decode_image,
+                                        encode_ppm)
+    schema = ("doc_id long, width int, height int, payload binary, "
+              "error string")
+
+    def gen(batches):
+        for pdf in batches:
+            outs, errs = [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(payload))
+                    yi = (np.arange(out_h) * img.shape[0] // out_h)
+                    xi = (np.arange(out_w) * img.shape[1] // out_w)
+                    outs.append(encode_ppm(img[np.ix_(yi, xi)]))
+                    errs.append(None)
+                except ImageDecodeError as e:
+                    outs.append(None)
+                    errs.append(str(e))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "width": out_w, "height": out_h,
-                                "payload": rows})
+                                "payload": outs, "error": errs})
 
     return (media.filter(F.col("media_type") == "image")
             .mapInPandas(gen, schema=schema))

@@ -187,8 +187,113 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(media, every_n=25)
     vids = media.filter("media_type = 'video'").count()
     assert frames.count() >= vids
+    # synth_media payloads are deliberately OPAQUE random bytes: the
+    # real decoder must quarantine every one, never crash the batch
     small = multimodal.resize_images(media, 16, 16).toPandas()
-    assert (small["payload"].map(len) == 16 * 16).all()
+    assert small["error"].notna().all()
+    assert small["payload"].isna().all()
+
+
+def test_resize_real_roundtrip(spark):
+    # VERDICT r3 Next #4: resize runs the REAL codecs (PPM + PNG +
+    # JPEG payloads from the synth recipes) and re-encodes as PPM, so
+    # the output is itself decodable at the requested dims
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import decode_image
+    for synth in (multimodal.synth_image_media,
+                  multimodal.synth_jpeg_media):
+        media = synth(spark, 40, partitions=2)
+        out = multimodal.resize_images(media, 9, 7).toPandas()
+        assert len(out) == 40
+        assert out["error"].isna().all()
+        for payload in out["payload"]:
+            img = decode_image(bytes(payload))
+            assert img.shape[:2] == (7, 9)
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    # pin the resample kernel itself: nearest-neighbor on a known
+    # raster must pick exactly img[y*H//out_h, x*W//out_w]
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        decode_image, encode_ppm)
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame([(0, "image", 20, 12, 1, encode_ppm(img))],
+                     columns=["doc_id", "media_type", "width",
+                              "height", "n_frames", "payload"]))
+    out = multimodal.resize_images(media, 5, 4).toPandas()
+    got = decode_image(bytes(out["payload"][0]))
+    yi = np.arange(4) * 12 // 4
+    xi = np.arange(5) * 20 // 5
+    assert (got == img[np.ix_(yi, xi)]).all()
+
+
+def test_video_frame_sampling_real(spark):
+    # Y4M end-to-end: synth real streams, decode only sampled frames,
+    # verify against a full NumPy replay of the recipe
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.text import mix64
+    media = multimodal.synth_video_media(spark, 60, partitions=4)
+    stats = multimodal.decode_frame_stats(media, every_n=5).toPandas()
+    assert stats["error"].isna().all()
+    by_doc = stats.groupby("doc_id")
+    for i in range(60):
+        u = np.uint64(i)
+        h0 = int(mix64(np.array([u], np.uint64))[0])
+        w = 8 + 2 * (h0 % 8)
+        ht = 8 + 2 * ((h0 >> 9) % 6)
+        nf = 3 + (h0 >> 17) % 16
+        mono = (h0 >> 23) % 2 == 0
+        n_y = nf * w * ht
+        n_c = 0 if mono else 2 * nf * (w // 2) * (ht // 2)
+        nw = (n_y + n_c + 7) // 8
+        words = mix64(np.arange(nw, dtype=np.uint64)
+                      + u * np.uint64(1000003))
+        y = np.frombuffer(words.tobytes(), np.uint8)[:n_y] \
+            .reshape(nf, ht, w)
+        g = by_doc.get_group(i).sort_values("frame_idx")
+        assert list(g["frame_idx"]) == list(range(0, nf, 5))
+        assert (g["colorspace"] == ("mono" if mono else "420jpeg")).all()
+        for _, r in g.iterrows():
+            fr = y[int(r["frame_idx"])]
+            assert int(r["y_sum"]) == int(fr.sum(dtype=np.int64))
+            assert int(r["y_min"]) == int(fr.min())
+            assert int(r["y_max"]) == int(fr.max())
+
+
+def test_y4m_codec_unit():
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions import videocodec as vc
+    rng = np.random.default_rng(3)
+    # mono roundtrip + O(1) seek
+    frames = rng.integers(0, 256, (7, 10, 16), dtype=np.uint8)
+    buf = vc.encode_y4m(frames, fps=(25, 1))
+    hdr = vc.parse_y4m_header(buf)
+    assert (hdr["w"], hdr["h"], hdr["n_frames"]) == (16, 10, 7)
+    assert hdr["fps_num"] == 25 and hdr["colorspace"] == "mono"
+    for k in (0, 3, 6):
+        y, cb, cr = vc.decode_frame(buf, hdr, k)
+        assert (y == frames[k]).all() and cb is None
+    # 420 roundtrip
+    y = rng.integers(0, 256, (4, 8, 12), dtype=np.uint8)
+    cb = rng.integers(0, 256, (4, 4, 6), dtype=np.uint8)
+    cr = rng.integers(0, 256, (4, 4, 6), dtype=np.uint8)
+    buf = vc.encode_y4m((y, cb, cr), colorspace="420")
+    hdr = vc.parse_y4m_header(buf)
+    assert hdr["colorspace"] == "420jpeg" and hdr["n_frames"] == 4
+    y2, cb2, cr2 = vc.decode_frame(buf, hdr, 2)
+    assert (y2 == y[2]).all() and (cb2 == cb[2]).all() \
+        and (cr2 == cr[2]).all()
+    # malformed inputs quarantine, never crash
+    import pytest
+    for bad in (b"nope", b"YUV4MPEG2 W0 H4 Cmono\n",
+                b"YUV4MPEG2 W4 H4 C444\n",
+                vc.encode_y4m(frames)[:-3]):
+        with pytest.raises(vc.VideoDecodeError):
+            hdr2 = vc.parse_y4m_header(bad)
+            vc.decode_frame(bad, hdr2, 0)
 
 
 def test_ivf_assign_matches_numpy(spark):

@@ -85,7 +85,10 @@ def test_pnm_header_comments_and_whitespace():
     (b"P6\n2 2\n70000\n", "maxval"),
     (b"BMxxxxxxxxxxxx", "not a BM|truncated"),
     (b"\x89PNG\r\n\x1a\n", "missing IHDR/IDAT"),
-    (b"\xff\xd8\xff\xe0jpeg", "unknown image container"),
+    # JPEG magic now routes to the real baseline decoder (round 4),
+    # which quarantines this truncated stream with its own message
+    (b"\xff\xd8\xff\xe0jpeg", "jpeg: truncated"),
+    (b"GIF89a......", "unknown image container"),
 ])
 def test_decode_errors(buf, msg):
     with pytest.raises(ic.ImageDecodeError, match=msg):
@@ -204,6 +207,28 @@ def test_png_roundtrip_every_filter_type():
         assert np.array_equal(decode_png(encode_png(gray, ft)), gray), ft
 
 
+def test_png_adam7_roundtrip():
+    # round 4 (VERDICT r3 Next #9): 7-pass de-interlace, every filter
+    # type, RGB + gray, edge dims where most passes are empty
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        decode_png, encode_png)
+    rng = np.random.default_rng(42)
+    for shape in ((1, 1), (2, 2), (7, 5), (13, 21, 3), (16, 1),
+                  (1, 16, 3), (8, 8, 3), (9, 10)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(img, filter_type=ft,
+                                        interlace=True))
+            assert np.array_equal(got, img), (shape, ft)
+    # interlaced and null-method encodings of the same raster decode
+    # to identical pixels (the property the recipe oracle leans on)
+    img = rng.integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    a = decode_png(encode_png(img, 2, interlace=True))
+    b = decode_png(encode_png(img, 2, interlace=False))
+    assert np.array_equal(a, b)
+
+
 def test_png_via_dispatcher_and_palette_alpha():
     import struct
     import zlib
@@ -251,13 +276,21 @@ def test_png_malformed_quarantine_paths():
         decode_png(b"\x89PNX" + good[4:])  # bad signature
     with pytest.raises(ImageDecodeError):
         decode_png(good[:40])  # truncated
-    # interlaced refused
+    # Adam7 is decoded as of round 4; a garbage interlaced stream
+    # (pass 6 filter byte = 0x61) must still quarantine, and unknown
+    # interlace methods are refused outright
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00aa\x00aa"))
            + chunk(b"IEND", b""))
     with pytest.raises(ImageDecodeError):
         decode_png(png)
+    ihdr2m = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    png2m = (_PNG_MAGIC + chunk(b"IHDR", ihdr2m)
+             + chunk(b"IDAT", zlib.compress(b"\x00aa\x00aa"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ImageDecodeError, match="interlace"):
+        decode_png(png2m)
     # corrupt zlib stream
     bad = good.replace(b"IDAT", b"IDAT")  # locate idat, flip payload
     i = bad.find(b"IDAT") + 4
