@@ -407,18 +407,42 @@ def cell_overlap(packed: PackedPolygons, cells):
     res = int(h3core.get_resolution(cells[:1])[0])
     cell_km2 = h3core.AVG_CELL_AREA_KM2[res]
     bounds = h3core.cell_boundary(cells)  # (N, 6, 2)
+    pent = h3core.is_pentagon(cells)
+    pent_rings = {}
+    if pent.any():
+        # round 4 (VERDICT r3 Next #8): pentagons use the published
+        # 10-vertex geometry (5 topological + icosa-edge distortion
+        # vertices). The distortion kink makes the ring slightly
+        # non-convex, so Sutherland-Hodgman against the whole ring is
+        # invalid — instead fan-triangulate from the centroid (the ring
+        # is star-shaped about it) and sum per-triangle clips, which is
+        # exact because the triangles partition the cell.
+        pv, pn = h3core.pentagon_boundary_full(cells[pent])
+        for j, i in enumerate(np.flatnonzero(pent)):
+            pent_rings[int(i)] = pv[j, :pn[j]]
+
+    def _clip_area(ring, window):
+        clipped = _clip_ring_convex(ring, window)
+        if len(clipped) < 3:
+            return 0.0
+        a, _ = ring_area_perimeter(clipped)
+        return a
+
     out = np.zeros(cells.shape[0], dtype=np.float64)
     for i in range(cells.shape[0]):
-        hexring = bounds[i]
+        cring = pent_rings.get(i, bounds[i])
         factor = (110.0 * 110.0
-                  * math.cos(math.radians(float(hexring[:, 0].mean()))))
+                  * math.cos(math.radians(float(cring[:, 0].mean()))))
+        windows = [cring]
+        if i in pent_rings:
+            ctr = cring.mean(axis=0)
+            K = len(cring)
+            windows = [np.array([ctr, cring[k], cring[(k + 1) % K]])
+                       for k in range(K)]
         area = 0.0
         for r in range(len(packed.ring_start)):
             ring = packed.coords[packed.ring_start[r]:packed.ring_end[r]]
-            clipped = _clip_ring_convex(ring, hexring)
-            if len(clipped) < 3:
-                continue
-            a, _ = ring_area_perimeter(clipped)
+            a = sum(_clip_area(ring, w) for w in windows)
             area += -a if packed.ring_hole[r] else a
         out[i] = max(area, 0.0) * factor / cell_km2
     return out

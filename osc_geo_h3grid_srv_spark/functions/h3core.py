@@ -1170,49 +1170,153 @@ def cell_boundary(h):
     return out
 
 
-def _pentagon_boundary_rows(h):
-    """(M,) pentagon cells -> (M, 6, 2) deg boundary.
+def _pentagon_topo_verts_xyz(hp):
+    """one pentagon cell -> (center_xyz, (k, 3) ordered topological
+    vertex unit vectors). A cell vertex is shared by exactly 3 cells;
+    for a pentagon the 5 topological vertices are the meeting points
+    with consecutive pairs of its 5 neighbors (k=1 ring exactness is
+    golden-tested), each the spherical circumcenter of the three
+    centroids: the unit normal of the plane through them, signed toward
+    the pentagon center — equidistant from all three by construction.
+    The circumcenter of (P, N_i, N_{i+1}) and that of (P, N_{i+1},
+    N_{i+2}) are both equidistant from P and N_{i+1}, so every boundary
+    arc lies exactly on a P-neighbor perpendicular-bisector great
+    circle — the property the distortion-vertex invariants test."""
+    one = np.array([hp], dtype=np.uint64)
+    ring = np.unique(k_ring(one, 1)[0])
+    nbrs = ring[ring != hp]
+    pla, plo = cell_to_latlng(one)
+    nla, nlo = cell_to_latlng(nbrs)
+    az = _geo_azimuth(np.radians(pla[0]), np.radians(plo[0]),
+                      np.radians(nla), np.radians(nlo))
+    order = np.argsort(az)
+    nxyz = _geo_to_xyz(np.radians(nla[order]), np.radians(nlo[order]))
+    pxyz = _geo_to_xyz(np.radians(pla), np.radians(plo))[0]
+    k = nbrs.shape[0]  # 5 for true pentagons
+    verts = np.empty((k, 3))
+    for i in range(k):
+        b = nxyz[i]
+        c = nxyz[(i + 1) % k]
+        n = np.cross(b - pxyz, c - pxyz)
+        nn = np.linalg.norm(n)
+        v = n / nn if nn > 0 else pxyz
+        if np.dot(v, pxyz) < 0:
+            v = -v
+        verts[i] = v
+    return pxyz, verts
 
-    A cell vertex is shared by exactly 3 cells; for a pentagon the 5
-    topological vertices are the meeting points with consecutive pairs
-    of its 5 neighbors (k=1 ring exactness is golden-tested). Each is
-    computed as the spherical circumcenter of the three centroids: the
-    unit normal of the plane through them, signed toward the pentagon
-    center — equidistant from all three by construction."""
+
+def _xyz_to_deg(v):
+    return (math.degrees(math.asin(max(-1.0, min(1.0, float(v[2]))))),
+            math.degrees(math.atan2(float(v[1]), float(v[0]))))
+
+
+def _pentagon_boundary_rows(h):
+    """(M,) pentagon cells -> (M, 6, 2) deg boundary: the 5 topological
+    vertices in a fixed-width row — v0, planar-mid(v0,v1) (collinear
+    filler so convex consumers see no degenerate edge), v1..v4. The
+    10-vertex geometry with icosa-edge distortion vertices lives in
+    pentagon_boundary_full (round 4)."""
     h = np.asarray(h, dtype=np.uint64).ravel()
     out = np.empty((h.shape[0], 6, 2), dtype=np.float64)
     for m, hp in enumerate(h):
-        one = np.array([hp], dtype=np.uint64)
-        ring = np.unique(k_ring(one, 1)[0])
-        nbrs = ring[ring != hp]
-        pla, plo = cell_to_latlng(one)
-        nla, nlo = cell_to_latlng(nbrs)
-        az = _geo_azimuth(np.radians(pla[0]), np.radians(plo[0]),
-                          np.radians(nla), np.radians(nlo))
-        order = np.argsort(az)
-        nxyz = _geo_to_xyz(np.radians(nla[order]), np.radians(nlo[order]))
-        pxyz = _geo_to_xyz(np.radians(pla), np.radians(plo))[0]
-        k = nbrs.shape[0]  # 5 for true pentagons
-        verts = np.empty((k, 2))
-        for i in range(k):
-            b = nxyz[i]
-            c = nxyz[(i + 1) % k]
-            n = np.cross(b - pxyz, c - pxyz)
-            nn = np.linalg.norm(n)
-            v = n / nn if nn > 0 else pxyz
-            if np.dot(v, pxyz) < 0:
-                v = -v
-            verts[i, 0] = math.degrees(math.asin(
-                max(-1.0, min(1.0, v[2]))))
-            verts[i, 1] = math.degrees(math.atan2(v[1], v[0]))
-        # fixed-width row: v0, planar-mid(v0,v1), v1, v2, ... (collinear
-        # filler vertex; no degenerate edge for convex clippers)
+        _, vxyz = _pentagon_topo_verts_xyz(hp)
+        k = vxyz.shape[0]
+        verts = np.array([_xyz_to_deg(v) for v in vxyz])
         out[m, 0] = verts[0]
         out[m, 1] = (verts[0] + verts[1]) / 2.0
         out[m, 2:2 + k - 1] = verts[1:]
         if k < 5:  # defensive: degenerate ring
             out[m, 2 + k - 1:] = verts[-1]
     return out
+
+
+_ICOSA_VERTS_XYZ = None
+
+
+def _icosa_vertices_xyz():
+    """the 12 icosahedron vertex unit vectors = centroids of the 12
+    res-0 pentagon base cells (every H3 pentagon is centered on an
+    icosahedron vertex). Derived from the kernel's own tables, cached."""
+    global _ICOSA_VERTS_XYZ
+    if _ICOSA_VERTS_XYZ is None:
+        p0 = np.array([(1 << 59) | (int(b) << 45) | 0x1FFFFFFFFFFF
+                       for b in PENTAGON_BASE_CELLS], dtype=np.uint64)
+        la, lo = cell_to_latlng(p0)
+        _ICOSA_VERTS_XYZ = _geo_to_xyz(np.radians(la), np.radians(lo))
+    return _ICOSA_VERTS_XYZ
+
+
+def pentagon_boundary_full(h):
+    """(M,) pentagon cells -> (verts (M, 10, 2) deg padded, n_verts
+    (M,)): the published 10-vertex pentagon geometry (VERDICT r3 Next
+    #8) — 5 topological vertices plus up to 5 DISTORTION vertices where
+    the boundary crosses the 5 icosahedron edges radiating from the
+    pentagon's center (every pentagon is centered on an icosa vertex;
+    its boundary spans 5 faces, so each boundary arc bends where it
+    crosses a face edge).
+
+    Each distortion vertex is the great-circle intersection of a
+    boundary arc (which lies exactly on a P-neighbor perpendicular-
+    bisector plane, see _pentagon_topo_verts_xyz) with an icosa edge
+    arc (pentagon center -> adjacent icosa vertex), accepted only when
+    it falls strictly inside both arcs. At class-II resolutions where a
+    crossing coincides with a topological vertex (the lattice aligns
+    with the icosa edge) no duplicate is inserted, so n_verts is 5..10.
+    Rows are padded by repeating the last vertex."""
+    h = np.asarray(h, dtype=np.uint64).ravel()
+    verts_out = np.empty((h.shape[0], 10, 2), dtype=np.float64)
+    n_out = np.empty(h.shape[0], dtype=np.int64)
+    icosa = _icosa_vertices_xyz()
+    for m, hp in enumerate(h):
+        pxyz, vxyz = _pentagon_topo_verts_xyz(hp)
+        k = vxyz.shape[0]
+        # the pentagon's own icosa vertex + its 5 nearest fellows
+        d2 = ((icosa - pxyz) ** 2).sum(axis=1)
+        vi = int(d2.argmin())
+        others = np.argsort(d2)[1:6]
+        seq = []
+        for i in range(k):
+            a, b = vxyz[i], vxyz[(i + 1) % k]
+            seq.append(a)
+            n1 = np.cross(a, b)
+            ab = math.acos(max(-1.0, min(1.0, float(a @ b))))
+            best = None
+            for j in others:
+                w = icosa[j]
+                n2 = np.cross(icosa[vi], w)
+                d = np.cross(n1, n2)
+                nd = np.linalg.norm(d)
+                if nd < 1e-15:
+                    continue
+                d = d / nd
+                if d @ (a + b) < 0:
+                    d = -d
+                # strictly inside the boundary arc ...
+                da = math.acos(max(-1.0, min(1.0, float(a @ d))))
+                db = math.acos(max(-1.0, min(1.0, float(b @ d))))
+                if abs(da + db - ab) > 1e-9:
+                    continue
+                # ... and inside the icosa edge arc
+                vw = math.acos(max(-1.0, min(1.0,
+                                             float(icosa[vi] @ w))))
+                dv = math.acos(max(-1.0, min(1.0,
+                                             float(icosa[vi] @ d))))
+                dw = math.acos(max(-1.0, min(1.0, float(w @ d))))
+                if abs(dv + dw - vw) > 1e-9:
+                    continue
+                if min(da, db) < 1e-9:  # coincides with a topo vertex
+                    continue
+                best = d
+                break
+            if best is not None:
+                seq.append(best)
+        n = len(seq)
+        for i, v in enumerate(seq):
+            verts_out[m, i] = _xyz_to_deg(v)
+        verts_out[m, n:] = verts_out[m, n - 1]
+        n_out[m] = n
+    return verts_out, n_out
 
 
 def polyfill_candidates(lat_min, lat_max, lng_min, lng_max, res,

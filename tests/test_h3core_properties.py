@@ -3,6 +3,8 @@
 No Spark: pure NumPy kernel, adversarially sampled coordinates including
 poles, antimeridian, face edges and pentagon neighborhoods."""
 
+import math
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -241,3 +243,114 @@ def test_pentagon_boundary_does_not_change_hexagons():
     assert b.shape == (5, 6, 2)
     for row in b:
         assert len({tuple(np.round(v, 9)) for v in row}) == 6
+
+
+def test_pentagon_boundary_full_invariants():
+    """round 4 (VERDICT r3 Next #8): the 10-vertex pentagon geometry.
+    For all 12 pentagons at res 0-3: class-II (even) res yields 5
+    vertices (icosa-edge crossings coincide with topological vertices),
+    class-III (odd) res yields 10; every distortion vertex (a) is
+    angularly equidistant from the pentagon center and one k_ring
+    neighbor (it lies on the shared-edge bisector), (b) lies on an
+    icosahedron edge arc between the pentagon's icosa vertex and an
+    adjacent one, and (c) the full ring stays azimuth-ordered."""
+    icosa = h3core._icosa_vertices_xyz()
+    for res in range(4):
+        cells = _pentagon_cells(res)
+        verts, nv = h3core.pentagon_boundary_full(cells)
+        assert (nv == (5 if res % 2 == 0 else 10)).all(), res
+        topo = h3core.cell_boundary(cells)
+        for m, hp in enumerate(cells):
+            n = int(nv[m])
+            ring = verts[m, :n]
+            one = np.array([hp], dtype=np.uint64)
+            pla, plo = h3core.cell_to_latlng(one)
+            pxyz = h3core._geo_to_xyz(np.radians(pla),
+                                      np.radians(plo))[0]
+            nbrs = np.unique(h3core.k_ring(one, 1)[0])
+            nbrs = nbrs[nbrs != hp]
+            nla, nlo = h3core.cell_to_latlng(nbrs)
+            nxyz = h3core._geo_to_xyz(np.radians(nla), np.radians(nlo))
+            vxyz = h3core._geo_to_xyz(np.radians(ring[:, 0]),
+                                      np.radians(ring[:, 1]))
+            # topological subset: the (6,2) row's 5 real vertices all
+            # appear in the full ring
+            tv = np.vstack([topo[m, 0:1], topo[m, 2:]])
+            for t in tv:
+                d = np.abs(ring - t).sum(axis=1)
+                assert d.min() < 1e-9
+            # azimuth-ordered (one cyclic wrap allowed)
+            az = h3core._geo_azimuth(
+                np.radians(pla[0]), np.radians(plo[0]),
+                np.radians(ring[:, 0]), np.radians(ring[:, 1]))
+            wraps = sum(1 for i in range(n)
+                        if az[(i + 1) % n] < az[i])
+            assert wraps <= 1, (res, m, az)
+            if n == 5:
+                continue
+            # distortion vertices are the odd slots (topo, dist, ...)
+            vi = int(((icosa - pxyz) ** 2).sum(axis=1).argmin())
+            for s in range(1, n, 2):
+                d = vxyz[s]
+                # (a) bisector property vs SOME neighbor
+                dp = math.acos(max(-1, min(1, float(d @ pxyz))))
+                dn = np.arccos(np.clip(nxyz @ d, -1, 1))
+                assert np.min(np.abs(dn - dp)) < 1e-9, (res, m, s)
+                # (b) on an icosa edge arc from this pentagon's vertex
+                ok = False
+                for w in np.argsort(((icosa - pxyz) ** 2)
+                                    .sum(axis=1))[1:6]:
+                    nrm = np.cross(icosa[vi], icosa[w])
+                    nn = np.linalg.norm(nrm)
+                    if nn < 1e-12 or abs(float(d @ (nrm / nn))) > 1e-9:
+                        continue
+                    vw = math.acos(max(-1, min(1, float(
+                        icosa[vi] @ icosa[w]))))
+                    dv = math.acos(max(-1, min(1, float(
+                        icosa[vi] @ d))))
+                    dw = math.acos(max(-1, min(1, float(
+                        icosa[w] @ d))))
+                    if abs(dv + dw - vw) < 1e-9:
+                        ok = True
+                        break
+                assert ok, (res, m, s)
+
+
+def test_pentagon_overlap_uses_full_geometry():
+    """A5 on a pentagon: a polygon covering the whole cell must yield
+    overlap ~1 with the 10-vertex ring; a half-plane cut through the
+    center yields a fraction strictly between 0.3 and 0.7 — and the
+    fan-triangulated path must equal the single-window path when the
+    ring is the (convex) topological pentagon."""
+    from osc_geo_h3grid_srv_spark.functions import geo
+    cells = _pentagon_cells(1)  # class III: distortion vertices exist
+    c = cells[:1]
+    verts, nv = h3core.pentagon_boundary_full(c)
+    ring = verts[0, :nv[0]]
+    la, lo = ring[:, 0], ring[:, 1]
+    pad_lat = (la.max() - la.min()) * 0.8
+    pad_lng = (lo.max() - lo.min()) * 0.8
+    box = [(la.min() - pad_lat, lo.min() - pad_lng),
+           (la.min() - pad_lat, lo.max() + pad_lng),
+           (la.max() + pad_lat, lo.max() + pad_lng),
+           (la.max() + pad_lat, lo.min() - pad_lng)]
+    packed = geo.PackedPolygons.from_latlng_rings([[box]])
+    frac = geo.cell_overlap(packed, c)
+    # the A5 fraction is relative to the AVERAGE hexagon area
+    # (reference formula, geomesh.py:45), so a fully covered pentagon
+    # gives the pentagon's own area fraction — compute it independently
+    # from the full ring's shoelace area and require agreement
+    area_deg2, _ = geo.ring_area_perimeter(ring)
+    expected = (abs(area_deg2) * 110.0 * 110.0
+                * math.cos(math.radians(float(la.mean())))
+                / h3core.AVG_CELL_AREA_KM2[1])
+    assert 0.4 < expected < 1.0, expected  # pentagon < avg hexagon
+    assert abs(frac[0] - expected) < 0.02, (frac, expected)
+    cla, clo = h3core.cell_to_latlng(c)
+    half = [(float(cla[0]), lo.min() - pad_lng),
+            (float(cla[0]), lo.max() + pad_lng),
+            (la.max() + pad_lat, lo.max() + pad_lng),
+            (la.max() + pad_lat, lo.min() - pad_lng)]
+    packed_h = geo.PackedPolygons.from_latlng_rings([[half]])
+    frac_h = geo.cell_overlap(packed_h, c)
+    assert 0.3 * expected < frac_h[0] < 0.7 * expected, (frac_h, expected)
