@@ -254,7 +254,9 @@ def main():
              "frontier_schedule", "shard_assignment", "corpus_drift",
              "pq_adc_topk", "inlink_profile", "winnow_fingerprints",
              "normalize_text", "hll_token_distinct",
-             "cms_term_frequencies", "frontier_timeline"]
+             "cms_term_frequencies", "frontier_timeline",
+             "jpeg_decode_stats", "video_frame_stats",
+             "embedding_blocked_pairs"]
     qs = em.queries()
     for name in heads:
         run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
