@@ -1,14 +1,19 @@
-"""Pure-NumPy WAV/PCM16 audio codec for the multimodal column family.
+"""Pure-NumPy WAV audio codecs for the multimodal column family.
 
 RIFF/WAVE is a fully public container (the classic Microsoft/IBM
 multimedia file format): a "RIFF" header wrapping word-aligned chunks;
 audio needs exactly the "fmt " chunk (format tag, channels, sample
 rate, block align, bits per sample) and the "data" chunk (interleaved
-little-endian samples). PCM16 (format tag 1, 16-bit) mono/stereo is
-decoded here with no external libraries — the second end-to-end REAL
-decode path in the container (images: imagecodec.py). Compressed
-formats (MP3/AAC/FLAC) need real codec libraries and raise
-AudioDecodeError, routing payloads to the quarantine column.
+samples). Decoded here with no external libraries:
+
+* PCM16 — format tag 1, 16-bit little-endian (round 3),
+* G.711 A-law / mu-law — format tags 6 / 7, 8-bit companded telephony
+  audio per ITU-T G.711 (round 4): 256-entry expansion tables built
+  from the published segment arithmetic (mu-law byte 0x00 -> -32124,
+  A-law 0x55 -> -8 pin the table orientation).
+
+Perceptual codecs (MP3/AAC/FLAC) need real entropy/transform stacks
+and raise AudioDecodeError, routing payloads to the quarantine column.
 
 Returns int16 arrays shaped (n_samples, n_channels).
 """
@@ -22,6 +27,28 @@ import numpy as np
 
 class AudioDecodeError(ValueError):
     pass
+
+
+def _g711_tables():
+    """(ulaw_table, alaw_table): byte -> linear int16, ITU-T G.711."""
+    b = np.arange(256, dtype=np.int64)
+    # mu-law: stored complemented; sign bit 0x80 = negative
+    u = ~b & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag).astype(np.int16)
+    # A-law: stored XOR 0x55; sign bit 0x80 = POSITIVE
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+ULAW_TO_PCM, ALAW_TO_PCM = _g711_tables()
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
@@ -52,22 +79,30 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise AudioDecodeError("wav: missing fmt or data chunk")
     tag, n_ch, rate, _byte_rate, _block, bits = fmt
-    if tag != 1:
+    if tag not in (1, 6, 7):
         raise AudioDecodeError(
-            f"wav: format tag {tag} unsupported (PCM only; compressed "
-            "audio needs real codec libraries)")
-    if bits != 16:
-        raise AudioDecodeError(f"wav: {bits}-bit unsupported (PCM16)")
+            f"wav: format tag {tag} unsupported (PCM / G.711 only; "
+            "perceptual codecs need real codec libraries)")
     if n_ch not in (1, 2):
         raise AudioDecodeError(f"wav: {n_ch} channels unsupported")
     if rate <= 0:
         raise AudioDecodeError(f"wav: bad sample rate {rate}")
-    n_vals = len(data) // 2
+    if tag == 1:
+        if bits != 16:
+            raise AudioDecodeError(f"wav: {bits}-bit unsupported (PCM16)")
+        n_vals = len(data) // 2
+        samples = np.frombuffer(data, dtype="<i2", count=max(n_vals, 0))
+    else:
+        if bits != 8:
+            raise AudioDecodeError(
+                f"wav: G.711 must be 8-bit, got {bits}")
+        n_vals = len(data)
+        table = ALAW_TO_PCM if tag == 6 else ULAW_TO_PCM
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
     if n_vals == 0 or n_vals % n_ch:
         raise AudioDecodeError(
             f"wav: data size {len(data)} not a whole number of "
             f"{n_ch}-channel frames")
-    samples = np.frombuffer(data, dtype="<i2", count=n_vals)
     return samples.reshape(-1, n_ch).copy(), rate
 
 
@@ -82,6 +117,27 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     body = s.tobytes()
     block = n_ch * 2
     fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_g711(codes: np.ndarray, rate: int, law: str) -> bytes:
+    """G.711 writer from RAW companded bytes (the test/fixture source —
+    byte-level, so the decode gate pins the expansion table itself,
+    not a round trip through an encoder's rounding choices). codes:
+    (n,) mono or (n, ch) uint8."""
+    c = np.asarray(codes, dtype=np.uint8)
+    if c.ndim == 1:
+        c = c[:, None]
+    if c.ndim != 2 or c.shape[1] not in (1, 2):
+        raise ValueError(f"encode_wav_g711: bad shape {c.shape}")
+    if law not in ("alaw", "ulaw"):
+        raise ValueError(f"encode_wav_g711: law {law!r}")
+    tag = 6 if law == "alaw" else 7
+    n_ch = c.shape[1]
+    body = c.tobytes()
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(body)) + body)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -367,6 +367,41 @@ def synth_audio_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def synth_g711_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic media table whose audio payloads are REAL G.711
+    WAV files (format tag 7 mu-law on even ids, 6 A-law on odd): the
+    companded bytes are mix64(id*1000003 + word) lanes, so the decoded
+    int16 stats are replayable by applying the PUBLISHED segment
+    expansion arithmetic to the recipe bytes in SQL — the gate pins the
+    expansion tables themselves, not a round trip."""
+    from ..functions.audiocodec import encode_wav_g711
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                ns = 40 + h0 % 160
+                ch = 1 + (h0 >> 9) % 2
+                rate = 8000
+                law = "ulaw" if i % 2 == 0 else "alaw"
+                nvals = ns * ch
+                nw = (nvals + 7) // 8
+                words = mix64(np.arange(nw, dtype=np.uint64)
+                              + u * np.uint64(1000003))
+                codes = np.frombuffer(words.tobytes(), np.uint8)[:nvals]
+                payload = encode_wav_g711(codes.reshape(ns, ch), rate,
+                                          law)
+                rows.append((int(i), "audio", 0, 0, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
 def decode_audio_stats(media: DataFrame) -> DataFrame:
     """REAL WAV decode -> per-clip sample statistics; undecodable
     payloads land in the error column (quarantine pattern), never fail

@@ -5,11 +5,15 @@ protocol to the 10 heaviest suite operators, on two axes:
 * PARALLELISM: local[8] vs local[32] on identical input, each level a
   fresh subprocess JVM, palindrome visit order (8, 32, 32, 8) so
   monotone host drift cancels; per-query best-of across visits.
-* DATA SCALE: sf0.1 documents vs a deterministic 4x amplification
-  (four doc_id-shifted copies of the same corpus, materialized once to
-  parquet in a temp dir). Near-linear t(4x)/t(1x) growth at fixed
-  parallelism is the evidence that no operator hides a superlinear
-  (quadratic-join / driver-collect) term at scale.
+* DATA SCALE: two deterministic amplifications of the sf0.1 documents
+  corpus (doc_id-shifted copies, materialized once to parquet) that
+  are BOTH large enough for parallel work to dominate the fixed
+  per-stage driver floor (the first cut of this tool compared raw
+  sf0.1 vs 4x and every query was floor-bound: t8 ~ t32 ~ 1-3 s,
+  efficiency read as ~0.25 at ANY plan shape). growth =
+  t(big)/t(small) at fixed cores, expected ~ big/small for linear
+  operators; a superlinear (quadratic-join / driver-collect) term
+  shows up as growth >> big/small.
 
 Interpretation guardrail: this box's 8->32 ceiling is ~0.5-0.53 for
 ANY workload shape (pure-ALU / NumPy / pure-JVM probes,
@@ -21,8 +25,8 @@ Usage:
     python tools/bench_scaling_suite.py            # full report
     (child mode: --cores N --sf-dir D, internal)
 
-Env: SPARK_GRAFT_SUITE_REPS (default 2), SPARK_GRAFT_SUITE_AMP
-(default 4), SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Env: SPARK_GRAFT_SUITE_REPS (default 2), SPARK_GRAFT_SUITE_AMP_SMALL /
+_BIG (default 8 / 32), SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Writes BENCH-SCALING-SUITE.json at the repo root and prints it.
 """
 
@@ -42,7 +46,8 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_SUITE_REPS", "2"))
-AMP = int(os.environ.get("SPARK_GRAFT_SUITE_AMP", "4"))
+AMP_SMALL = int(os.environ.get("SPARK_GRAFT_SUITE_AMP_SMALL", "8"))
+AMP_BIG = int(os.environ.get("SPARK_GRAFT_SUITE_AMP_BIG", "32"))
 
 QUERIES = [
     "pagerank_links", "dedup_clusters", "bpe_merges", "dsir_selection",
@@ -55,18 +60,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def amplify(sf_dir: str, out_dir: str, factor: int) -> None:
-    """materialize a factor-x corpus: documents is unioned `factor`
-    times with doc_id shifted by k*10**9 per copy (keeps ids unique,
-    keeps text distribution identical); every other table is copied
-    verbatim. Deterministic — no RNG."""
+    """materialize a factor-x corpus: documents unioned `factor` times,
+    copy k's doc_ids shifted by k*n_docs (ids stay DENSE — pagerank
+    derives its node count from max(doc_id)+1) and copy k>0's tokens
+    prefixed with a copy tag so the copies are textually DISJOINT: each
+    copy carries the original's internal near-dup structure but no
+    cross-copy duplicates, so dedup-family pair counts grow ~linearly
+    with factor like a real crawl, instead of quadratically by
+    construction. Every other table is copied verbatim. Deterministic —
+    no RNG."""
     from osc_geo_h3grid_srv_spark.engine import make_spark
     from pyspark.sql import functions as F
     spark = make_spark(cores=8, shuffle_partitions=16,
                        extra_conf={"spark.ui.enabled": "false"})
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    parts = [docs.withColumn(
-        "doc_id", (F.col("doc_id") + F.lit(k * 10 ** 9)).cast("long"))
-        for k in range(factor)]
+    n_docs = docs.count()
+    parts = []
+    for k in range(factor):
+        p = docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(k * n_docs)).cast("long"))
+        if k:
+            tag = F.lit(f"c{k}")
+            p = p.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(F.split(F.col("text"), " "),
+                                lambda t: F.concat(tag, t)), " "))
+        parts.append(p)
     big = parts[0]
     for p in parts[1:]:
         big = big.unionByName(p)
@@ -139,44 +159,48 @@ def main():
             run_level(args.cores, args.sf_dir, REPS)))
         return
 
-    amp_dir = tempfile.mkdtemp(prefix="sfamp_")
+    small_dir = tempfile.mkdtemp(prefix="sfamp_s_")
+    big_dir = tempfile.mkdtemp(prefix="sfamp_b_")
+    amp_dirs = {AMP_SMALL: small_dir, AMP_BIG: big_dir}
     try:
-        amplify(SF_DIR, amp_dir, AMP)
-        report = {"metric": "suite 8->32 parallel efficiency + "
-                            f"1x->{AMP}x data growth",
-                  "sf_dir": SF_DIR, "amp_factor": AMP,
+        for f, d in amp_dirs.items():
+            amplify(SF_DIR, d, f)
+        ratio = AMP_BIG / AMP_SMALL
+        report = {"metric": f"suite 8->32 parallel efficiency at "
+                            f"{AMP_SMALL}x/{AMP_BIG}x sf0.1 + data "
+                            f"growth (expected ~{ratio:g} for linear)",
+                  "sf_dir": SF_DIR,
+                  "amp_factors": [AMP_SMALL, AMP_BIG],
                   "reps_best_of_per_visit": REPS, "queries": {}}
         levels = {}
-        for scale, d in (("1x", SF_DIR), (f"{AMP}x", amp_dir)):
+        for f, d in amp_dirs.items():
             a8 = _child(8, d)
             a32 = _child(32, d)
             b32 = _child(32, d)
             b8 = _child(8, d)
-            levels[(scale, 8)] = _merge_best(a8, b8)
-            levels[(scale, 32)] = _merge_best(a32, b32)
+            levels[(f, 8)] = _merge_best(a8, b8)
+            levels[(f, 32)] = _merge_best(a32, b32)
         for q in QUERIES:
-            e1 = levels[("1x", 8)][q]["sec"] / \
-                max(levels[("1x", 32)][q]["sec"], 1e-9) / 4.0
-            ea = levels[(f"{AMP}x", 8)][q]["sec"] / \
-                max(levels[(f"{AMP}x", 32)][q]["sec"], 1e-9) / 4.0
-            g32 = levels[(f"{AMP}x", 32)][q]["sec"] / \
-                max(levels[("1x", 32)][q]["sec"], 1e-9)
-            report["queries"][q] = {
-                "local8_1x": levels[("1x", 8)][q],
-                "local32_1x": levels[("1x", 32)][q],
-                f"local8_{AMP}x": levels[(f"{AMP}x", 8)][q],
-                f"local32_{AMP}x": levels[(f"{AMP}x", 32)][q],
-                "eff_8_32_at_1x": round(e1, 3),
-                f"eff_8_32_at_{AMP}x": round(ea, 3),
-                f"growth_{AMP}x_at_local32": round(g32, 3),
-            }
+            rec = {}
+            for f in (AMP_SMALL, AMP_BIG):
+                rec[f"local8_{f}x"] = levels[(f, 8)][q]
+                rec[f"local32_{f}x"] = levels[(f, 32)][q]
+                rec[f"eff_8_32_at_{f}x"] = round(
+                    levels[(f, 8)][q]["sec"]
+                    / max(levels[(f, 32)][q]["sec"], 1e-9) / 4.0, 3)
+            for c in (8, 32):
+                rec[f"growth_at_local{c}"] = round(
+                    levels[(AMP_BIG, c)][q]["sec"]
+                    / max(levels[(AMP_SMALL, c)][q]["sec"], 1e-9), 3)
+            report["queries"][q] = rec
         out = json.dumps(report)
         with open(os.path.join(REPO, "BENCH-SCALING-SUITE.json"),
                   "w") as fh:
             fh.write(out + "\n")
         print(out)
     finally:
-        shutil.rmtree(amp_dir, ignore_errors=True)
+        for d in amp_dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
