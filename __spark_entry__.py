@@ -2175,6 +2175,92 @@ def q_audio_decode_stats(spark, sf_dir):
         .alias("avg_val"))
 
 
+def q_g711_decode_stats(spark, sf_dir):
+    """round-4 third audio gate: synth payloads are REAL ITU-T G.711
+    WAVs (format tag 7 mu-law on even ids, 6 A-law on odd) decoded by
+    the same RIFF chunk walker; per-law rollup of expanded int16 stats.
+    The oracle applies the PUBLISHED segment expansion arithmetic to
+    the recipe bytes in SQL — a table-orientation (sign/XOR/complement)
+    or segment-shift bug flips the hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        decode_audio_stats, synth_g711_media)
+    stats = decode_audio_stats(synth_g711_media(spark, 300, partitions=8))
+    return (stats
+            .withColumn("law", F.when(F.col("doc_id") % 2 == 0,
+                                      F.lit("ulaw"))
+                        .otherwise(F.lit("alaw")))
+            .groupBy("law")
+            .agg(F.count("*").alias("n_audio"),
+                 F.sum(F.col("error").isNotNull().cast("long"))
+                 .alias("n_errors"),
+                 F.sum("n_samples").alias("total_samples"),
+                 F.sum(F.col("n_channels").cast("long"))
+                 .alias("total_channels"),
+                 F.sum("s_sum").alias("total_sum"),
+                 F.min("s_min").alias("s_min"),
+                 F.max("s_max").alias("s_max")))
+
+
+def _g711_decode_oracle_sql(n_rows=300):
+    """replay of synth_g711_media + decode_audio_stats WITHOUT parsing:
+    companded bytes are mix64(id*1000003 + j) little-endian lanes
+    truncated to ns*ch; expansion per ITU-T G.711 — mu-law: u = 255-b,
+    mag = ((u%16)*8 + 132) << (u//16 % 8) - 132, sign bit 0x80 =
+    negative; A-law: a = b XOR 85, mag = (a%16)*16+8 for segment 0
+    else ((a%16)*16+264) << (seg-1), sign bit 0x80 = POSITIVE."""
+    pow_list = ", ".join(str(256 ** k) + "::hugeint" for k in range(8))
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        hm as (select id, {_mix64_sql('id')} as h0 from ids),
+        par as (select id,
+                       (40 + h0 % 160)::bigint as ns,
+                       (1 + (h0 // 512) % 2)::bigint as ch,
+                       case when id % 2 = 0 then 'ulaw'
+                            else 'alaw' end as law
+                from hm),
+        wrds as (select id, ns, ch, law,
+                        unnest(range(0, (ns * ch + 7) // 8)) as j
+                 from par),
+        sv as (select id, ns, ch, law,  j,
+                      (id * 1000003 + j::hugeint) as s from wrds),
+        vv as (select id, ns, ch, law, j, {_mix64_sql('s')} as v from sv),
+        by as (select id, ns, ch, law, j,
+                      unnest(list_transform([{pow_list}],
+                             p -> ((v // p) % 256)::bigint)) as b,
+                      unnest([0,1,2,3,4,5,6,7]) as lane
+               from vv),
+        cd as (select id, law, b from by where j * 8 + lane < ns * ch),
+        ex as (select id, law,
+                      case when law = 'ulaw' then
+                        (case when (255 - b) >= 128 then -1 else 1 end) *
+                        ((((255 - b) % 16) * 8 + 132)
+                         * (1 << (((255 - b) // 16) % 8)) - 132)
+                      else
+                        (case when xor(b, 85) >= 128 then 1 else -1 end) *
+                        (case when (xor(b, 85) // 16) % 8 = 0
+                              then (xor(b, 85) % 16) * 16 + 8
+                              else ((xor(b, 85) % 16) * 16 + 264)
+                                   * (1 << ((xor(b, 85) // 16) % 8 - 1))
+                         end)
+                      end as val
+               from cd),
+        per as (select id, law, sum(val)::bigint as s_sum,
+                       min(val) as mn, max(val) as mx
+                from ex group by id, law)
+        select p.law,
+               count(*)::bigint as n_audio,
+               0::bigint as n_errors,
+               sum(p2.ns)::bigint as total_samples,
+               sum(p2.ch)::bigint as total_channels,
+               sum(p.s_sum)::bigint as total_sum,
+               cast(min(p.mn) as int) as s_min,
+               cast(max(p.mx) as int) as s_max
+        from per p join par p2 on p.id = p2.id
+        group by p.law
+    """
+
+
 def q_simplify_polygon(spark, sf_dir):
     """F9 (shape.py:180-198): Douglas-Peucker ring simplification of a
     deterministic 120-vertex noisy ring; returns surviving vertices.
@@ -3844,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: new / code-changed in round 4 ------------------
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "video_frame_stats": q_video_frame_stats,
+        "g711_decode_stats": q_g711_decode_stats,
         "robots_wildcard_exclusion": q_robots_wildcard,
         "robots_exclusion": q_robots_exclusion,
         "frontier_timeline": q_frontier_timeline,
@@ -4544,5 +4631,6 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": _image_decode_oracle_sql(),
         "jpeg_decode_stats": _jpeg_decode_oracle_sql(),
         "video_frame_stats": _video_frame_oracle_sql(),
+        "g711_decode_stats": _g711_decode_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
     }

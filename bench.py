@@ -255,7 +255,7 @@ def main():
              "pq_adc_topk", "inlink_profile", "winnow_fingerprints",
              "normalize_text", "hll_token_distinct",
              "cms_term_frequencies", "frontier_timeline",
-             "jpeg_decode_stats", "video_frame_stats",
+             "jpeg_decode_stats", "video_frame_stats", "g711_decode_stats",
              "embedding_blocked_pairs"]
     qs = em.queries()
     for name in heads:

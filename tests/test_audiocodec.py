@@ -95,3 +95,55 @@ def test_spark_decode_audio_stats(spark):
     assert r["sample_rate"] == 8000 * (1 + (h0 >> 17) % 2)
     assert r["s_sum"] == int(vals.sum())
     assert (r["s_min"], r["s_max"]) == (int(vals.min()), int(vals.max()))
+
+
+def test_g711_table_pins():
+    # published ITU-T G.711 decode-table anchors: a wrong complement/
+    # XOR/sign orientation or segment shift breaks at least one
+    from osc_geo_h3grid_srv_spark.functions.audiocodec import (
+        ALAW_TO_PCM, ULAW_TO_PCM)
+    assert int(ULAW_TO_PCM[0x00]) == -32124
+    assert int(ULAW_TO_PCM[0x80]) == 32124
+    assert int(ULAW_TO_PCM[0xFF]) == 0
+    assert int(ULAW_TO_PCM[0x7F]) == -0  # negative zero -> 0
+    assert int(ALAW_TO_PCM[0x55]) == -8
+    assert int(ALAW_TO_PCM[0xD5]) == 8
+    assert int(ALAW_TO_PCM[0x2A]) == -32256  # negative full scale
+    assert int(ALAW_TO_PCM[0xAA]) == 32256
+    assert int(ALAW_TO_PCM[0x45]) == -264    # segment-1 floor
+    # both tables are odd-symmetric under the sign bit
+    import numpy as np
+    u = ULAW_TO_PCM.astype(np.int64)
+    assert (u[:128] == -u[128:]).all()
+    a = ALAW_TO_PCM.astype(np.int64)
+    assert (a[0x80:] == -a[:0x80]).all()
+
+
+def test_g711_wav_roundtrip():
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.audiocodec import (
+        ALAW_TO_PCM, ULAW_TO_PCM, decode_wav, encode_wav_g711)
+    codes = np.arange(256, dtype=np.uint8)
+    for law, table in (("ulaw", ULAW_TO_PCM), ("alaw", ALAW_TO_PCM)):
+        s, rate = decode_wav(encode_wav_g711(codes, 8000, law))
+        assert rate == 8000 and s.shape == (256, 1)
+        assert (s[:, 0] == table).all()
+        # stereo interleave
+        st = np.stack([codes[:10], codes[10:20]], axis=1)
+        s2, _ = decode_wav(encode_wav_g711(st, 8000, law))
+        assert s2.shape == (10, 2)
+        assert (s2[:, 0] == table[codes[:10]]).all()
+        assert (s2[:, 1] == table[codes[10:20]]).all()
+
+
+def test_g711_bad_bits_quarantine():
+    import struct
+    import pytest
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.audiocodec import (
+        AudioDecodeError, decode_wav, encode_wav_g711)
+    buf = bytearray(encode_wav_g711(np.zeros(8, np.uint8), 8000, "ulaw"))
+    i = buf.find(b"fmt ") + 8 + 14  # bits-per-sample field
+    struct.pack_into("<H", buf, i, 16)
+    with pytest.raises(AudioDecodeError, match="8-bit"):
+        decode_wav(bytes(buf))
