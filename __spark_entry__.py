@@ -2175,6 +2175,78 @@ def q_audio_decode_stats(spark, sf_dir):
         .alias("avg_val"))
 
 
+def q_image_dhash_pairs(spark, sf_dir):
+    """round-4 perceptual image dedup gate: triples of visually-
+    identical images in PGM/PNG/JPEG containers (synth_phash_media) ->
+    REAL decode -> dHash (multimodal.dhash_images) -> banded Hamming
+    join (dedup.hamming_pairs, the simhash machinery generalized to any
+    64-bit signature; salt=2 exercises the triangle decomposition).
+    PGM/PNG copies must pair at hamming 0; the JPEG copy's hash shifts
+    through the quantizer closed form, so its exact hamming — and
+    whether it clears max_hamming=3 at all — is derived analytically by
+    the oracle. Gates decode, grayscale, the sample lattice, bit
+    packing, the band join, AND the jpeg reconstruction in one hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.dedup import hamming_pairs
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        dhash_images, synth_phash_media)
+    media = synth_phash_media(spark, 300, partitions=8)
+    hashes = dhash_images(media).filter(F.col("dhash").isNotNull())
+    return hamming_pairs(hashes, "doc_id", "dhash", max_hamming=3,
+                         salt=2)
+
+
+def _image_dhash_oracle_sql(n_rows=300, max_hamming=3):
+    """replay of synth_phash_media + dhash_images + hamming_pairs with
+    NO image or banding machinery: tile values from the mix64 recipe,
+    JPEG copies pushed through the DC closed form (q=13: the
+    quantizer step exceeds 1, so close tile values COLLAPSE and some
+    strict-> comparisons flip — the JPEG copies are true near-dups with
+    nonzero hamming, a few beyond max_hamming entirely), the dHash
+    sample lattice reduced to its tile coordinates (row r -> tile row
+    r, cols [0,0,1,2,3,4,5,6,7]), bits packed as literal powers of two,
+    pairs by brute-force bit_count(xor) <= h over all id pairs —
+    pigeonhole-exact banding means the banded join returns EXACTLY
+    this set."""
+    cmap = [0, 0, 1, 2, 3, 4, 5, 6, 7]
+    pivots = ", ".join(
+        f"max(case when t = {t} then eff end) as t{t}"
+        for t in range(64))
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            lt, rt = r * 8 + cmap[c], r * 8 + cmap[c + 1]
+            if lt == rt:
+                continue  # same tile: strict > is always false
+            w = 1 << (r * 8 + c)
+            terms.append(f"(case when t{lt} > t{rt} "
+                         f"then {w}::hugeint else 0::hugeint end)")
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        PHASH_JPEG_DC_Q)
+    q = PHASH_JPEG_DC_Q
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        tl as (select id, unnest(range(0, 64)) as t from ids),
+        sv as (select id, t, ((id // 3) * 1000003 + t::hugeint + 1) as s
+               from tl),
+        vv as (select id, t, ({_mix64_sql('s')} % 256)::bigint as v
+               from sv),
+        ef as (select id, t,
+                      case when id % 3 = 2 then
+                        least(greatest(floor(
+                            floor(8.0 * (v - 128) / {q} + 0.5)
+                            * {q} / 8.0 + 128.5 + 1e-7), 0), 255)
+                      else v::double end as eff
+               from vv),
+        pv as (select id, {pivots} from ef group by id),
+        hs as (select id, ({' + '.join(terms)}) as dh from pv)
+        select a.id::bigint as id_a, b.id::bigint as id_b,
+               bit_count(xor(a.dh, b.dh))::int as hamming
+        from hs a join hs b on a.id < b.id
+        where bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+    """
+
+
 def q_g711_decode_stats(spark, sf_dir):
     """round-4 third audio gate: synth payloads are REAL ITU-T G.711
     WAVs (format tag 7 mu-law on even ids, 6 A-law on odd) decoded by
@@ -3931,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats": q_jpeg_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "g711_decode_stats": q_g711_decode_stats,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "robots_wildcard_exclusion": q_robots_wildcard,
         "robots_exclusion": q_robots_exclusion,
         "frontier_timeline": q_frontier_timeline,
@@ -4632,5 +4705,6 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode_stats": _jpeg_decode_oracle_sql(),
         "video_frame_stats": _video_frame_oracle_sql(),
         "g711_decode_stats": _g711_decode_oracle_sql(),
+        "image_dhash_pairs": _image_dhash_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
     }

@@ -186,6 +186,23 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     max_hamming is capped at 31: beyond that a 64-bit hash cannot give
     every band >= 2 bits and banding blocks nothing (this is also why
     n_bands is validated AFTER the 32 clamp — ADVICE r02)."""
+    s = df.select(id_col, simhash_udf(F.col(text_col)).alias("sh")) \
+        .localCheckpoint(eager=False)  # UDF once; ContextCleaner-released
+    return hamming_pairs(s, id_col, "sh", max_hamming=max_hamming,
+                         n_bands=n_bands, bounded_corpus=bounded_corpus,
+                         salt=salt)
+
+
+def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
+                  max_hamming: int = 3, n_bands: int | None = None,
+                  bounded_corpus: bool = False, salt: int = 1
+                  ) -> DataFrame:
+    """the banded-Hamming join extracted from simhash_pairs (round 4)
+    so ANY 64-bit signature family can use it — simhash over text,
+    dHash over decoded image pixels (multimodal.dhash_images), audio
+    fingerprints. Same pigeonhole guarantee, same scale-honesty domain
+    checks, same salted triangle decomposition; see simhash_pairs for
+    the full rationale of each rule."""
     if max_hamming > 31:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1}"
@@ -209,8 +226,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     if salt < 1:
         raise ValueError(f"salt={salt} must be >= 1")
     bounds = [round(i * 64 / n_bands) for i in range(n_bands + 1)]
-    s = df.select(id_col, simhash_udf(F.col(text_col)).alias("sh")) \
-        .localCheckpoint(eager=False)  # UDF once; ContextCleaner-released
+    s = df.select(id_col, F.col(hash_col).alias("sh"))
     structs = []
     for b in range(n_bands):
         start, width = bounds[b], bounds[b + 1] - bounds[b]

@@ -367,6 +367,100 @@ def synth_audio_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """perceptual image fingerprint (dHash, public technique): REAL
+    decode -> grayscale (channel mean) -> nearest-neighbor sample to a
+    (grid, grid+1) lattice -> bit (r,c) = sample[r,c] > sample[r,c+1]
+    -> packed int64 (bit index r*grid+c). Gradient direction survives
+    resizes, re-encodes, and mild lossy compression, so equal/near
+    hashes find visually-duplicate images across containers — the
+    image-side analogue of simhash for text. Pairs come from
+    dedup.hamming_pairs (same banded pigeonhole join). Undecodable
+    payloads quarantine."""
+    from ..functions.imagecodec import ImageDecodeError, decode_image
+    if not 2 <= grid <= 8:
+        raise ValueError(f"grid {grid} not in [2, 8] (64-bit packing)")
+    schema = "doc_id long, dhash long, error string"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    g = img.astype(np.float64)
+                    if g.ndim == 3:
+                        g = g.mean(axis=2)
+                    h, w = g.shape
+                    yi = np.arange(grid) * h // grid
+                    xi = np.arange(grid + 1) * w // (grid + 1)
+                    s = g[np.ix_(yi, xi)]
+                    bits = s[:, :-1] > s[:, 1:]
+                    weights = (np.uint64(1)
+                               << (np.arange(grid * grid, dtype=np.uint64)
+                                   .reshape(grid, grid)))
+                    hv = int((bits * weights).sum(dtype=np.uint64))
+                    rows.append((int(did),
+                                 hv - (1 << 64) if hv >= (1 << 63)
+                                 else hv, None))
+                except ImageDecodeError as e:
+                    rows.append((int(did), None, str(e)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash",
+                                              "error"])
+
+    return (media.filter(F.col("media_type") == "image")
+            .mapInPandas(gen, schema=schema))
+
+
+#: JPEG quality used by synth_phash_media's JPEG copies and the DC
+#: quantizer it implies (the oracle replays the closed form with it)
+PHASH_JPEG_QUALITY = 60
+PHASH_JPEG_DC_Q = 13
+
+
+def synth_phash_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic corpus for the perceptual-dedup gate: ids come in
+    TRIPLES sharing one 8x8-tile 64x64 grayscale raster (tile t value
+    mix64((id//3)*1000003 + t + 1) % 256, tiles 8px so every JPEG 8x8
+    block is constant); within a triple the container cycles PGM / PNG
+    / JPEG-q60. PGM and PNG decode to identical pixels (dhash equal,
+    hamming 0); the JPEG copy decodes to the MCU-constant closed form
+    (jpegcodec determinism contract), so its tile values shift through
+    the quantizer and its dhash is a genuine near-duplicate whose exact
+    hamming the oracle derives analytically. The dHash sample lattice
+    (yi = 8r, xi = 64c//9) lands on tile rows 0..7 and tile cols
+    [0,0,1,2,3,4,5,6,7], giving 56 informative bits. Every pixel,
+    every bit, every pair is replayable."""
+    from ..functions.imagecodec import encode_png, encode_ppm
+    from ..functions.jpegcodec import encode_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                gid = np.uint64(i // 3)
+                seeds = (np.arange(64, dtype=np.uint64) + np.uint64(1)
+                         + gid * np.uint64(1000003))
+                tiles = (mix64(seeds) % np.uint64(256)) \
+                    .astype(np.uint8).reshape(8, 8)
+                img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+                k = i % 3
+                if k == 0:
+                    payload = encode_ppm(img)  # P5 grayscale
+                elif k == 1:
+                    payload = encode_png(img, filter_type=int(i) % 5)
+                else:
+                    payload = encode_jpeg(img, PHASH_JPEG_QUALITY,
+                                          "4:4:4")
+                rows.append((int(i), "image", 64, 64, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
 def synth_g711_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
     """deterministic media table whose audio payloads are REAL G.711
     WAV files (format tag 7 mu-law on even ids, 6 A-law on odd): the

@@ -414,3 +414,32 @@ def test_srp_blocked_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_image_dhash_triples(spark):
+    # perceptual dedup: PGM/PNG copies hash identically (hamming 0);
+    # the q60 JPEG copy is a true near-dup whose hamming is small but
+    # (for at least one triple in 300 images) nonzero
+    from osc_geo_h3grid_srv_spark.operators.dedup import hamming_pairs
+    media = multimodal.synth_phash_media(spark, 90, partitions=4)
+    hashes = multimodal.dhash_images(media)
+    pdf = hashes.toPandas()
+    assert pdf["error"].isna().all()
+    by_id = dict(zip(pdf["doc_id"], pdf["dhash"]))
+    jpeg_hams = []
+    for g in range(30):
+        assert by_id[3 * g] == by_id[3 * g + 1]  # PGM == PNG
+        jpeg_hams.append(bin((by_id[3 * g] ^ by_id[3 * g + 2])
+                             & 0xFFFFFFFFFFFFFFFF).count("1"))
+    assert any(h > 0 for h in jpeg_hams)   # quantizer flips some bits
+    assert all(h <= 10 for h in jpeg_hams)  # but stays a near-dup
+    # the banded join returns exactly the brute-force pair set
+    pairs = hamming_pairs(hashes, "doc_id", "dhash", max_hamming=3,
+                          salt=2).toPandas()
+    import itertools
+    brute = {(a, b) for a, b in itertools.combinations(
+        sorted(by_id), 2)
+        if bin((by_id[a] ^ by_id[b]) & 0xFFFFFFFFFFFFFFFF)
+        .count("1") <= 3}
+    got = {(r["id_a"], r["id_b"]) for _, r in pairs.iterrows()}
+    assert got == brute
