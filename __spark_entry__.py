@@ -2247,6 +2247,86 @@ def _image_dhash_oracle_sql(n_rows=300, max_hamming=3):
     """
 
 
+def q_audio_afp_pairs(spark, sf_dir):
+    """round-4 acoustic dedup gate: triples of one clip as raw PCM16 /
+    halved PCM16 / mu-law-transcoded G.711 (synth_afp_media) -> REAL
+    WAV decode -> energy-gradient fingerprint (multimodal.afp_audio) ->
+    banded Hamming join (dedup.hamming_pairs, salt=2). The oracle
+    replays the halving and the FULL mu-law encode->expand segment
+    arithmetic from the recipe, then brute-forces bit_count(xor) <= 3
+    — pigeonhole-exact banding returns exactly that set, so frame
+    split, energy sums, bit packing, the G.711 chain, and the band
+    join are one hash-gated query."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.dedup import hamming_pairs
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        afp_audio, synth_afp_media)
+    media = synth_afp_media(spark, 300, partitions=8)
+    fps = afp_audio(media).filter(F.col("afp").isNotNull())
+    return hamming_pairs(fps, "doc_id", "afp", max_hamming=3, salt=2)
+
+
+def _audio_afp_oracle_sql(n_rows=300, max_hamming=3):
+    """replay of synth_afp_media + afp_audio + hamming_pairs with no
+    codec or banding machinery: int16 lanes from the mix64 recipe;
+    copy 1 floor-halved; copy 2 pushed through mu-law encode (v =
+    min(|x|+132, 32767), seg = MSB(v)-7 via log2 — exact on integer
+    inputs, mant = 4 bits below the segment point) then the published
+    expansion; frame energies, gradient bits, brute-force pairs."""
+    return f"""
+        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+        gd as (select id, (id // 3) as gid, (id % 3)::int as k from ids),
+        hm as (select id, gid, k, {_mix64_sql('gid')} as h0 from gd),
+        par as (select id, gid, k, (4 + h0 % 5)::bigint as flen
+                from hm),
+        wr as (select id, gid, k, flen,
+                      unnest(range(0, (65 * flen + 3) // 4)) as j
+               from par),
+        sv as (select id, k, flen, j,
+                      (gid * 1000003 + j::hugeint) as s from wr),
+        vv as (select id, k, flen, j, {_mix64_sql('s')} as v from sv),
+        ln as (select id, k, flen, j,
+                      unnest([0, 1, 2, 3]) as lane,
+                      unnest(list_transform(
+                             [1::hugeint, 65536::hugeint,
+                              4294967296::hugeint,
+                              281474976710656::hugeint],
+                             p -> ((v // p) % 65536)::bigint)) as u16
+               from vv),
+        xx as (select id, k, flen, (j * 4 + lane) as pos,
+                      case when u16 >= 32768 then u16 - 65536
+                           else u16 end as x
+               from ln where j * 4 + lane < 65 * flen),
+        ef as (select id, flen, pos,
+                      case when k = 0 then x
+                           when k = 1 then cast(floor(x / 2.0) as bigint)
+                           else
+                             (case when x < 0 then -1 else 1 end) *
+                             ((((least(abs(x) + 132, 32767)
+                                 >> (cast(floor(log2(least(abs(x) + 132,
+                                     32767))) as bigint) - 4))
+                                & 15) * 8 + 132)
+                              * (1 << (cast(floor(log2(least(abs(x)
+                                  + 132, 32767))) as bigint) - 7))
+                              - 132)
+                      end as eff
+               from xx),
+        fr as (select id, (pos // flen)::bigint as f,
+                      sum(eff * eff)::hugeint as e
+               from ef group by id, pos // flen),
+        bt as (select a.id, a.f,
+                      case when b.e > a.e
+                           then (1::hugeint << a.f) else 0::hugeint
+                      end as w
+               from fr a join fr b on a.id = b.id and b.f = a.f + 1),
+        hs as (select id, sum(w) as fp from bt group by id)
+        select a.id::bigint as id_a, b.id::bigint as id_b,
+               bit_count(xor(a.fp, b.fp))::int as hamming
+        from hs a join hs b on a.id < b.id
+        where bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
 def q_g711_decode_stats(spark, sf_dir):
     """round-4 third audio gate: synth payloads are REAL ITU-T G.711
     WAVs (format tag 7 mu-law on even ids, 6 A-law on odd) decoded by
@@ -4004,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "g711_decode_stats": q_g711_decode_stats,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "audio_afp_pairs": q_audio_afp_pairs,
         "robots_wildcard_exclusion": q_robots_wildcard,
         "robots_exclusion": q_robots_exclusion,
         "frontier_timeline": q_frontier_timeline,
@@ -4706,5 +4787,6 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_stats": _video_frame_oracle_sql(),
         "g711_decode_stats": _g711_decode_oracle_sql(),
         "image_dhash_pairs": _image_dhash_oracle_sql(),
+        "audio_afp_pairs": _audio_afp_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
     }

@@ -51,6 +51,21 @@ def _g711_tables():
 ULAW_TO_PCM, ALAW_TO_PCM = _g711_tables()
 
 
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """linear int16 -> mu-law byte (ITU-T G.711 segment compression):
+    v = min(|x| + 132, 32767); segment = MSB(v) - 7 (v >= 132 so the
+    MSB is in [7, 14]); mantissa = the 4 bits below the segment point;
+    byte = NOT(sign | seg << 4 | mant). Exact inverse relationship with
+    ULAW_TO_PCM is property-tested (decode(encode(x)) is the nearest
+    segment level, within one quantization step)."""
+    x = np.asarray(x, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    v = np.minimum(np.abs(x) + 0x84, 0x7FFF)
+    seg = (np.floor(np.log2(v)) - 7).astype(np.int64)
+    mant = (v >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """-> (samples int16 (n_samples, n_channels), sample_rate). Walks
     the chunk list (skipping LIST/fact/etc., honoring the RIFF even-byte

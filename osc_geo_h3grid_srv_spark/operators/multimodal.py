@@ -496,6 +496,94 @@ def synth_g711_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def afp_audio(media: DataFrame, n_frames: int = 65) -> DataFrame:
+    """acoustic fingerprint (energy-gradient hash, the audio analogue
+    of dhash_images): REAL WAV decode (PCM16 or G.711) -> mono mix
+    (channel sum) -> first n_frames fixed-length frames (frame_len =
+    n_samples // n_frames) -> frame energies sum(x^2) -> bit k =
+    e[k+1] > e[k], packed to int64. Loudness ENVELOPE direction
+    survives amplitude scaling and companding transcodes, so near
+    hashes find the same clip across encodings. Pairs via
+    dedup.hamming_pairs. Clips shorter than n_frames samples and
+    undecodable payloads quarantine."""
+    from ..functions.audiocodec import AudioDecodeError, decode_wav
+    if not 2 <= n_frames <= 65:
+        raise ValueError(f"n_frames {n_frames} not in [2, 65] "
+                         "(64-bit packing)")
+    schema = "doc_id long, afp long, error string"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    s, _ = decode_wav(bytes(payload))
+                    mono = s.astype(np.int64).sum(axis=1)
+                    flen = len(mono) // n_frames
+                    if flen < 1:
+                        raise AudioDecodeError(
+                            f"afp: clip too short ({len(mono)} samples "
+                            f"for {n_frames} frames)")
+                    e = (mono[:flen * n_frames]
+                         .reshape(n_frames, flen) ** 2).sum(axis=1)
+                    bits = e[1:] > e[:-1]
+                    weights = (np.uint64(1) << np.arange(
+                        n_frames - 1, dtype=np.uint64))
+                    hv = int((bits * weights).sum(dtype=np.uint64))
+                    rows.append((int(did),
+                                 hv - (1 << 64) if hv >= (1 << 63)
+                                 else hv, None))
+                except AudioDecodeError as e_:
+                    rows.append((int(did), None, str(e_)))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp", "error"])
+
+    return (media.filter(F.col("media_type") == "audio")
+            .mapInPandas(gen, schema=schema))
+
+
+def synth_afp_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic corpus for the acoustic-dedup gate: ids come in
+    TRIPLES sharing one mono PCM16 clip (int16 lanes of
+    mix64((id//3)*1000003 + j), 65*L samples with L = 4 + (gid-hash %
+    5)); copy 0 is the raw PCM16 WAV, copy 1 is the same clip HALVED
+    (x // 2 — energy ratios nearly preserved, ties can flip), copy 2 is
+    a mu-law TRANSCODE shipped in a G.711 WAV container (format tag 7),
+    so the fingerprint path exercises a second container and the full
+    encode->expand quantization chain. All three are replayable: the
+    oracle recomputes halving and the G.711 segment arithmetic from the
+    recipe."""
+    from ..functions.audiocodec import encode_wav, encode_wav_g711, ulaw_encode
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                gid = np.uint64(i // 3)
+                h0 = int(mix64(np.array([gid], dtype=np.uint64))[0])
+                flen = 4 + h0 % 5
+                ns = 65 * flen
+                nw = (ns + 3) // 4
+                words = mix64(np.arange(nw, dtype=np.uint64)
+                              + gid * np.uint64(1000003))
+                x = np.frombuffer(words.tobytes(), "<i2")[:ns] \
+                    .astype(np.int64)
+                k = i % 3
+                if k == 0:
+                    payload = encode_wav(x.astype(np.int16), 8000)
+                elif k == 1:
+                    payload = encode_wav((x // 2).astype(np.int16), 8000)
+                else:
+                    payload = encode_wav_g711(ulaw_encode(x), 8000,
+                                              "ulaw")
+                rows.append((int(i), "audio", 0, 0, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
 def decode_audio_stats(media: DataFrame) -> DataFrame:
     """REAL WAV decode -> per-clip sample statistics; undecodable
     payloads land in the error column (quarantine pattern), never fail

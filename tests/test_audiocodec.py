@@ -147,3 +147,48 @@ def test_g711_bad_bits_quarantine():
     struct.pack_into("<H", buf, i, 16)
     with pytest.raises(AudioDecodeError, match="8-bit"):
         decode_wav(bytes(buf))
+
+
+def test_ulaw_encode_decode_inverse():
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.functions.audiocodec import (
+        ULAW_TO_PCM, ulaw_encode)
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    dec = ULAW_TO_PCM[ulaw_encode(x)].astype(np.int64)
+    # within one top-segment quantization step everywhere
+    assert np.abs(dec - x).max() <= 644
+    # encode is a left inverse of the decode table, except negative
+    # zero (0x7F) which canonicalizes to positive zero (0xFF) — the
+    # standard G.711 -0 -> +0 collapse
+    b = np.arange(256, dtype=np.int64)
+    rt = ulaw_encode(ULAW_TO_PCM[b].astype(np.int64))
+    mism = np.nonzero(rt != b)[0]
+    assert list(mism) == [0x7F] and rt[0x7F] == 0xFF
+
+
+def test_afp_triples(spark):
+    # acoustic dedup: PCM16 / halved / mu-law-transcoded copies of one
+    # clip fingerprint within small hamming; banding returns exactly
+    # the brute-force pair set
+    import itertools
+    import numpy as np
+    from osc_geo_h3grid_srv_spark.operators import multimodal
+    from osc_geo_h3grid_srv_spark.operators.dedup import hamming_pairs
+    media = multimodal.synth_afp_media(spark, 90, partitions=4)
+    fps = multimodal.afp_audio(media)
+    pdf = fps.toPandas()
+    assert pdf["error"].isna().all()
+    by_id = dict(zip(pdf["doc_id"], pdf["afp"]))
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    hams01 = [ham(by_id[3 * g], by_id[3 * g + 1]) for g in range(30)]
+    hams02 = [ham(by_id[3 * g], by_id[3 * g + 2]) for g in range(30)]
+    assert all(h <= 6 for h in hams01 + hams02)  # near-dups
+    pairs = hamming_pairs(fps, "doc_id", "afp", max_hamming=3,
+                          salt=2).toPandas()
+    brute = {(a, b) for a, b in itertools.combinations(sorted(by_id), 2)
+             if ham(by_id[a], by_id[b]) <= 3}
+    got = {(r["id_a"], r["id_b"]) for _, r in pairs.iterrows()}
+    assert got == brute
