@@ -441,6 +441,24 @@ AUDITS = {
                 "must never contain a cross/nested-loop join; the "
                 "exact cosine re-rank is JVM fold arithmetic",
     },
+    "image_dhash_pairs": {
+        "expect": ["MapInPandas", "bit_count"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin"],
+        "note": "perceptual image dedup (round 4): the ONLY Python is "
+                "the per-row-by-nature media decode (MapInPandas); "
+                "candidates come from the salted banded equi-join "
+                "inherited from simhash (hamming_pairs) — never a "
+                "cross join; hamming verify is JVM bit_count",
+    },
+    "audio_afp_pairs": {
+        "expect": ["MapInPandas", "bit_count"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin"],
+        "note": "acoustic dedup (round 4): same shape as "
+                "image_dhash_pairs — decode-only Python, banded "
+                "equi-join candidates, JVM hamming verify",
+    },
     "quality_top_fraction_approx": {
         "build": "_build_top_fraction_approx",
         "expect": ["ObjectHashAggregate", "BroadcastHashJoin"],
