@@ -259,9 +259,21 @@ def main():
              "image_dhash_pairs", "audio_afp_pairs",
              "embedding_blocked_pairs"]
     qs = em.queries()
-    for name in heads:
-        run(name, lambda f=qs[name]: f(spark, SF_DIR).count())
 
+    def _force(df):
+        # noop sink (round 4): count() is NOT a valid forcing function
+        # — Catalyst rewrites it to an empty-schema scan, pruning the
+        # entire projection of map-only queries (span dedup, normalize,
+        # quality scores measured near-constant at any scale). The noop
+        # sink computes every column of every row and discards. Suite
+        # timings from r4 on are therefore honest but NOT comparable to
+        # the count()-forced r1-r3 rows; extras["sink"] records this.
+        df.write.format("noop").mode("overwrite").save()
+
+    for name in heads:
+        run(name, lambda f=qs[name]: _force(f(spark, SF_DIR)))
+
+    extras["sink"] = "noop"
     extras["rep_secs"] = rep_secs
     total = round(sum(timings.values()), 3)
     # HEADLINE SCALARS FIRST, bulky per-query dicts LAST: the driver

@@ -113,13 +113,24 @@ def run_level(cores: int, sf_dir: str, reps: int) -> dict:
                                    "spark.driver.memory": "24g"})
     qs = em.queries()
     out = {}
+
+    def force(df):
+        # noop sink: computes EVERY column of EVERY row and discards.
+        # count() is NOT a valid forcing function here — Catalyst
+        # rewrites it to an empty-schema scan, pruning the entire
+        # projection, so map-only operators (span dedup, normalize)
+        # measured flat at any data scale (the first two cuts of this
+        # tool showed 0.3 s at 32x — the work simply never ran).
+        df.write.format("noop").mode("overwrite").save()
+
     for name in QUERIES:
         fn = qs[name]
-        fn(spark, sf_dir).count()  # untimed warmup: worker pool + JIT
+        n = fn(spark, sf_dir).count()  # rows (pruned; untimed)
+        force(fn(spark, sf_dir))       # untimed warmup: workers + JIT
         rs = []
         for _ in range(reps):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            force(fn(spark, sf_dir))
             rs.append(round(time.time() - t0, 3))
         out[name] = {"sec": min(rs), "rep_secs": rs, "rows": n}
     spark.stop()
