@@ -50,10 +50,30 @@ AMP_SMALL = int(os.environ.get("SPARK_GRAFT_SUITE_AMP_SMALL", "8"))
 AMP_BIG = int(os.environ.get("SPARK_GRAFT_SUITE_AMP_BIG", "32"))
 
 QUERIES = [
-    "pagerank_links", "dedup_clusters", "bpe_merges", "dsir_selection",
-    "minhash_lsh_pairs", "simhash_pairs", "contamination_flags",
-    "domain_rollup", "bigram_lm_scores", "span_dedup_removal",
+    "pagerank_links", "dedup_clusters_full", "bpe_merges",
+    "dsir_selection", "minhash_lsh_pairs", "simhash_pairs",
+    "contamination_flags", "domain_rollup", "bigram_lm_scores",
+    "span_dedup_removal",
 ]
+
+
+def _build_dedup_clusters_full(spark, sf_dir):
+    """the entry q_dedup_clusters caps at doc_id < 150 (its oracle is a
+    recursive-CTE closure over a brute-force pair join, quadratic in
+    DuckDB) — useless for scaling measurement. This builder runs the
+    SAME operator over the whole corpus with MinHash-LSH pairs as the
+    edge set, which is the production composition."""
+    import os
+    from osc_geo_h3grid_srv_spark.operators.cluster import dedup_clusters
+    from osc_geo_h3grid_srv_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32,
+                              bands=8, threshold=0.5, ngram=2)
+    return dedup_clusters(docs, pairs.select("id_a", "id_b")).select(
+        "doc_id", "cluster_rep", "cluster_size")
+
+
+BUILDERS = {"dedup_clusters_full": _build_dedup_clusters_full}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -124,7 +144,7 @@ def run_level(cores: int, sf_dir: str, reps: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     for name in QUERIES:
-        fn = qs[name]
+        fn = BUILDERS.get(name) or qs[name]
         n = fn(spark, sf_dir).count()  # rows (pruned; untimed)
         force(fn(spark, sf_dir))       # untimed warmup: workers + JIT
         rs = []
