@@ -1,11 +1,11 @@
 """Pure-NumPy image codecs for the multimodal column family: Windows BMP
 (BITMAPINFOHEADER, uncompressed BI_RGB, 24-bit color / 8-bit paletted or
 grayscale), Netpbm PPM/PGM (P5/P6 binary, maxval <= 255), and PNG
-(critical chunks, 8-bit gray/RGB/palette/alpha, filters 0-4; inflate is
-stdlib zlib). All fully public formats needing no external libraries —
-the end-to-end REAL decode paths in this container (VERDICT r02
-next-step #6); only JPEG remains external (PIL/libvips slots in behind
-the same decode_image() dispatcher on a real cluster).
+(critical chunks, 8-bit gray/RGB/palette/alpha, filters 0-4, both
+interlace methods incl. Adam7 — round 4; inflate is stdlib zlib). All
+fully public formats needing no external libraries. Baseline JPEG lives
+in the sibling functions/jpegcodec.py (round 4) and is routed through
+the same decode_image() dispatcher by magic bytes.
 
 All decoders return uint8 arrays shaped (H, W) for grayscale or
 (H, W, 3) for RGB.

@@ -148,8 +148,13 @@ class Catalog:
         files = self._scan_files(staging)
         parent = self.current_snapshot(table)
         sid = 1 if parent is None else parent + 1
+        schema = [{"name": f.name, "type": f.dataType.simpleString()}
+                  for f in df.schema.fields]
         if mode == "append" and parent is not None:
-            files = self.read_manifest(table, parent)["files"] + files
+            pman = self.read_manifest(table, parent)
+            files = pman["files"] + files
+            schema = self._evolve_schema(table, pman.get("schema"),
+                                         schema)
         manifest = {
             "table": table,
             "snapshot_id": sid,
@@ -157,6 +162,7 @@ class Catalog:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "mode": mode,
             "partition_by": partition_by or [],
+            "schema": schema,
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
             "lineage": lineage or {},
@@ -173,6 +179,34 @@ class Catalog:
             fh.write(str(sid))
         os.replace(htmp, self._head_path(table))
         return sid
+
+    @staticmethod
+    def _evolve_schema(table, parent_schema, new_schema):
+        """Iceberg-style additive schema evolution on append (round 4):
+        new nullable columns are allowed (old files read them as NULL
+        via mergeSchema), columns absent from the incoming batch stay
+        in the table schema (new files read them as NULL), but a TYPE
+        conflict on a shared column is rejected — silent type widening
+        corrupts every downstream reader at 100 TB scale. The snapshot
+        schema is the parent order with genuinely-new columns appended,
+        so time travel shows each snapshot exactly the columns it had."""
+        if parent_schema is None:
+            return new_schema  # pre-evolution manifest (back-compat)
+        ptypes = {c["name"]: c["type"] for c in parent_schema}
+        for c in new_schema:
+            old = ptypes.get(c["name"])
+            if old is not None and old != c["type"]:
+                raise ValueError(
+                    f"schema conflict on {table!r}.{c['name']}: "
+                    f"snapshot has {old}, append brings {c['type']} — "
+                    "type evolution is not supported; cast before "
+                    "appending")
+        merged = list(parent_schema)
+        seen = set(ptypes)
+        for c in new_schema:
+            if c["name"] not in seen:
+                merged.append(c)
+        return merged
 
     def _scan_files(self, staging):
         import pyarrow.parquet as pq
@@ -193,10 +227,30 @@ class Catalog:
         return out
 
     def load(self, table, snapshot=None):
-        """DataFrame over exactly the manifest's files (time travel)."""
+        """DataFrame over exactly the manifest's files (time travel).
+        With schema evolution (round 4) the files of one snapshot may
+        disagree on columns; mergeSchema unifies them (absent columns
+        read NULL) and the manifest's recorded schema pins the column
+        SET and ORDER each snapshot exposes — an old snapshot never
+        shows a column added later."""
         man = self.read_manifest(table, snapshot)
-        return self._df_for_files(table, man["files"],
-                                  man["partition_by"])
+        df = self._df_for_files(table, man["files"],
+                                man["partition_by"])
+        schema = man.get("schema")
+        if schema:
+            from pyspark.sql import functions as F
+            have = set(df.columns)
+            # cast to the recorded type: hive partition-value inference
+            # may narrow (e.g. a string partition column read back as
+            # int) and the manifest is the source of truth
+            cols = [F.col(c["name"]).cast(c["type"]).alias(c["name"])
+                    if c["name"] in have
+                    else F.lit(None).cast(c["type"]).alias(c["name"])
+                    for c in schema]
+            cols += [F.col(p) for p in man["partition_by"]
+                     if p not in {c["name"] for c in schema}]
+            df = df.select(*cols)
+        return df
 
     def _df_for_files(self, table, files, partition_by):
         paths = [os.path.join(self.root, f["path"]) for f in files]
@@ -204,7 +258,7 @@ class Catalog:
             raise KeyError(f"snapshot of {table!r} is empty")
         if not partition_by:
             return self.spark.read.option("basePath", self.root) \
-                .parquet(*paths)
+                .option("mergeSchema", "true").parquet(*paths)
         # partitioned: read per data-dir base so hive partition columns
         # materialize (a single basePath=root read would either inject
         # no partition columns or, across several data dirs, trip
@@ -214,9 +268,11 @@ class Catalog:
                  for f in files}
         df = None
         for b in sorted(bases):
-            part = self.spark.read.option("basePath", b).parquet(
-                *[p for p in paths if p.startswith(b + os.sep)])
-            df = part if df is None else df.unionByName(part)
+            part = self.spark.read.option("basePath", b) \
+                .option("mergeSchema", "true").parquet(
+                    *[p for p in paths if p.startswith(b + os.sep)])
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True)
         return df
 
     def plan_compaction(self, table, target_bytes, min_files=2,
@@ -293,6 +349,7 @@ class Catalog:
                                           time.gmtime()),
             "mode": "compact",
             "partition_by": man["partition_by"],
+            "schema": man.get("schema"),
             "files": keep + new_files,
             "total_rows": sum(f["rows"] for f in keep + new_files),
             "lineage": {"stage": "compact",
