@@ -2224,8 +2224,8 @@ def _image_dhash_oracle_sql(n_rows=300, max_hamming=3):
     from osc_geo_h3grid_srv_spark.operators.multimodal import (
         PHASH_JPEG_DC_Q)
     q = PHASH_JPEG_DC_Q
-    return f"""
-        with ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
+    ctes = f"""
+        ids as (select i::hugeint as id from range(0, {n_rows}) t(i)),
         tl as (select id, unnest(range(0, 64)) as t from ids),
         sv as (select id, t, ((id // 3) * 1000003 + t::hugeint + 1) as s
                from tl),
@@ -2239,12 +2239,65 @@ def _image_dhash_oracle_sql(n_rows=300, max_hamming=3):
                       else v::double end as eff
                from vv),
         pv as (select id, {pivots} from ef group by id),
-        hs as (select id, ({' + '.join(terms)}) as dh from pv)
-        select a.id::bigint as id_a, b.id::bigint as id_b,
-               bit_count(xor(a.dh, b.dh))::int as hamming
-        from hs a join hs b on a.id < b.id
-        where bit_count(xor(a.dh, b.dh)) <= {max_hamming}
-    """
+        hs as (select id, ({' + '.join(terms)}) as dh from pv),
+        prs as (
+            select a.id::bigint as id_a, b.id::bigint as id_b,
+                   bit_count(xor(a.dh, b.dh))::int as hamming
+            from hs a join hs b on a.id < b.id
+            where bit_count(xor(a.dh, b.dh)) <= {max_hamming})"""
+    return ctes
+
+
+def _image_dhash_pairs_sql(n_rows=300, max_hamming=3):
+    return ("with " + _image_dhash_oracle_sql(n_rows, max_hamming)
+            + "\n        select id_a, id_b, hamming from prs")
+
+
+def _image_dup_clusters_sql(n_rows=300, max_hamming=3):
+    """perceptual dedup CLUSTERS: the recursive reachability closure +
+    min-label reduction over the dhash hamming<=h pair set — the same
+    oracle pattern that gates the text dedup_clusters entry, over the
+    image hashes, so the Spark alternating-star loop is value-hash
+    gated end to end on image input too."""
+    return ("with recursive " + _image_dhash_oracle_sql(n_rows,
+                                                        max_hamming)
+            + f""",
+        edges as (
+            select id_a as u, id_b as v from prs
+            union
+            select id_b, id_a from prs),
+        lab as (
+            select id::bigint as node, id::bigint as comp from ids
+            union
+            select e.u, l.comp from edges e join lab l on l.node = e.v),
+        cc as (select node, min(comp) as comp from lab group by node)
+        select cast(node as bigint) as doc_id,
+               cast(comp as bigint) as cluster_rep,
+               cast(count(*) over (partition by comp) as bigint)
+                   as cluster_size
+        from cc""")
+
+
+def q_image_dup_clusters(spark, sf_dir):
+    """round-4 perceptual dedup CLUSTERS: dhash pairs -> distributed
+    alternating large-star/small-star connected components
+    (operators/cluster.py — the same loop the text entry gates) ->
+    one representative + size per visual cluster. The oracle is a
+    recursive-CTE reachability closure over the analytically-replayed
+    dhash pair set, so the decode, the hash, the banding, AND the
+    iterative CC loop are one value-hash gate on image input."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.cluster import dedup_clusters
+    from osc_geo_h3grid_srv_spark.operators.dedup import hamming_pairs
+    from osc_geo_h3grid_srv_spark.operators.multimodal import (
+        dhash_images, synth_phash_media)
+    media = synth_phash_media(spark, 300, partitions=8)
+    hashes = dhash_images(media).filter(F.col("dhash").isNotNull())
+    pairs = hamming_pairs(hashes, "doc_id", "dhash", max_hamming=3,
+                          salt=2)
+    return dedup_clusters(hashes.select("doc_id"),
+                          pairs.select("id_a", "id_b")).select(
+        "doc_id", "cluster_rep", "cluster_size")
 
 
 def q_audio_afp_pairs(spark, sf_dir):
@@ -4084,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "g711_decode_stats": q_g711_decode_stats,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "image_dup_clusters": q_image_dup_clusters,
         "audio_afp_pairs": q_audio_afp_pairs,
         "robots_wildcard_exclusion": q_robots_wildcard,
         "robots_exclusion": q_robots_exclusion,
@@ -4786,7 +4840,8 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode_stats": _jpeg_decode_oracle_sql(),
         "video_frame_stats": _video_frame_oracle_sql(),
         "g711_decode_stats": _g711_decode_oracle_sql(),
-        "image_dhash_pairs": _image_dhash_oracle_sql(),
+        "image_dhash_pairs": _image_dhash_pairs_sql(),
+        "image_dup_clusters": _image_dup_clusters_sql(),
         "audio_afp_pairs": _audio_afp_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
     }

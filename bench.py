@@ -256,7 +256,7 @@ def main():
              "normalize_text", "hll_token_distinct",
              "cms_term_frequencies", "frontier_timeline",
              "jpeg_decode_stats", "video_frame_stats", "g711_decode_stats",
-             "image_dhash_pairs", "audio_afp_pairs",
+             "image_dhash_pairs", "image_dup_clusters", "audio_afp_pairs",
              "embedding_blocked_pairs"]
     qs = em.queries()
 
