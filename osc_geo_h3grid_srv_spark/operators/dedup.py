@@ -276,20 +276,28 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     label); with block_col=None a full self-join (correctness baseline -
     quadratic, for oracle-scale data). Cosine in pure Spark SQL
     (zip_with/aggregate) -> JVM-side, no Python."""
+    # norms are computed ONCE PER ROW before the join (round 4): inside
+    # the join they cost an extra 2 interpreted array folds per
+    # CANDIDATE PAIR, which at bucket densities of ~10^3 rows is the
+    # dominant term (sum of squared bucket sizes folds). sqrt over the
+    # same array yields the identical double either way, so the cosine
+    # values — and the oracle hash — are unchanged.
+    nrm = F.sqrt(F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double), "
+        "(acc, v) -> acc + v * v)"))
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                   nrm.alias("n_a"),
                    *( [F.col(block_col).alias("blk")] if block_col else []))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                   nrm.alias("n_b"),
                    *( [F.col(block_col).alias("blk")] if block_col else []))
     j = a.join(b, on="blk" if block_col else None) if block_col else \
         a.crossJoin(b)
     j = j.filter(F.col("id_a") < F.col("id_b"))
     dot = F.expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), "
                  "cast(0.0 as double), (acc, v) -> acc + v)")
-    na = F.sqrt(F.expr("aggregate(v_a, cast(0.0 as double), "
-                       "(acc, v) -> acc + v * v)"))
-    nb = F.sqrt(F.expr("aggregate(v_b, cast(0.0 as double), "
-                       "(acc, v) -> acc + v * v)"))
-    return (j.withColumn("cosine", F.round(dot / (na * nb), 6))
+    return (j.withColumn("cosine",
+                         F.round(dot / (F.col("n_a") * F.col("n_b")), 6))
             .filter(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cosine"))
 
@@ -340,6 +348,13 @@ def srp_blocked_dup_pairs(emb: DataFrame, threshold: float, dim: int,
     blocked = (emb.select(F.col(id_col), v_dbl.alias("__v"))
                .select(F.col(id_col), F.col("__v"),
                        F.explode(F.array(*buckets)).alias("__blk")))
+    # pre-partition on the bucket key: AQE sizes the join's shuffle on
+    # its (tiny) INPUT bytes and coalesces to one partition, but the
+    # candidate join EXPANDS quadratically per bucket inside that
+    # partition — the classic expanding-join underestimate. An explicit
+    # hash partitioning on __blk caps the plan at bucket-parallelism
+    # (one task per bucket worst case) with identical results.
+    blocked = blocked.repartition(n_tables * (1 << bits), "__blk")
     return embedding_dup_pairs(blocked, id_col=id_col, vec_col="__v",
                                threshold=threshold,
                                block_col="__blk").distinct()
