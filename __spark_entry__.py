@@ -3702,6 +3702,59 @@ def q_hll_token_distinct(spark, sf_dir):
                     F.round("hll_estimate", 6).alias("hll_r")))
 
 
+_BLOOM_PROBES = ["the", "data", "window", "spark", "lighthouse",
+                 "pelican", "zz_absent_0", "zz_absent_1", "zz_absent_2",
+                 "zz_absent_3", "zz_absent_4", "zz_absent_5"]
+
+
+def q_bloom_membership(spark, sf_dir):
+    """sketches: Bloom filter over the distinct document tokens
+    (operators/sketch.py bloom_bits, k=4 md5 hashes, m=4096 bits as a
+    plain relational bit table that merges by union+distinct) probed
+    with a fixed key list. Output per key: maybe_present (one-sided —
+    false negatives impossible; the oracle replays whatever false
+    positives the hash family produces) + the global set-bit count,
+    which pins the ENTIRE bit table, not just the probed slots."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.sketch import (bloom_bits,
+                                                           bloom_probe)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    bloom = bloom_bits(toks, F.col("term"))
+    probes = bloom_probe(bloom, _BLOOM_PROBES)
+    nbits = bloom.agg(F.count("*").cast("long").alias("n_bits"))
+    return (probes.crossJoin(F.broadcast(nbits))
+            .select("key", "maybe_present", "n_bits"))
+
+
+def _bloom_oracle_sql(k=4, m=4096, salt="bf1"):
+    def h(i, expr):
+        md5 = "md5('" + f"{salt}{i}|" + "' || " + expr + ")"
+        return f"({_hex8_to_num_sql(md5)} % {m})"
+    bit_list = ", ".join(h(i, "term") for i in range(k))
+    probe_bits = ", ".join(h(i, "key") for i in range(k))
+    vals = ", ".join(f"('{key}')" for key in _BLOOM_PROBES)
+    return f"""
+        with toks as (
+            select distinct unnest(string_split(lower(text), ' '))
+                   as term
+            from documents),
+        bits as (
+            select distinct unnest([{bit_list}]) as bit from toks),
+        nb as (select count(*)::bigint as n_bits from bits),
+        pk as (select key from (values {vals}) t(key)),
+        pb as (select key, unnest([{probe_bits}]) as bit from pk),
+        pj as (select pb.key,
+                      case when b.bit is null then 0 else 1 end as hit
+               from pb left join bits b on pb.bit = b.bit),
+        mp as (select key, count(*) = sum(hit) as maybe_present
+               from pj group by key)
+        select mp.key, mp.maybe_present, nb.n_bits
+        from mp cross join nb
+    """
+
+
 def _hll_oracle_sql(salt="hll1"):
     hexp = _hex8_to_num_sql(f"md5('{salt}|' || term)")
     # rho via integer threshold CASE (26 arms), no float log anywhere
@@ -4139,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_pairs": q_image_dhash_pairs,
         "image_dup_clusters": q_image_dup_clusters,
         "audio_afp_pairs": q_audio_afp_pairs,
+        "bloom_membership": q_bloom_membership,
         "robots_wildcard_exclusion": q_robots_wildcard,
         "robots_exclusion": q_robots_exclusion,
         "frontier_timeline": q_frontier_timeline,
@@ -4843,5 +4897,6 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_pairs": _image_dhash_pairs_sql(),
         "image_dup_clusters": _image_dup_clusters_sql(),
         "audio_afp_pairs": _audio_afp_oracle_sql(),
+        "bloom_membership": _bloom_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
     }

@@ -257,6 +257,7 @@ def main():
              "cms_term_frequencies", "frontier_timeline",
              "jpeg_decode_stats", "video_frame_stats", "g711_decode_stats",
              "image_dhash_pairs", "image_dup_clusters", "audio_afp_pairs",
+             "bloom_membership",
              "embedding_blocked_pairs"]
     qs = em.queries()
 

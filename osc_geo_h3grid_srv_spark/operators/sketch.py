@@ -121,3 +121,44 @@ def cms_point_estimates(cms: DataFrame, keys: list[str], d: int = 4,
         .withColumn("total", F.coalesce("total", F.lit(0)))
     return (j.groupBy("key")
             .agg(F.min("total").cast("long").alias("est")))
+
+
+def bloom_bits(df: DataFrame, key: Column, k: int = 4, m: int = 4096,
+               salt: str = "bf1") -> DataFrame:
+    """(bit,): the set bit positions of a Bloom filter (Bloom 1970) over
+    the distinct keys — the third classic mergeable sketch next to HLL
+    and CMS, implemented with the same engine-portable md5 hashing so
+    the state is a plain DataFrame any engine rebuilds bit-for-bit.
+
+    Keys are distinct'd FIRST (vocab-sized shuffle), then fanned out k
+    ways; the result is at most min(k * |keys|, m) rows of one long
+    each. Filters merge by plain union+distinct (bitwise OR in
+    relational form); membership has the classic one-sided guarantee —
+    no false negatives, false-positive rate ~ (1 - e^(-k*n/m))^k."""
+    if k <= 0 or m <= 0:
+        raise ValueError(f"k and m must be positive, got {k}, {m}")
+    keys = df.select(key.alias("k")).distinct()
+    bits = F.explode(F.array(*[
+        (_hash32(F.col("k"), f"{salt}{i}") % m)
+        for i in range(k)])).alias("bit")
+    return keys.select(bits).distinct()
+
+
+def bloom_probe(bloom: DataFrame, keys: list[str], k: int = 4,
+                m: int = 4096, salt: str = "bf1") -> DataFrame:
+    """(key, maybe_present): a key is reported present iff ALL k of its
+    bits are set — false negatives impossible, false positives bounded.
+    The probe table is tiny and broadcast against the (at most m-row)
+    bit table."""
+    import hashlib
+    spark = bloom.sparkSession
+    probes = []
+    for key in keys:
+        for i in range(k):
+            hx = hashlib.md5(f"{salt}{i}|{key}".encode()).hexdigest()
+            probes.append((key, int(hx[:8], 16) % m))
+    p = spark.createDataFrame(probes, "key string, bit long")
+    j = p.join(bloom.withColumn("__set", F.lit(1)), ["bit"], "left")
+    return (j.groupBy("key")
+            .agg((F.count("*") == F.sum(F.coalesce("__set", F.lit(0))))
+                 .alias("maybe_present")))

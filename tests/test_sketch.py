@@ -92,3 +92,31 @@ def test_cms_validation(spark):
     df = spark.createDataFrame([("x",)], "k string")
     with pytest.raises(ValueError):
         cms_table(df, F.col("k"), d=0)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    import pyspark.sql.functions as F
+    from osc_geo_h3grid_srv_spark.operators.sketch import (bloom_bits,
+                                                           bloom_probe)
+    a = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"m{i}",) for i in range(50)], "k string")
+    ba = bloom_bits(a, F.col("k"), k=4, m=4096)
+    bb = bloom_bits(b, F.col("k"), k=4, m=4096)
+    # every inserted key reports present (one-sided guarantee)
+    got = {r["key"]: r["maybe_present"] for r in
+           bloom_probe(ba, [f"k{i}" for i in range(50)]).collect()}
+    assert all(got.values())
+    # merge = union + distinct; merged filter sees both sides
+    merged = ba.unionByName(bb).distinct()
+    got2 = {r["key"]: r["maybe_present"] for r in
+            bloom_probe(merged, ["k3", "m7"]).collect()}
+    assert got2 == {"k3": True, "m7": True}
+    # false-positive rate at this load (~400 set bits of 4096) is low:
+    # most absent probes miss
+    absent = [f"zz{i}" for i in range(40)]
+    fp = sum(r["maybe_present"] for r in
+             bloom_probe(merged, absent).collect())
+    assert fp <= 4
+    import pytest
+    with pytest.raises(ValueError):
+        bloom_bits(a, F.col("k"), k=0)
