@@ -2,10 +2,12 @@
 multimodal composition the per-operator entries exercise piecewise:
 
     media_raw
-      -> decode_gate  REAL decode (BMP/PPM/PNG/JPEG dispatcher); rows
-                      that fail to parse are quarantined into
-                      media_quarantine with their error strings, good
-                      rows carry parse-derived dims forward
+      -> decode_stats ONE full REAL-decode pass (BMP/PPM/PNG/JPEG
+                      dispatcher) materialized as media_stats
+      -> decode_gate  filter over media_stats: rows that failed to
+                      parse are quarantined into media_quarantine with
+                      their error strings, good rows carry
+                      parse-derived dims forward
       -> dedup        perceptual dHash -> banded Hamming join ->
                       connected components -> keep the FIRST doc_id per
                       visual cluster (re-hosted re-encodes collapse)
@@ -42,18 +44,22 @@ def build_stages(max_hamming: int = 3):
         resize_images)
     from osc_geo_h3grid_srv_spark.plans.pipeline import Stage
 
-    def s_decode_gate(catalog, spark, media_raw):
-        stats = decode_pixel_stats(media_raw)
-        good = stats.filter(F.col("error").isNull()).select(
+    def s_decode_stats(catalog, spark, media_raw):
+        # the ONE full-decode pass: decode_gate and quarantine are
+        # cheap filters over this materialized table (decoding twice
+        # would double the pipeline's dominant CPU cost)
+        return decode_pixel_stats(media_raw)
+
+    def s_decode_gate(catalog, spark, media_raw, media_stats):
+        good = media_stats.filter(F.col("error").isNull()).select(
             "doc_id", F.col("width").alias("parsed_w"),
             F.col("height").alias("parsed_h"), "channels")
         return (media_raw.join(good, "doc_id")
                 .select("doc_id", "media_type", "parsed_w", "parsed_h",
                         "channels", "n_frames", "payload"))
 
-    def s_quarantine(catalog, spark, media_raw):
-        stats = decode_pixel_stats(media_raw)
-        return stats.filter(F.col("error").isNotNull()) \
+    def s_quarantine(catalog, spark, media_stats):
+        return media_stats.filter(F.col("error").isNotNull()) \
             .select("doc_id", "error")
 
     def s_dedup(catalog, spark, media_decoded):
@@ -79,9 +85,11 @@ def build_stages(max_hamming: int = 3):
         return extract_features(media_dedup)
 
     return [
-        Stage("decode_gate", ["media_raw"], "media_decoded",
-              s_decode_gate),
-        Stage("quarantine", ["media_raw"], "media_quarantine",
+        Stage("decode_stats", ["media_raw"], "media_stats",
+              s_decode_stats),
+        Stage("decode_gate", ["media_raw", "media_stats"],
+              "media_decoded", s_decode_gate),
+        Stage("quarantine", ["media_stats"], "media_quarantine",
               s_quarantine),
         Stage("dedup", ["media_decoded"], "media_dedup", s_dedup),
         Stage("thumbs", ["media_dedup"], "media_thumbs", s_thumbs),

@@ -70,7 +70,20 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """-> (samples int16 (n_samples, n_channels), sample_rate). Walks
     the chunk list (skipping LIST/fact/etc., honoring the RIFF even-byte
     padding rule); raises AudioDecodeError for anything but
-    uncompressed PCM16."""
+    uncompressed PCM16 — including parse-level struct/numpy errors on
+    corrupt chunk tables, so per-row quarantine handlers that catch
+    AudioDecodeError can never be escaped by a dirty payload."""
+    try:
+        return _decode_wav_inner(buf)
+    except AudioDecodeError:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError,
+            MemoryError) as e:
+        raise AudioDecodeError(
+            f"wav: malformed payload: {type(e).__name__}: {e}") from e
+
+
+def _decode_wav_inner(buf: bytes) -> tuple[np.ndarray, int]:
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise AudioDecodeError("wav: not a RIFF/WAVE file")
     pos = 12
@@ -121,6 +134,18 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, n_ch).copy(), rate
 
 
+def _wav_container(tag: int, n_ch: int, rate: int, bits: int,
+                   body: bytes) -> bytes:
+    """RIFF/WAVE assembly shared by every writer — chunk layout fixes
+    (padding rules, extra chunks) happen in exactly one place."""
+    block = n_ch * (bits // 8)
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * block, block,
+                      bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """PCM16 writer; samples (n,) mono or (n, ch)."""
     s = np.asarray(samples, dtype="<i2")
@@ -128,13 +153,7 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         s = s[:, None]
     if s.ndim != 2 or s.shape[1] not in (1, 2):
         raise ValueError(f"encode_wav: bad shape {s.shape}")
-    n_ch = s.shape[1]
-    body = s.tobytes()
-    block = n_ch * 2
-    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, 16)
-    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-              + b"data" + struct.pack("<I", len(body)) + body)
-    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    return _wav_container(1, s.shape[1], rate, 16, s.tobytes())
 
 
 def encode_wav_g711(codes: np.ndarray, rate: int, law: str) -> bytes:
@@ -149,10 +168,5 @@ def encode_wav_g711(codes: np.ndarray, rate: int, law: str) -> bytes:
         raise ValueError(f"encode_wav_g711: bad shape {c.shape}")
     if law not in ("alaw", "ulaw"):
         raise ValueError(f"encode_wav_g711: law {law!r}")
-    tag = 6 if law == "alaw" else 7
-    n_ch = c.shape[1]
-    body = c.tobytes()
-    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
-    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-              + b"data" + struct.pack("<I", len(body)) + body)
-    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    return _wav_container(6 if law == "alaw" else 7, c.shape[1], rate,
+                          8, c.tobytes())

@@ -171,16 +171,34 @@ def encode_bmp(img: np.ndarray) -> bytes:
 def decode_image(buf: bytes) -> np.ndarray:
     """sniff the container by magic bytes; ImageDecodeError for unknown
     or malformed payloads (callers route those to quarantine columns,
-    never crash the job)."""
-    if buf[:2] == b"BM":
-        return decode_bmp(buf)
-    if buf[:2] in (b"P5", b"P6"):
-        return decode_pnm(buf)
-    if buf[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(buf)
-    if buf[:2] == b"\xFF\xD8":
-        from .jpegcodec import decode_jpeg
-        return decode_jpeg(buf)
+    never crash the job).
+
+    The except clause below is the crash-proofing chokepoint: a
+    truncated segment header can surface as struct.error, a bad
+    np.frombuffer length as ValueError, a corrupt zlib stream as
+    zlib.error, a short slice-unpack as IndexError — all of which
+    would escape the per-row `except ImageDecodeError` quarantine
+    handlers and kill the whole batch. Normalize every parse-level
+    exception here so one dirty crawled payload can never fail a job.
+    """
+    import struct as _struct
+    import zlib as _zlib
+    try:
+        if buf[:2] == b"BM":
+            return decode_bmp(buf)
+        if buf[:2] in (b"P5", b"P6"):
+            return decode_pnm(buf)
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(buf)
+        if buf[:2] == b"\xFF\xD8":
+            from .jpegcodec import decode_jpeg
+            return decode_jpeg(buf)
+    except ImageDecodeError:
+        raise
+    except (_struct.error, _zlib.error, ValueError, IndexError,
+            KeyError, OverflowError, MemoryError) as e:
+        raise ImageDecodeError(
+            f"malformed payload: {type(e).__name__}: {e}") from e
     raise ImageDecodeError(
         f"unknown image container (magic {buf[:2]!r})")
 

@@ -37,7 +37,20 @@ _MAGIC = b"YUV4MPEG2"
 
 def parse_y4m_header(buf: bytes) -> dict:
     """parse the stream header; returns {w, h, fps_num, fps_den,
-    colorspace, header_end, frame_data_size, n_frames}."""
+    colorspace, header_end, frame_data_size, n_frames}. Any
+    parse-level error (struct/numpy/slice) on a corrupt payload is
+    normalized to VideoDecodeError so per-row quarantine handlers
+    can never be escaped."""
+    try:
+        return _parse_y4m_header_inner(buf)
+    except VideoDecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError) as e:
+        raise VideoDecodeError(
+            f"y4m: malformed payload: {type(e).__name__}: {e}") from e
+
+
+def _parse_y4m_header_inner(buf: bytes) -> dict:
     if not buf.startswith(_MAGIC):
         raise VideoDecodeError("y4m: bad magic")
     nl = buf.find(b"\n")
@@ -95,7 +108,19 @@ def frame_offsets(hdr: dict, indices) -> np.ndarray:
 
 def decode_frame(buf: bytes, hdr: dict, index: int):
     """one frame, O(1) seek. Returns (y, cb, cr) planes as uint8
-    arrays — cb/cr are None for mono."""
+    arrays — cb/cr are None for mono. Parse-level errors normalize
+    to VideoDecodeError (same contract as parse_y4m_header)."""
+    try:
+        return _decode_frame_inner(buf, hdr, index)
+    except VideoDecodeError:
+        raise
+    except (ValueError, IndexError, KeyError, OverflowError,
+            MemoryError) as e:
+        raise VideoDecodeError(
+            f"y4m: malformed frame: {type(e).__name__}: {e}") from e
+
+
+def _decode_frame_inner(buf: bytes, hdr: dict, index: int):
     off = int(frame_offsets(hdr, [index])[0])
     if buf[off - 6:off] != b"FRAME\n":
         raise VideoDecodeError(f"y4m: frame {index} marker missing")

@@ -57,6 +57,12 @@ def _reconcile_hashes(catalog, table: str, dedup_col: str):
         if new_paths:
             delta = catalog.spark.read.parquet(*new_paths).select(
                 F.md5(F.col(dedup_col)).alias("content_hash"))
+            if hmani:
+                # Catalog.compact rewrites already-hashed rows into new
+                # files; without this anti-join every compaction would
+                # re-append the whole corpus's hashes (index doubles)
+                delta = delta.join(catalog.load(ht).distinct(),
+                                   "content_hash", "left_anti")
             catalog.write(
                 ht, delta, mode="append" if hmani else "overwrite",
                 lineage={"stage": "reconcile_hashes",

@@ -84,6 +84,19 @@ def _reconcile_sigs(catalog, table: str, dedup_col: str,
                  for f in head["files"] if f["path"] not in old]
         if paths:
             delta = catalog.spark.read.parquet(*paths)
+            if smani:
+                # a path-diff alone over-selects after Catalog.compact:
+                # compaction rewrites already-indexed rows into NEW
+                # files, and re-signaturing them would both burn
+                # corpus-scale minhash CPU and append duplicate index
+                # rows (doubling probe fan-out). Drop known doc_keys
+                # with a cheap md5 anti-join BEFORE the signature UDF
+                # runs; only genuinely new content is ever minhashed.
+                known = catalog.load(st).select("doc_key").distinct()
+                delta = (delta
+                         .withColumn("doc_key", F.md5(F.col(dedup_col)))
+                         .join(known, "doc_key", "left_anti")
+                         .drop("doc_key"))
             catalog.write(
                 st, _banded_sigs(delta, dedup_col, num_perm, ngram),
                 mode="append" if smani else "overwrite",

@@ -243,6 +243,16 @@ def decode_frame_stats(media: DataFrame, every_n: int = 10) -> DataFrame:
                 buf = bytes(payload)
                 try:
                     hdr = parse_y4m_header(buf)
+                    if hdr["n_frames"] == 0:
+                        # valid header-only stream: without this row
+                        # the doc_id would vanish from the output,
+                        # breaking the every-input-is-measured-or-
+                        # quarantined accounting downstream rollups
+                        # assume
+                        rows.append((int(did), None, None, None, None,
+                                     None, None, None,
+                                     "y4m: stream has zero frames"))
+                        continue
                     for k in range(0, hdr["n_frames"], every_n):
                         y, _, _ = decode_frame(buf, hdr, k)
                         rows.append((int(did), k, hdr["w"], hdr["h"],
@@ -367,7 +377,8 @@ def synth_audio_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
-def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+def dhash_images(media: DataFrame, grid: int = 8,
+                 carry_cols: tuple = ()) -> DataFrame:
     """perceptual image fingerprint (dHash, public technique): REAL
     decode -> grayscale (channel mean) -> nearest-neighbor sample to a
     (grid, grid+1) lattice -> bit (r,c) = sample[r,c] > sample[r,c+1]
@@ -376,16 +387,26 @@ def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
     hashes find visually-duplicate images across containers — the
     image-side analogue of simhash for text. Pairs come from
     dedup.hamming_pairs (same banded pigeonhole join). Undecodable
-    payloads quarantine."""
+    payloads quarantine.
+
+    `carry_cols` passes input columns through the mapInPandas schema
+    unchanged — streaming callers need this, because joining the hash
+    back to the source would be a stream-stream join whose state
+    (keyed payload bytes) grows without bound."""
     from ..functions.imagecodec import ImageDecodeError, decode_image
     if not 2 <= grid <= 8:
         raise ValueError(f"grid {grid} not in [2, 8] (64-bit packing)")
-    schema = "doc_id long, dhash long, error string"
+    carry = [c for c in carry_cols]
+    schema = "doc_id long, dhash long, error string" + "".join(
+        f", {media.schema[c].name} "
+        f"{media.schema[c].dataType.simpleString()}" for c in carry)
 
     def gen(batches):
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for did, payload, *extras in zip(
+                    pdf["doc_id"], pdf["payload"],
+                    *(pdf[c] for c in carry)):
                 try:
                     img = decode_image(bytes(payload))
                     g = img.astype(np.float64)
@@ -402,11 +423,11 @@ def dhash_images(media: DataFrame, grid: int = 8) -> DataFrame:
                     hv = int((bits * weights).sum(dtype=np.uint64))
                     rows.append((int(did),
                                  hv - (1 << 64) if hv >= (1 << 63)
-                                 else hv, None))
+                                 else hv, None, *extras))
                 except ImageDecodeError as e:
-                    rows.append((int(did), None, str(e)))
+                    rows.append((int(did), None, str(e), *extras))
             yield pd.DataFrame(rows, columns=["doc_id", "dhash",
-                                              "error"])
+                                              "error", *carry])
 
     return (media.filter(F.col("media_type") == "image")
             .mapInPandas(gen, schema=schema))

@@ -149,15 +149,16 @@ def bloom_probe(bloom: DataFrame, keys: list[str], k: int = 4,
     """(key, maybe_present): a key is reported present iff ALL k of its
     bits are set — false negatives impossible, false positives bounded.
     The probe table is tiny and broadcast against the (at most m-row)
-    bit table."""
-    import hashlib
+    bit table. Probe bits come from the SAME _hash32 expression
+    composition bloom_bits uses (not a driver-side hashlib replica):
+    any future change to the hash derivation moves both sides
+    together, so the one-sided no-false-negatives guarantee can't be
+    silently broken by a split-brain hash."""
     spark = bloom.sparkSession
-    probes = []
-    for key in keys:
-        for i in range(k):
-            hx = hashlib.md5(f"{salt}{i}|{key}".encode()).hexdigest()
-            probes.append((key, int(hx[:8], 16) % m))
-    p = spark.createDataFrame(probes, "key string, bit long")
+    p = (spark.createDataFrame([(kk,) for kk in keys], "key string")
+         .select("key", F.explode(F.array(*[
+             (_hash32(F.col("key"), f"{salt}{i}") % m)
+             for i in range(k)])).alias("bit")))
     j = p.join(bloom.withColumn("__set", F.lit(1)), ["bit"], "left")
     return (j.groupBy("key")
             .agg((F.count("*") == F.sum(F.coalesce("__set", F.lit(0))))

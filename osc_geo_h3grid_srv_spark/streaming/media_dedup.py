@@ -36,11 +36,12 @@ def stream_image_dedup(spark, landing_dir: str, checkpoint_dir: str,
              .schema(MEDIA_SCHEMA + f", {ts_col} timestamp")
              .option("maxFilesPerTrigger", 64).parquet(landing_dir))
     imgs = media.filter(F.col("media_type") == "image")
-    # mapInPandas drops the ts column: hash separately, join back on
-    # doc_id (stream-stream equi-join on the same source is a cheap
-    # per-microbatch hash join; both sides share the file scan)
-    hashed = (dhash_images(imgs)
-              .join(imgs.select("doc_id", ts_col, "payload"), "doc_id"))
+    # carry ts/payload THROUGH the hash stage rather than joining them
+    # back on doc_id: a stream-stream self-join has no time bound, so
+    # Spark would retain every row (payload bytes included) in join
+    # state forever — the only stateful operator here must stay the
+    # watermark-bounded dropDuplicatesWithinWatermark below
+    hashed = dhash_images(imgs, carry_cols=(ts_col, "payload"))
     ok = (hashed.filter(F.col("dhash").isNotNull())
           .withWatermark(ts_col, watermark)
           .dropDuplicatesWithinWatermark(["dhash"]))

@@ -192,3 +192,31 @@ def test_afp_triples(spark):
              if ham(by_id[a], by_id[b]) <= 3}
     got = {(r["id_a"], r["id_b"]) for _, r in pairs.iterrows()}
     assert got == brute
+
+
+def test_decode_wav_mutation_fuzz():
+    """every single-byte mutation / truncation of a real WAV either
+    decodes or raises AudioDecodeError — parse-level struct/numpy
+    errors must never escape the quarantine contract."""
+    from osc_geo_h3grid_srv_spark.functions.audiocodec import (
+        encode_wav_g711)
+    rs0 = np.random.RandomState(7)
+    pcm = encode_wav(
+        rs0.randint(-3000, 3000, (64, 2)).astype(np.int16), 8000)
+    g711 = encode_wav_g711(
+        rs0.randint(0, 256, 80).astype(np.uint8), 8000, "ulaw")
+    for good in (pcm, g711):
+        rs = np.random.RandomState(len(good))
+        for _ in range(400):
+            pos = int(rs.randint(0, len(good)))
+            bad = (good[:pos] + bytes([int(rs.randint(0, 256))])
+                   + good[pos + 1:])
+            try:
+                decode_wav(bad)
+            except AudioDecodeError:
+                pass
+        for cut in range(0, len(good), 4):
+            try:
+                decode_wav(good[:cut])
+            except AudioDecodeError:
+                pass

@@ -443,3 +443,48 @@ def test_image_dhash_triples(spark):
         .count("1") <= 3}
     got = {(r["id_a"], r["id_b"]) for _, r in pairs.iterrows()}
     assert got == brute
+
+
+def test_y4m_zero_frame_accounting(spark):
+    """a valid header-only Y4M stream (zero frames) must not vanish
+    from decode_frame_stats output: every input doc is either measured
+    or quarantined."""
+    import pandas as pd
+    from osc_geo_h3grid_srv_spark.functions import videocodec as vc
+    empty = vc.encode_y4m(np.zeros((0, 8, 6), dtype=np.uint8))
+    one = vc.encode_y4m(np.full((1, 8, 6), 9, dtype=np.uint8))
+    media = spark.createDataFrame(pd.DataFrame(
+        [(1, "video", 6, 8, 0, empty), (2, "video", 6, 8, 1, one)],
+        columns=["doc_id", "media_type", "width", "height", "n_frames",
+                 "payload"]))
+    out = multimodal.decode_frame_stats(media, every_n=1).toPandas()
+    assert set(out["doc_id"]) == {1, 2}
+    z = out[out["doc_id"] == 1]
+    assert len(z) == 1 and "zero frames" in z["error"].iloc[0]
+    o = out[out["doc_id"] == 2]
+    assert len(o) == 1 and o["error"].isna().all()
+    assert int(o["y_sum"].iloc[0]) == 9 * 48
+
+
+def test_y4m_mutation_fuzz():
+    """byte mutations / truncations of a real Y4M stream either parse
+    or raise VideoDecodeError — never a raw numpy/struct error."""
+    from osc_geo_h3grid_srv_spark.functions import videocodec as vc
+    rs = np.random.RandomState(11)
+    good = vc.encode_y4m(
+        rs.randint(0, 256, (3, 8, 6)).astype(np.uint8))
+    for _ in range(400):
+        pos = int(rs.randint(0, len(good)))
+        bad = (good[:pos] + bytes([int(rs.randint(0, 256))])
+               + good[pos + 1:])
+        try:
+            hdr = vc.parse_y4m_header(bad)
+            for k in range(hdr["n_frames"]):
+                vc.decode_frame(bad, hdr, k)
+        except vc.VideoDecodeError:
+            pass
+    for cut in range(0, len(good), 4):
+        try:
+            vc.parse_y4m_header(good[:cut])
+        except vc.VideoDecodeError:
+            pass

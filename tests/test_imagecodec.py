@@ -305,3 +305,48 @@ def test_png_malformed_quarantine_paths():
             + chunk(b"IEND", b""))
     with pytest.raises(ImageDecodeError):
         decode_png(png3)
+
+
+def test_dispatcher_normalizes_parse_errors():
+    """decode_image is the crash-proofing chokepoint: payloads with a
+    valid magic but corrupt internals must raise ImageDecodeError (the
+    type the per-row quarantine handlers catch), never a raw
+    struct.error / ValueError / zlib.error that would kill a batch."""
+    # truncated JPEG SOF segment -> struct.unpack on a short slice
+    cases = [
+        b"\xFF\xD8\xFF\xC0\x00\x04\x08\x00\xFF\xD9",
+        # truncated DQT body -> np.frombuffer length error
+        b"\xFF\xD8\xFF\xDB\x00\x05\x00\x01\x02\xFF\xD9",
+        # short SOS component list -> slice unpack
+        b"\xFF\xD8\xFF\xDA\x00\x04\x01\x00",
+        # PNG magic + garbage (short chunk header) -> struct.error
+        b"\x89PNG\r\n\x1a\n\x00\x00",
+    ]
+    for buf in cases:
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decode_image(buf)
+
+
+def test_dispatcher_mutation_fuzz():
+    """deterministic corruption sweep: every single-byte mutation of a
+    real PNG and JPEG either decodes or raises ImageDecodeError —
+    nothing else escapes the dispatcher."""
+    from osc_geo_h3grid_srv_spark.functions.jpegcodec import encode_jpeg
+    img = _rand((9, 11, 3), 42)
+    for good in (ic.encode_png(img), encode_jpeg(img, quality=80),
+                 ic.encode_bmp(img), ic.encode_ppm(img)):
+        rs = np.random.RandomState(len(good))
+        for _ in range(300):
+            pos = int(rs.randint(0, len(good)))
+            val = int(rs.randint(0, 256))
+            bad = good[:pos] + bytes([val]) + good[pos + 1:]
+            try:
+                ic.decode_image(bad)
+            except ic.ImageDecodeError:
+                pass
+        # truncations at every eighth byte
+        for cut in range(0, len(good), 8):
+            try:
+                ic.decode_image(good[:cut])
+            except ic.ImageDecodeError:
+                pass

@@ -72,3 +72,25 @@ def test_crash_between_commits_is_reconciled(spark, tmp_path):
     texts = sorted(r["text"] for r in cat.load("pages_raw").collect())
     assert texts == ["alpha", "delta", "omega"]
     assert cat.load("pages_raw__hashes").count() == 3
+
+
+def test_compaction_does_not_duplicate_hashes(spark, tmp_path):
+    """compaction rewrites indexed rows into new files; reconcile must
+    not re-append the whole corpus's hashes."""
+    from osc_geo_h3grid_srv_spark.operators.incremental import (
+        _hash_table)
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    for b in range(3):
+        incremental_ingest(cat, _pages(spark, [
+            (f"https://c{b}/1", f"2024-01-0{b + 1} 00:00", f"text {b}"),
+        ]), table="pc", batch_source=f"b{b}")
+    ht = _hash_table("pc")
+    assert cat.load(ht).count() == 3
+    cat.compact("pc", target_bytes=1 << 30, min_files=2)
+    r = incremental_ingest(cat, _pages(spark, [
+        ("https://d/1", "2024-01-05 00:00", "text new"),
+        ("https://d/2", "2024-01-05 00:01", "text 0"),  # dup
+    ]), table="pc", batch_source="b9")
+    assert r["rows_appended"] == 1
+    assert cat.load(ht).count() == 4
+    assert cat.load(ht).distinct().count() == 4

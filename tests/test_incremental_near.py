@@ -112,3 +112,28 @@ def test_threshold_domain(spark, tmp_path):
     assert r["rows_appended"] == 1  # variant kept, exact copy dropped
     urls = {x["url"] for x in cat.load("p2").select("url").collect()}
     assert urls == {"https://a/1", "https://a/2"}
+
+
+def test_compaction_does_not_duplicate_sigs(spark, tmp_path):
+    """Catalog.compact rewrites already-indexed rows into NEW files; the
+    reconcile path-diff must not re-signature them (duplicate index
+    rows would double probe fan-out and burn corpus-scale minhash CPU
+    on every compaction)."""
+    cat = Catalog(str(tmp_path / "wh"), spark)
+    for b in range(3):
+        incremental_near_ingest(cat, _pages(spark, [
+            (f"https://c{b}/1", f"2024-01-0{b + 1} 00:00",
+             _distinct(b)),
+        ]), table="pc", batch_source=f"b{b}")
+    st = _sig_table("pc")
+    sig_rows_before = cat.load(st).count()
+    assert sig_rows_before == 3 * 8  # 8 bands per doc
+    cat.compact("pc", target_bytes=1 << 30, min_files=2)
+    # next ingest triggers reconcile over the compacted files
+    r = incremental_near_ingest(cat, _pages(spark, [
+        ("https://d/1", "2024-01-05 00:00", _distinct(7)),
+        ("https://d/2", "2024-01-05 00:01", _distinct(0)),  # dup
+    ]), table="pc", batch_source="b9")
+    assert r["rows_appended"] == 1
+    assert cat.load(st).count() == sig_rows_before + 8
+    assert cat.load(st).select("doc_key").distinct().count() == 4
