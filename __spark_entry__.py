@@ -2941,6 +2941,86 @@ def _pagerank_oracle_sql():
             + f" select node, round(rank, 6) as rank from r{k}")
 
 
+_HITS_ITER = 4
+
+
+def q_hits_scores(spark, sf_dir):
+    """link-graph analytics: HITS hubs-and-authorities (Kleinberg,
+    operators/linkgraph.py) over the SAME deterministic synthetic link
+    graph as pagerank_links. 4 iterations of the mutual-reinforcement
+    recursion with per-iteration L2 normalization; 9-digit rounding
+    pins the FP state so the DuckDB chained-CTE replay reaches
+    identical scores — a second fully value-hash-gated iterative
+    distributed algorithm next to PageRank."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import hits
+    docs = _t(spark, sf_dir, "documents")
+    n_row = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    base = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id").crossJoin(F.broadcast(n_row)))
+    parts = [base.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * m + j) % F.col("nm"))
+                         .alias("dst"))
+             for j, m in enumerate(_PR_MULTS)]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    hs = hits(edges, num_iter=_HITS_ITER, round_digits=9)
+    return hs.select("node", F.round("hub", 6).alias("hub"),
+                     F.round("auth", 6).alias("auth"))
+
+
+def _hits_oracle_sql():
+    # every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs at
+    # each reference, and this chain references its predecessor several
+    # times per level — un-materialized it expands exponentially in k
+    # (thousands of parquet re-scans; "Too many open files")
+    k = _HITS_ITER
+    arms = " union all ".join(
+        f"select doc_id as src, (doc_id * {m} + {j}) % nm as dst "
+        f"from documents, nn where doc_id % 10 <> 0"
+        for j, m in enumerate(_PR_MULTS))
+    ctes = [
+        "nn as materialized (select max(doc_id) + 1 as nm "
+        "from documents)",
+        f"edges as materialized (select distinct src, dst "
+        f"from ({arms}))",
+        "nodes as materialized (select distinct node from ("
+        "select src as node from edges "
+        "union all select dst from edges))",
+        "h0 as materialized (select node, 1.0 as hub from nodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"au{i} as materialized (select nodes.node, "
+            f"coalesce(s.a, 0.0) as a "
+            f"from nodes left join (select e.dst, sum(h.hub) as a "
+            f"from edges e join h{i - 1} h on e.src = h.node "
+            f"group by e.dst) s on nodes.node = s.dst)")
+        ctes.append(
+            f"az{i} as materialized "
+            f"(select sqrt(sum(a * a)) as z from au{i})")
+        ctes.append(
+            f"a{i} as materialized (select node, round(a / (case when "
+            f"(select z from az{i}) = 0 then 1.0 else "
+            f"(select z from az{i}) end), 9) as auth from au{i})")
+        ctes.append(
+            f"hu{i} as materialized (select nodes.node, "
+            f"coalesce(s.h, 0.0) as h "
+            f"from nodes left join (select e.src, sum(a.auth) as h "
+            f"from edges e join a{i} a on e.dst = a.node "
+            f"group by e.src) s on nodes.node = s.src)")
+        ctes.append(
+            f"hz{i} as materialized "
+            f"(select sqrt(sum(h * h)) as z from hu{i})")
+        ctes.append(
+            f"h{i} as materialized (select node, round(h / (case when "
+            f"(select z from hz{i}) = 0 then 1.0 else "
+            f"(select z from hz{i}) end), 9) as hub from hu{i})")
+    return ("with " + ", ".join(ctes)
+            + f" select h.node, round(h.hub, 6) as hub, "
+            f"round(a.auth, 6) as auth "
+            f"from h{k} h join a{k} a on h.node = a.node")
+
+
 def q_chunk_documents(spark, sf_dir):
     """training-data pipeline: context-window chunking — slide a
     32-token window with 8-token overlap over each document, one
@@ -4197,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_exclusion": q_robots_exclusion,
         "frontier_timeline": q_frontier_timeline,
         "embedding_blocked_pairs": q_embedding_blocked_pairs,
+        "hits_scores": q_hits_scores,
         # -- block 3: driver-green in r2/r3, rotated past the window -
         "radius_reference": q_radius_reference,
         "bbox_filter": q_bbox_filter,
@@ -4847,6 +4928,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_model_scores": _quality_model_oracle_sql(),
         "quality_top_fraction": _quality_top_fraction_oracle_sql(),
         "pagerank_links": _pagerank_oracle_sql(),
+        "hits_scores": _hits_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "url_canonical_domains": _url_canonical_oracle_sql(),

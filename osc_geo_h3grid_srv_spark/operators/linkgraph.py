@@ -88,3 +88,53 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                                  round_digits).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def hits(edges: DataFrame, num_iter: int = 5, round_digits: int = 9,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public algorithm) —
+    the complement to PageRank for crawl seeding: a high-hub page is a
+    good place to FIND links (directory/index pages), a high-authority
+    page is a good page to BE linked (the content). Returns
+    (node, hub, auth).
+
+    Same plan discipline as pagerank(): the deduplicated edge list is
+    materialized once (localCheckpoint) and every iteration is two
+    co-keyed joins + two partial-aggregated groupBy exchanges; the L2
+    norms are one-row aggregates broadcast back in — no collect. Scores
+    are rounded to `round_digits` per iteration so the DuckDB oracle's
+    chained-CTE replay reaches identical values (IEEE sqrt/divide are
+    correctly rounded in both engines; rounding absorbs distributed
+    summation order)."""
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        z = scores.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))
+                       .alias("z"))
+        return (scores.crossJoin(F.broadcast(z))
+                .select("node",
+                        F.round(F.col(col)
+                                / F.when(F.col("z") == 0, F.lit(1.0))
+                                .otherwise(F.col("z")),
+                                round_digits).alias(col))
+                .localCheckpoint(eager=True))
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(num_iter):
+        a = (e.join(hubs, e.src == hubs.node)
+             .groupBy("dst").agg(F.sum("hub").alias("auth")))
+        auth = _norm(nodes.join(a, nodes.node == a.dst, "left")
+                     .select("node", F.coalesce("auth", F.lit(0.0))
+                             .alias("auth")), "auth")
+        h = (e.join(auth, e.dst == auth.node)
+             .groupBy("src").agg(F.sum("auth").alias("hub")))
+        hubs = _norm(nodes.join(h, nodes.node == h.src, "left")
+                     .select("node", F.coalesce("hub", F.lit(0.0))
+                             .alias("hub")), "hub")
+    return hubs.join(auth, "node").select("node", "hub", "auth")

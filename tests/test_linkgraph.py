@@ -67,3 +67,63 @@ def test_multi_edges_deduplicated(spark):
     a = _run(spark, [(0, 1), (0, 1), (1, 0)])
     b = _run(spark, [(0, 1), (1, 0)])
     assert a == b
+
+
+# -- HITS ------------------------------------------------------------------
+
+def _brute_hits(edges, k, digits):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import hits  # noqa
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    es = sorted(set(edges))
+    hub = np.ones(len(nodes))
+    auth = np.zeros(len(nodes))
+    for _ in range(k):
+        auth = np.zeros(len(nodes))
+        for u, v in es:
+            auth[idx[v]] += hub[idx[u]]
+        z = np.sqrt((auth * auth).sum())
+        auth = np.round(auth / (z if z else 1.0), digits)
+        hub = np.zeros(len(nodes))
+        for u, v in es:
+            hub[idx[u]] += auth[idx[v]]
+        z = np.sqrt((hub * hub).sum())
+        hub = np.round(hub / (z if z else 1.0), digits)
+    return {nodes[i]: (hub[i], auth[i]) for i in range(len(nodes))}
+
+
+def _run_hits(spark, edges, k=4):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import hits
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: (r["hub"], r["auth"])
+            for r in hits(df, num_iter=k).collect()}
+
+
+def test_hits_matches_brute(spark):
+    rs = np.random.RandomState(3)
+    edges = [(int(rs.randint(0, 12)), int(rs.randint(0, 12)))
+             for _ in range(40)]
+    got = _run_hits(spark, edges)
+    want = _brute_hits(edges, 4, 9)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n][0] - want[n][0]) < 1e-8
+        assert abs(got[n][1] - want[n][1]) < 1e-8
+
+
+def test_hits_directory_page_is_hub(spark):
+    # a page linking to every authority is the top hub; the page every
+    # hub links to is the top authority
+    edges = [(0, i) for i in range(1, 6)] + [(9, 1), (9, 2)]
+    got = _run_hits(spark, edges)
+    assert got[0][0] == max(h for h, _ in got.values())
+    assert got[1][1] == max(a for _, a in got.values())
+    # pure hubs have zero authority, pure authorities zero hub
+    assert got[0][1] == 0.0
+    assert got[3][0] == 0.0
+
+
+def test_hits_multi_edges_deduplicated(spark):
+    a = _run_hits(spark, [(0, 1), (0, 1), (1, 2)])
+    b = _run_hits(spark, [(0, 1), (1, 2)])
+    assert a == b

@@ -144,6 +144,17 @@ AUDITS = {
                 "binary payloads feeding a JVM aggregate; the slow "
                 "row-at-a-time BatchEvalPython path must not appear",
     },
+    "hits_scores": {
+        # plan seen here is the final hub<->auth join past the last
+        # localCheckpoint; each iteration is two co-keyed joins + two
+        # partial-aggregated groupBys with one-row norm broadcasts
+        "expect": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython"],
+        "note": "HITS: iterative mutual reinforcement stays fully "
+                "relational; norms are broadcast one-row aggregates, "
+                "never a collect",
+    },
     "dedup_clusters": {
         # plan seen here is the post-convergence reduction (the star
         # rounds are behind localCheckpoint truncation — each round is
