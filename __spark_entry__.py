@@ -3021,6 +3021,65 @@ def _hits_oracle_sql():
             f"from h{k} h join a{k} a on h.node = a.node")
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """content-defined chunking dedup (operators/cdc.py): Gear rolling
+    hash (32-bit, fixed 256-entry table) cuts every document at
+    content-chosen positions (low 5 hash bits zero -> ~32-char chunks),
+    then a chunk-hash groupBy ledgers copies/docs/saved bytes — the
+    dedup-storage / delta-ingest primitive (FastCDC lineage). The
+    DuckDB oracle replays the IDENTICAL boundaries: the gear table is
+    embedded as 256 literal rows and h_i is recomputed as the windowed
+    sum of shifted gear values over the trailing 32 characters, so a
+    one-position drift in any cut flips the value hash."""
+    from osc_geo_h3grid_srv_spark.operators.cdc import (cdc_chunks,
+                                                        cdc_dedup_stats)
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_dedup_stats(cdc_chunks(docs, mask_bits=5))
+
+
+def _cdc_oracle_sql():
+    from osc_geo_h3grid_srv_spark.operators.cdc import (
+        gear_table_sql_values)
+    return f"""
+        with gear(code, gv) as (values {gear_table_sql_values()}),
+        d as materialized (
+            select doc_id, text from documents
+            where text is not null and length(text) > 0),
+        pos as materialized (
+            select doc_id, text,
+                   unnest(range(1, length(text) + 1)) as i from d),
+        v as materialized (
+            select p.doc_id, p.i, g.gv
+            from pos p join gear g
+              on (unicode(substr(p.text, p.i, 1)) % 256) = g.code),
+        h as materialized (
+            select a.doc_id, a.i,
+                   sum((b.gv % (1::bigint << (32 - (a.i - b.i))))
+                       * (1::bigint << (a.i - b.i))) % 4294967296 as hv
+            from v a join v b
+              on a.doc_id = b.doc_id and b.i between a.i - 31 and a.i
+            group by a.doc_id, a.i),
+        bd as materialized (
+            select distinct doc_id, e from (
+                select doc_id, i as e from h where hv % 32 = 0
+                union all
+                select doc_id, length(text) as e from d)),
+        c as materialized (
+            select bd.doc_id, d.text, bd.e,
+                   coalesce(lag(bd.e) over (partition by bd.doc_id
+                                            order by bd.e), 0) + 1 as s
+            from bd join d on bd.doc_id = d.doc_id),
+        ch as materialized (
+            select doc_id, md5(substr(text, s, e - s + 1)) as chunk_hash,
+                   e - s + 1 as clen from c)
+        select chunk_hash, count(*) as n_copies,
+               count(distinct doc_id) as n_docs,
+               min(clen)::int as chunk_len,
+               ((count(*) - 1) * min(clen))::bigint as saved_chars
+        from ch group by chunk_hash
+    """
+
+
 def q_chunk_documents(spark, sf_dir):
     """training-data pipeline: context-window chunking — slide a
     32-token window with 8-token overlap over each document, one
@@ -4278,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_timeline": q_frontier_timeline,
         "embedding_blocked_pairs": q_embedding_blocked_pairs,
         "hits_scores": q_hits_scores,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         # -- block 3: driver-green in r2/r3, rotated past the window -
         "radius_reference": q_radius_reference,
         "bbox_filter": q_bbox_filter,
@@ -4929,6 +4989,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_top_fraction": _quality_top_fraction_oracle_sql(),
         "pagerank_links": _pagerank_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
+        "cdc_chunk_dedup": _cdc_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "url_canonical_domains": _url_canonical_oracle_sql(),

@@ -144,6 +144,14 @@ AUDITS = {
                 "binary payloads feeding a JVM aggregate; the slow "
                 "row-at-a-time BatchEvalPython path must not appear",
     },
+    "cdc_chunk_dedup": {
+        "expect": ["MapInPandas", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin"],
+        "note": "content-defined chunking: one stateless Python decode "
+                "pass, then a chunk-hash groupBy with map-side partial "
+                "agg; the shuffle never carries chunk bytes",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
