@@ -1637,6 +1637,118 @@ _INLINK_ORACLE = "with " + _LINKED_PAGES_SQL + r""",
 """
 
 
+def _anchored_pages(spark, sf_dir):
+    """the _linked_pages graph with ANCHOR TEXT on every link: the
+    anchor is the first 3 tokens of the SOURCE document's text plus a
+    'p<target>' marker, so targets accumulate genuinely varied
+    cross-source anchor language."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents")
+    nm = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    d = docs.crossJoin(F.broadcast(nm))
+    lead3 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    tags = []
+    for j, m in ((0, 3), (1, 5), (2, 7)):
+        t = (F.col("doc_id") * m + j * 17) % F.col("nm")
+        utm = F.when((F.col("doc_id") + j) % 5 == 0,
+                     F.lit("?utm_source=syn")).otherwise(F.lit(""))
+        tag = F.concat(F.lit('<a href="https://site-'), (t % 23),
+                       F.lit(".example/p/"), t, utm, F.lit('">'),
+                       lead3, F.lit(" p"), t, F.lit("</a>"))
+        tags.append(F.when((F.col("doc_id") + j) % 3 != 0, tag)
+                    .otherwise(F.lit("")))
+    return d.select(
+        F.concat(F.lit("https://site-"), F.col("doc_id") % 23,
+                 F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p>"), *tags,
+                          F.lit("</body></html>")),
+                 "utf-8").alias("html"))
+
+
+def q_anchor_text_profile(spark, sf_dir):
+    """retrieval-side link signal: per canonical target url, the top-3
+    incoming ANCHOR TEXT terms by (mentions desc, term asc) with their
+    distinct-source-host support (operators/weburl.py extract_anchors /
+    anchor_text_profile) — anchor language is how the rest of the web
+    describes a page (BM25F external field; host support separates
+    organic description from single-host anchor spam). One aligned
+    double regexp_extract_all scan, one (target, term) groupBy with
+    partial-distinct hosts, one per-target window cut. Oracle rebuilds
+    the anchored html in DuckDB and replays extraction, term split,
+    both aggregates, and the ranked cut."""
+    from osc_geo_h3grid_srv_spark.operators.weburl import (
+        anchor_text_profile)
+    return anchor_text_profile(_anchored_pages(spark, sf_dir), k=3)
+
+
+_ANCHORED_PAGES_SQL = r"""
+    nn as (select max(doc_id) + 1 as nm from documents),
+    apages as (
+        select 'https://site-' || (doc_id % 23) || '.example/p/' || doc_id
+                   as url,
+               '<html><body><p>' || text || '</p>'
+               || case when (doc_id + 0) % 3 <> 0 then
+                      '<a href="https://site-' || ((doc_id*3 + 0) % nm % 23)
+                      || '.example/p/' || ((doc_id*3 + 0) % nm)
+                      || case when (doc_id + 0) % 5 = 0
+                              then '?utm_source=syn' else '' end
+                      || '">'
+                      || array_to_string(list_slice(
+                             string_split(text, ' '), 1, 3), ' ')
+                      || ' p' || ((doc_id*3 + 0) % nm) || '</a>'
+                  else '' end
+               || case when (doc_id + 1) % 3 <> 0 then
+                      '<a href="https://site-' || ((doc_id*5 + 17) % nm % 23)
+                      || '.example/p/' || ((doc_id*5 + 17) % nm)
+                      || case when (doc_id + 1) % 5 = 0
+                              then '?utm_source=syn' else '' end
+                      || '">'
+                      || array_to_string(list_slice(
+                             string_split(text, ' '), 1, 3), ' ')
+                      || ' p' || ((doc_id*5 + 17) % nm) || '</a>'
+                  else '' end
+               || case when (doc_id + 2) % 3 <> 0 then
+                      '<a href="https://site-' || ((doc_id*7 + 34) % nm % 23)
+                      || '.example/p/' || ((doc_id*7 + 34) % nm)
+                      || case when (doc_id + 2) % 5 = 0
+                              then '?utm_source=syn' else '' end
+                      || '">'
+                      || array_to_string(list_slice(
+                             string_split(text, ' '), 1, 3), ' ')
+                      || ' p' || ((doc_id*7 + 34) % nm) || '</a>'
+                  else '' end
+               || '</body></html>' as html
+        from documents, nn),
+    anchors as (
+        select url as src_url,
+               unnest(regexp_extract_all(html,
+                   '<a\s+href="([^"]*)"[^>]*>([^<]*)</a>', 1)) as href,
+               unnest(regexp_extract_all(html,
+                   '<a\s+href="([^"]*)"[^>]*>([^<]*)</a>', 2)) as anchor
+        from apages)
+"""
+
+_ANCHOR_PROFILE_ORACLE = "with " + _ANCHORED_PAGES_SQL + r""",
+    terms as (
+        select split_part(href, '?', 1) as target,
+               split_part(split_part(src_url, '://', 2), '/', 1)
+                   as src_host,
+               unnest(string_split_regex(lower(trim(anchor)), '\s+'))
+                   as term
+        from anchors),
+    tc as (
+        select target, term, count(*)::bigint as n_mentions,
+               count(distinct src_host)::bigint as n_src_hosts
+        from terms where term <> '' group by target, term),
+    r as (
+        select *, row_number() over (partition by target
+                  order by n_mentions desc, term asc) as rk from tc)
+    select target, term, n_mentions, n_src_hosts, rk::int as rank
+    from r where rk <= 3
+"""
+
+
 def q_cdx_random_access(spark, sf_dir):
     """CDX crawl-index generation + seek random access (sources/warc.py
     cdx_from_warc / fetch_warc_records, operators/weburl.py
@@ -4338,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_blocked_pairs": q_embedding_blocked_pairs,
         "hits_scores": q_hits_scores,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "anchor_text_profile": q_anchor_text_profile,
         # -- block 3: driver-green in r2/r3, rotated past the window -
         "radius_reference": q_radius_reference,
         "bbox_filter": q_bbox_filter,
@@ -4990,6 +5103,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_links": _pagerank_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "cdc_chunk_dedup": _cdc_oracle_sql(),
+        "anchor_text_profile": _ANCHOR_PROFILE_ORACLE,
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "url_canonical_domains": _url_canonical_oracle_sql(),

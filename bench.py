@@ -258,7 +258,8 @@ def main():
              "jpeg_decode_stats", "video_frame_stats", "g711_decode_stats",
              "image_dhash_pairs", "image_dup_clusters", "audio_afp_pairs",
              "bloom_membership",
-             "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup"]
+             "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",
+             "anchor_text_profile"]
     qs = em.queries()
 
     def _force(df):

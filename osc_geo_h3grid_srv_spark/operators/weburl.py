@@ -220,3 +220,64 @@ def inlink_profile(pages: DataFrame, url_col: str = "url",
             .agg(F.count("*").cast("bigint").alias("n_inlinks"),
                  F.countDistinct("src_host").cast("bigint")
                  .alias("n_src_hosts")))
+
+
+#: anchor form: href in group 1, the visible anchor text in group 2
+ANCHOR_RE = r'<a\s+href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src_url, href, anchor) triples from raw page HTML — anchor text
+    is how the REST of the web describes a page, the classic external
+    relevance signal (used by every major ranker since Brin & Page 98).
+
+    Same single-JVM-projection discipline as extract_links: the html
+    is decoded once and scanned twice with `regexp_extract_all` (group
+    1 = href, group 2 = anchor text, same pattern so the arrays align
+    index-for-index), zipped, and exploded. No Python, no shuffle."""
+    s = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(2))
+        .alias("anchor"))
+    return (pages.select(F.col(url_col).alias("src_url"),
+                         F.explode(pairs).alias("p"))
+            .select("src_url", F.col("p.href").alias("href"),
+                    F.col("p.anchor").alias("anchor")))
+
+
+def anchor_text_profile(pages: DataFrame, k: int = 3,
+                        url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """per-TARGET anchor-term profile: for each canonical target url,
+    the top-`k` terms of its incoming anchor text by (mentions desc,
+    term asc), with the distinct-source-host support of each term —
+    the retrieval-side complement of inlink_profile (anchor terms feed
+    BM25F-style external fields; host support separates organic
+    description from single-host anchor spam).
+
+    Scale shape: one (target, term) groupBy with partial-distinct host
+    aggregation — the shuffle key is never wider than (canonical url,
+    term) — then a per-target window for the top-k cut. The window
+    partitions by target over per-target TERM VOCABULARIES (bounded by
+    anchor language, not corpus size), so no rangepartitioning/global
+    sort appears in the plan."""
+    from pyspark.sql import Window
+    a = extract_anchors(pages, url_col=url_col, html_col=html_col)
+    terms = (a.select(
+        canonicalize_url(F.col("href")).alias("target"),
+        host_from_url(F.col("src_url")).alias("src_host"),
+        F.explode(F.split(F.lower(F.trim(F.col("anchor"))),
+                          r"\s+")).alias("term"))
+        .filter(F.col("term") != ""))
+    tc = (terms.groupBy("target", "term")
+          .agg(F.count("*").cast("bigint").alias("n_mentions"),
+               F.countDistinct("src_host").cast("bigint")
+               .alias("n_src_hosts")))
+    w = Window.partitionBy("target").orderBy(
+        F.col("n_mentions").desc(), F.col("term").asc())
+    return (tc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("target", "term", "n_mentions", "n_src_hosts",
+                    F.col("rank").cast("int").alias("rank")))

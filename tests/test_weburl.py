@@ -128,3 +128,44 @@ def test_inlink_profile_counts_and_distinct_hosts(spark):
     assert got["https://t.com/x"] == (3, 2)
     assert got["https://u.com/y"] == (1, 1)
     assert len(got) == 2  # linkless page contributes nothing
+
+
+def test_extract_anchors_alignment(spark):
+    from osc_geo_h3grid_srv_spark.operators.weburl import extract_anchors
+    pages = spark.createDataFrame([
+        ("https://a.com/1",
+         b'<a href="https://t.com/x">great site</a>'
+         b'<p>noise</p><a href="https://u.com/y" rel="nofollow">other</a>'),
+        ("https://b.com/1", b'<a href="https://t.com/x"></a>'),
+        ("https://c.com/1", b'no links'),
+    ], "url string, html binary")
+    got = {(r["src_url"], r["href"]): r["anchor"]
+           for r in extract_anchors(pages).collect()}
+    # href and anchor arrays stay index-aligned across multiple links
+    assert got[("https://a.com/1", "https://t.com/x")] == "great site"
+    assert got[("https://a.com/1", "https://u.com/y")] == "other"
+    assert got[("https://b.com/1", "https://t.com/x")] == ""
+    assert len(got) == 3
+
+
+def test_anchor_text_profile_topk(spark):
+    from osc_geo_h3grid_srv_spark.operators.weburl import (
+        anchor_text_profile)
+    mk = '<a href="https://t.com/x{q}">{t}</a>'
+    pages = spark.createDataFrame([
+        ("https://a.com/1",
+         (mk.format(q="", t="best spark guide")
+          + mk.format(q="?utm_source=z", t="spark guide")).encode()),
+        ("https://b.com/1", mk.format(q="", t="Spark tips").encode()),
+        ("https://c.com/1", mk.format(q="", t="spark").encode()),
+    ], "url string, html binary")
+    rows = anchor_text_profile(pages, k=2).collect()
+    got = {(r["target"], r["term"]):
+           (r["n_mentions"], r["n_src_hosts"], r["rank"])
+           for r in rows}
+    # 'spark' mentioned 4x (case-folded, utm variant collapsed) from 3
+    # hosts and ranks first; k=2 keeps only the top two terms
+    assert got[("https://t.com/x", "spark")] == (4, 3, 1)
+    assert got[("https://t.com/x", "guide")] == (2, 1, 2)
+    assert len(rows) == 2
+    assert ("https://t.com/x", "best") not in got

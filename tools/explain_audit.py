@@ -152,6 +152,18 @@ AUDITS = {
                 "pass, then a chunk-hash groupBy with map-side partial "
                 "agg; the shuffle never carries chunk bytes",
     },
+    "anchor_text_profile": {
+        # BroadcastNestedLoopJoin IS expected once: the synthetic page
+        # builder crossJoins a broadcast ONE-ROW aggregate (max doc_id)
+        # — the standard scalar-broadcast idiom, not an all-pairs join
+        "expect": ["HashAggregate", "Generate", "Window"],
+        "forbid": ["CartesianProduct",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "rangepartitioning"],
+        "note": "anchor-text rollup: aligned double regex scan stays in "
+                "codegen; shuffle key is (target, term); the top-k "
+                "window hash-partitions by target — no global sort",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
