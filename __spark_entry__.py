@@ -4180,6 +4180,98 @@ def _drifted_terms_oracle_sql(k=12):
         limit {k}""")
 
 
+def q_sitemap_seed_rollup(spark, sf_dir):
+    """crawl seeding from sitemaps (sources/sitemap.py, public
+    sitemaps.org protocol): every 25-doc block becomes a REAL sitemap
+    XML payload (loc/lastmod/changefreq/priority from doc_id
+    arithmetic; the writer is the module's own encode_sitemap), blocks
+    at base%100==50 are torn mid-payload (fetch truncation), then the
+    real stdlib-XML parser ingests them with quarantine and the
+    surviving URL declarations roll up per changefreq (count, distinct
+    hosts, lastmod range, exact priority tenths). The oracle replays
+    the doc_id recipe analytically — a parse drift in any field flips
+    the hash; a quarantine leak changes the __quarantined row."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osc_geo_h3grid_srv_spark.sources.sitemap import (CHANGEFREQS,
+                                                          encode_sitemap,
+                                                          sitemap_urls)
+    docs = _t(spark, sf_dir, "documents")
+    nm_row = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    bases = (docs.filter(F.col("doc_id") % 25 == 0)
+             .select(F.col("doc_id").alias("base"))
+             .crossJoin(F.broadcast(nm_row)))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for base, nm in zip(pdf["base"], pdf["nm"]):
+                base, nm = int(base), int(nm)
+                entries = [{
+                    "loc": f"https://site-{i % 23}.example/p/{i}",
+                    "lastmod": (datetime.date(2024, 1, 1)
+                                + datetime.timedelta(days=i % 365))
+                    .isoformat(),
+                    "changefreq": CHANGEFREQS[i % 7],
+                    "priority": f"{(i % 10 + 1) / 10:.1f}",
+                } for i in range(base, min(base + 25, nm))]
+                payload = encode_sitemap(entries)
+                if base % 100 == 50:
+                    payload = payload[: len(payload) // 2]
+                rows.append((base, payload))
+            yield pd.DataFrame(rows, columns=["sitemap_id", "payload"])
+
+    sm = bases.mapInPandas(gen, "sitemap_id long, payload binary")
+    parsed = sitemap_urls(sm)
+    ok = (parsed.filter(F.col("error").isNull())
+          .groupBy("changefreq")
+          .agg(F.count("*").cast("bigint").alias("n_urls"),
+               F.countDistinct(
+                   F.regexp_extract("loc", r"https://([^/]+)/", 1))
+               .cast("bigint").alias("n_hosts"),
+               F.min("lastmod").alias("min_lastmod"),
+               F.max("lastmod").alias("max_lastmod"),
+               F.sum(F.round(F.col("priority") * 10).cast("long"))
+               .cast("bigint").alias("sum_priority_tenths")))
+    quar = (parsed.filter(F.col("error").isNotNull())
+            .agg(F.count("*").cast("bigint").alias("n_urls"))
+            .select(F.lit("__quarantined").alias("changefreq"),
+                    "n_urls", F.lit(0).cast("bigint").alias("n_hosts"),
+                    F.lit(None).cast("string").alias("min_lastmod"),
+                    F.lit(None).cast("string").alias("max_lastmod"),
+                    F.lit(0).cast("bigint")
+                    .alias("sum_priority_tenths")))
+    return ok.unionByName(quar)
+
+
+_SITEMAP_ORACLE = """
+    with u as (
+        select doc_id, (doc_id // 25) * 25 as base from documents),
+    ok as (select doc_id from u where base % 100 <> 50),
+    r as (
+        select doc_id,
+               (['always','hourly','daily','weekly','monthly',
+                 'yearly','never'])[(doc_id % 7) + 1] as changefreq,
+               'site-' || (doc_id % 23) || '.example' as host,
+               (date '2024-01-01' + (doc_id % 365)::int)::varchar
+                   as lastmod,
+               (doc_id % 10) + 1 as tenths
+        from ok)
+    select changefreq, count(*)::bigint as n_urls,
+           count(distinct host)::bigint as n_hosts,
+           min(lastmod) as min_lastmod, max(lastmod) as max_lastmod,
+           sum(tenths)::bigint as sum_priority_tenths
+    from r group by changefreq
+    union all
+    select '__quarantined', count(*)::bigint, 0::bigint,
+           null, null, 0::bigint
+    from (select distinct base from u where base % 100 = 50)
+"""
+
+
 def q_frontier_timeline(spark, sf_dir):
     """crawl politeness TIMELINE: the frontier schedule joined with
     robots.txt Crawl-delay values parsed from synthesized bodies —
@@ -4451,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "anchor_text_profile": q_anchor_text_profile,
+        "sitemap_seed_rollup": q_sitemap_seed_rollup,
         # -- block 3: driver-green in r2/r3, rotated past the window -
         "radius_reference": q_radius_reference,
         "bbox_filter": q_bbox_filter,
@@ -5104,6 +5197,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_oracle_sql(),
         "cdc_chunk_dedup": _cdc_oracle_sql(),
         "anchor_text_profile": _ANCHOR_PROFILE_ORACLE,
+        "sitemap_seed_rollup": _SITEMAP_ORACLE,
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "url_canonical_domains": _url_canonical_oracle_sql(),

@@ -259,7 +259,7 @@ def main():
              "image_dhash_pairs", "image_dup_clusters", "audio_afp_pairs",
              "bloom_membership",
              "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",
-             "anchor_text_profile"]
+             "anchor_text_profile", "sitemap_seed_rollup"]
     qs = em.queries()
 
     def _force(df):

@@ -164,6 +164,16 @@ AUDITS = {
                 "codegen; shuffle key is (target, term); the top-k "
                 "window hash-partitions by target — no global sort",
     },
+    "sitemap_seed_rollup": {
+        # the one-row max(doc_id) broadcast appears as a
+        # BroadcastNestedLoopJoin (scalar-broadcast idiom) — allowed
+        "expect": ["MapInPandas", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython",
+                   "SortMergeJoin", "rangepartitioning"],
+        "note": "sitemap ingest: XML parse is one Arrow-batched pass "
+                "per sitemap payload (50k-URL cap by spec bounds row "
+                "work); rollup is a plain partial+final agg",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
