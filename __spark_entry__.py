@@ -416,6 +416,69 @@ def q_tpch_q1_pricing(spark, sf_dir):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def q_tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority revenue): segment-filtered
+    customer dim BROADCAST into orders, the date-filtered fact join on
+    l_orderkey co-keyed, revenue as exact integer cents, deterministic
+    top-10 via TakeOrderedAndProject — the canonical 3-way
+    star-join + top-k plan every warehouse must get right."""
+    from pyspark.sql import functions as F
+    cust = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(li, orders.o_orderkey == li.l_orderkey))
+    return (j.groupBy("l_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("o_orderdate"))
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100, 0)
+                       .cast("long")).alias("revenue_cents"))
+            .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+            .limit(10))
+
+
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): the 6-way join —
+    region->nation (broadcast dims), customer and supplier both pinned
+    to the nation, the customer-nation == supplier-nation equality
+    enforced on the fact side, revenue per nation in exact cents. The
+    region/nation/customer/supplier dims broadcast; the only shuffles
+    are the orders⋈lineitem co-key and the final nation rollup."""
+    from pyspark.sql import functions as F
+    region = _t(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "ASIA")
+    nation = (_t(spark, sf_dir, "nation")
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_nationkey").alias("c_nat"),
+                    "n_name"))
+    supp = _t(spark, sf_dir, "supplier") \
+        .select("s_suppkey", F.col("s_nationkey").alias("s_nat"))
+    orders = _t(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(li, orders.o_orderkey == li.l_orderkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .filter(F.col("c_nat") == F.col("s_nat")))
+    return (j.groupBy("n_name")
+            .agg(F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100, 0)
+                       .cast("long")).alias("revenue_cents"))
+            .orderBy(F.col("revenue_cents").desc(), "n_name"))
+
+
 def q_broadcast_join_topn(spark, sf_dir):
     """broadcast-dim join + deterministic top-n (J1 shape at warehouse
     scale: fact scans stay columnar, dims broadcast)."""
@@ -4544,6 +4607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "anchor_text_profile": q_anchor_text_profile,
         "sitemap_seed_rollup": q_sitemap_seed_rollup,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         # -- block 3: driver-green in r2/r3, rotated past the window -
         "radius_reference": q_radius_reference,
         "bbox_filter": q_bbox_filter,
@@ -5198,6 +5263,37 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": _cdc_oracle_sql(),
         "anchor_text_profile": _ANCHOR_PROFILE_ORACLE,
         "sitemap_seed_rollup": _SITEMAP_ORACLE,
+        "tpch_q3_shipping": """
+            select l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') as o_orderdate,
+                   sum(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100, 0)::bigint)::bigint as revenue_cents
+            from customer c
+            join orders o on c.c_custkey = o.o_custkey
+            join lineitem l on o.o_orderkey = l.l_orderkey
+            where c.c_mktsegment = 'BUILDING'
+              and o.o_orderdate < timestamp '1998-01-01'
+              and l.l_shipdate > timestamp '1998-01-01'
+            group by l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+            order by revenue_cents desc, l.l_orderkey limit 10
+        """,
+        "tpch_q5_local_supplier": """
+            select n.n_name,
+                   sum(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100, 0)::bigint)::bigint as revenue_cents
+            from region r
+            join nation n on n.n_regionkey = r.r_regionkey
+            join customer c on c.c_nationkey = n.n_nationkey
+            join orders o on o.o_custkey = c.c_custkey
+            join lineitem l on l.l_orderkey = o.o_orderkey
+            join supplier s on s.s_suppkey = l.l_suppkey
+                           and s.s_nationkey = c.c_nationkey
+            where r.r_name = 'ASIA'
+              and o.o_orderdate >= timestamp '1996-01-01'
+              and o.o_orderdate < timestamp '1997-01-01'
+            group by n.n_name
+            order by revenue_cents desc, n.n_name
+        """,
         "chunk_documents": _chunk_oracle_sql(),
         "pack_sequences": _pack_oracle_sql(),
         "url_canonical_domains": _url_canonical_oracle_sql(),

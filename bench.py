@@ -259,7 +259,8 @@ def main():
              "image_dhash_pairs", "image_dup_clusters", "audio_afp_pairs",
              "bloom_membership",
              "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",
-             "anchor_text_profile", "sitemap_seed_rollup"]
+             "anchor_text_profile", "sitemap_seed_rollup",
+             "tpch_q3_shipping", "tpch_q5_local_supplier"]
     qs = em.queries()
 
     def _force(df):

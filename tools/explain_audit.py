@@ -174,6 +174,21 @@ AUDITS = {
                 "per sitemap payload (50k-URL cap by spec bounds row "
                 "work); rollup is a plain partial+final agg",
     },
+    "tpch_q3_shipping": {
+        "expect": ["BroadcastHashJoin", "TakeOrderedAndProject",
+                   "HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "MapInPandas"],
+        "note": "TPC-H Q3 shape: segment dim broadcasts, fact join "
+                "co-keyed on l_orderkey, top-10 never global-sorts",
+    },
+    "tpch_q5_local_supplier": {
+        "expect": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "MapInPandas"],
+        "note": "TPC-H Q5 shape: all four dims broadcast; the only "
+                "shuffles are orders-lineitem and the nation rollup",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
