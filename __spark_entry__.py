@@ -4335,6 +4335,95 @@ _SITEMAP_ORACLE = """
 """
 
 
+def q_h3_compact_cells(spark, sf_dir):
+    """H3 cell-set compaction (operators/h3compact.py, public H3 API):
+    complete sibling groups collapse into parents, cascading toward
+    res 0 — the 5-7x row reduction every polyfill interior gets. The
+    input is a bit-constructed synthetic res-3 set (base/digits from
+    doc_id arithmetic, the 12 pentagon bases excluded so expected
+    sibling count is uniformly 7; docs with doc_id%4==0 plant a FULL
+    7-child group): the compaction itself — parent bit math, sibling
+    completeness, multi-level cascade — is then replayed exactly in
+    DuckDB with three chained group-having CTEs, so a one-bit parent
+    error or a missed/false promotion flips the hash. Geometry-true
+    compaction (pentagon 6-child groups, polyfill round-trips) is
+    property-gated in tests/test_h3compact.py."""
+    from pyspark.sql import functions as F
+
+    from osc_geo_h3grid_srv_spark.operators.h3compact import (
+        _res_expr, compact_cells_df)
+    pents = [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+    docs = _t(spark, sf_dir, "documents") \
+        .filter(~(F.col("doc_id") % 122).isin(pents))
+    d3 = (F.col("doc_id") * 5 + 1) % 7
+    d3s = F.when(F.col("doc_id") % 4 == 0,
+                 F.array(*[F.lit(i) for i in range(7)])) \
+        .otherwise(F.array(d3))
+    fixed = (1 << 59) | (3 << 52) | 0xFFFFFFFFF
+    cells = docs.select(
+        (F.col("doc_id") % 122).alias("b"),
+        (F.col("doc_id") % 7).alias("d1"),
+        ((F.col("doc_id") * 3) % 7).alias("d2"),
+        F.explode(d3s).alias("d3")).select(
+        (F.lit(fixed)
+         .bitwiseOR(F.shiftleft(F.col("b").cast("long"), 45))
+         .bitwiseOR(F.shiftleft(F.col("d1").cast("long"), 42))
+         .bitwiseOR(F.shiftleft(F.col("d2").cast("long"), 39))
+         .bitwiseOR(F.shiftleft(F.col("d3").cast("long"), 36)))
+        .alias("cell"))
+    out = compact_cells_df(cells)
+    return out.select(F.lower(F.hex(F.col("cell"))).alias("cell_hex"),
+                      _res_expr(F.col("cell")).cast("int").alias("res"))
+
+
+_H3_COMPACT_ORACLE = """
+    with d as (
+        select doc_id from documents
+        where (doc_id % 122) not in
+              (4,14,24,38,49,58,63,72,83,97,107,117)),
+    raw as materialized (
+        select distinct
+               ((1::bigint << 59) | (3::bigint << 52)
+                | 68719476735::bigint
+                | ((doc_id % 122)::bigint << 45)
+                | ((doc_id % 7)::bigint << 42)
+                | (((doc_id * 3) % 7)::bigint << 39)
+                | (u::bigint << 36)) as cell
+        from d, unnest(case when doc_id % 4 = 0
+                            then [0, 1, 2, 3, 4, 5, 6]
+                            else [(doc_id * 5 + 1) % 7] end) as t(u)),
+    p3 as materialized (
+        select cell, ((cell & ~(15::bigint << 52)) | (2::bigint << 52)
+                      | (7::bigint << 36)) as par from raw),
+    f3 as materialized (
+        select par from p3 group by par having count(*) = 7),
+    k3 as (select cell from p3
+           where par not in (select par from f3)),
+    p2 as materialized (
+        select par as cell,
+               ((par & ~(15::bigint << 52)) | (1::bigint << 52)
+                | (7::bigint << 39)) as par2 from f3),
+    f2 as materialized (
+        select par2 from p2 group by par2 having count(*) = 7),
+    k2 as (select cell from p2
+           where par2 not in (select par2 from f2)),
+    p1 as materialized (
+        select par2 as cell,
+               ((par2 & ~(15::bigint << 52))
+                | (7::bigint << 42)) as par1 from f2),
+    f1 as materialized (
+        select par1 from p1 group by par1 having count(*) = 7),
+    k1 as (select cell from p1
+           where par1 not in (select par1 from f1)),
+    c0 as (select par1 as cell from f1),
+    allc as (select cell from k3 union all select cell from k2
+             union all select cell from k1
+             union all select cell from c0)
+    select printf('%x', cell) as cell_hex,
+           ((cell >> 52) & 15)::int as res from allc
+"""
+
+
 def q_frontier_timeline(spark, sf_dir):
     """crawl politeness TIMELINE: the frontier schedule joined with
     robots.txt Crawl-delay values parsed from synthesized bodies —
@@ -4609,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed_rollup": q_sitemap_seed_rollup,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "h3_compact_cells": q_h3_compact_cells,
         # -- block 3: driver-green in r2/r3, rotated past the window -
         "radius_reference": q_radius_reference,
         "bbox_filter": q_bbox_filter,
@@ -5263,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": _cdc_oracle_sql(),
         "anchor_text_profile": _ANCHOR_PROFILE_ORACLE,
         "sitemap_seed_rollup": _SITEMAP_ORACLE,
+        "h3_compact_cells": _H3_COMPACT_ORACLE,
         "tpch_q3_shipping": """
             select l.l_orderkey,
                    strftime(o.o_orderdate, '%Y-%m-%d') as o_orderdate,

@@ -260,7 +260,8 @@ def main():
              "bloom_membership",
              "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",
              "anchor_text_profile", "sitemap_seed_rollup",
-             "tpch_q3_shipping", "tpch_q5_local_supplier"]
+             "tpch_q3_shipping", "tpch_q5_local_supplier",
+             "h3_compact_cells"]
     qs = em.queries()
 
     def _force(df):

@@ -1342,3 +1342,81 @@ def polyfill_candidates(lat_min, lat_max, lng_min, lng_max, res,
     LA, LO = np.meshgrid(lats, lngs, indexing="ij")
     cells = latlng_to_cell(LA.ravel(), LO.ravel(), res)
     return np.unique(cells)
+
+
+# ---------------------------------------------------------------------------
+# compact / uncompact (public H3 API: lossless cell-set compression)
+# ---------------------------------------------------------------------------
+
+def pentagon_cells(res):
+    """the 12 pentagon cells at `res` (center-digit chains of the
+    pentagonal base cells)."""
+    bc = PENTAGON_BASE_CELLS.astype(np.uint64)
+    h = np.full(bc.shape, _H3_MODE_CELL, dtype=np.uint64)
+    h |= np.uint64(res) << _RES_SHIFT
+    h |= bc << _BC_SHIFT
+    for r in range(1, 16):
+        if r > res:
+            h |= np.uint64(7) << np.uint64((15 - r) * 3)
+    return h
+
+
+def cell_to_children(h, child_res):
+    """all descendants of each cell at `child_res` (pentagon cells
+    have 6 children — digit 1 is the deleted subsequence). Vectorized
+    level-by-level expansion; accepts mixed input resolutions."""
+    work = np.asarray(h, dtype=np.uint64).ravel()
+    if (get_resolution(work) > child_res).any():
+        raise ValueError("cell_to_children: cell finer than child_res")
+    done = [work[get_resolution(work) == child_res]]
+    work = work[get_resolution(work) < child_res]
+    while len(work):
+        res = get_resolution(work).astype(np.uint64)
+        pent = is_pentagon(work)
+        digs = np.tile(np.arange(7, dtype=np.uint64), len(work))
+        mask = np.ones((len(work), 7), dtype=bool)
+        mask[pent, 1] = False
+        par = np.repeat(work, 7)[mask.ravel()]
+        digs = digs[mask.ravel()]
+        newres = np.repeat(res + np.uint64(1), 7)[mask.ravel()]
+        shift = (np.uint64(15) - newres) * np.uint64(3)
+        child = (par & ~(np.uint64(0xF) << _RES_SHIFT)) \
+            | (newres << _RES_SHIFT)
+        child = (child & ~(np.uint64(7) << shift)) | (digs << shift)
+        at = get_resolution(child) == child_res
+        done.append(child[at])
+        work = child[~at]
+    return np.concatenate(done) if done else work
+
+
+def compact_cells(cells):
+    """lossless set compression: any complete sibling group (7
+    children; 6 for a pentagon parent) is replaced by its parent,
+    cascading to res 0. Input cells must be distinct-able and
+    non-overlapping (no cell an ancestor of another); output covers
+    exactly the same area in the fewest cells."""
+    cur = np.unique(np.asarray(cells, dtype=np.uint64))
+    out = []
+    for r in range(15, 0, -1):
+        res = get_resolution(cur)
+        at_r = cur[res == r]
+        rest = cur[res != r]
+        if len(at_r) == 0:
+            cur = rest
+            continue
+        par = cell_to_parent(at_r, r - 1)
+        upar, inv, counts = np.unique(par, return_inverse=True,
+                                      return_counts=True)
+        need = np.where(is_pentagon(upar), 6, 7)
+        full = counts >= need
+        out.append(at_r[~full[inv]])
+        cur = np.unique(np.concatenate([rest, upar[full]])) \
+            if full.any() else rest
+    out.append(cur)
+    return np.unique(np.concatenate(out))
+
+
+def uncompact_cells(cells, res):
+    """inverse of compact_cells: expand every cell to its descendants
+    at `res` (identity for cells already at `res`)."""
+    return np.unique(cell_to_children(cells, res))

@@ -189,6 +189,18 @@ AUDITS = {
         "note": "TPC-H Q5 shape: all four dims broadcast; the only "
                 "shuffles are orders-lineitem and the nation rollup",
     },
+    "h3_compact_cells": {
+        # plan shown is the hex-render projection past the final
+        # localCheckpoint: the per-level shape (groupBy(parent) +
+        # co-keyed anti-join) is gated by the kernel-parity pytest
+        "expect": ["Project"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "rangepartitioning"],
+        "note": "H3 compaction: parent derivation is JVM bit math; "
+                "each level is one parent-keyed count + anti-join, "
+                "never Python, never a sort",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
