@@ -261,7 +261,7 @@ def main():
              "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",
              "anchor_text_profile", "sitemap_seed_rollup",
              "tpch_q3_shipping", "tpch_q5_local_supplier",
-             "h3_compact_cells"]
+             "h3_compact_cells", "triangle_counts_links"]
     qs = em.queries()
 
     def _force(df):

@@ -138,3 +138,57 @@ def hits(edges: DataFrame, num_iter: int = 5, round_digits: int = 9,
                      .select("node", F.coalesce("hub", F.lit(0.0))
                              .alias("hub")), "hub")
     return hubs.join(auth, "node").select("node", "hub", "auth")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """per-node triangle counts over the UNDIRECTED version of the
+    graph — the standard local clustering signal (spam link farms are
+    triangle-dense; organic link neighborhoods are sparse). Returns
+    (node, n_triangles) for nodes in >=1 triangle.
+
+    Scale shape (the published degree-ordered edge-iterator): every
+    undirected edge is oriented from its lower (degree, id) endpoint
+    to the higher, so a node's out-neighborhood in the oriented graph
+    has at most O(sqrt(|E|)) members regardless of how skewed the real
+    degree distribution is — the wedge join's per-key fan-out is
+    bounded and the hub-node quadratic blowup of the naive
+    neighbor-join never happens. Three narrow exchanges total: the
+    degree count, the wedge equi-join on the pivot, and the closing
+    edge equi-join on the (a, b) pair."""
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("a"),
+                 F.greatest("u", "v").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("node").alias("a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"),
+                    F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    lo_first = (F.struct(F.col("deg_a"), F.col("a"))
+                < F.struct(F.col("deg_b"), F.col("b")))
+    oe = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+        .alias("deg_hi")).localCheckpoint(eager=True)
+    x = oe.select(F.col("lo").alias("pivot"), F.col("hi").alias("n1"),
+                  F.col("deg_hi").alias("dn1"))
+    y = oe.select(F.col("lo").alias("pivot"), F.col("hi").alias("n2"),
+                  F.col("deg_hi").alias("dn2"))
+    wedges = (x.join(y, "pivot")
+              .filter(F.struct(F.col("dn1"), F.col("n1"))
+                      < F.struct(F.col("dn2"), F.col("n2"))))
+    closed = wedges.join(
+        oe.select(F.col("lo").alias("n1"), F.col("hi").alias("n2")),
+        ["n1", "n2"], "left_semi")
+    per_node = (closed.select(F.explode(F.array("pivot", "n1", "n2"))
+                              .alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").cast("bigint").alias("n_triangles")))
+    return per_node

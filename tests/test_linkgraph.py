@@ -127,3 +127,50 @@ def test_hits_multi_edges_deduplicated(spark):
     a = _run_hits(spark, [(0, 1), (0, 1), (1, 2)])
     b = _run_hits(spark, [(0, 1), (1, 2)])
     assert a == b
+
+
+# -- triangles -------------------------------------------------------------
+
+def _brute_triangles(edges):
+    adj = {}
+    und = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        und.add((min(u, v), max(u, v)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a<b<c once per triangle needs a<b which und has
+                if a < b < c:
+                    for n in (a, b, c):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        triangle_counts)
+    rs = np.random.RandomState(17)
+    edges = [(int(rs.randint(0, 25)), int(rs.randint(0, 25)))
+             for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_star_plus_triangle(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        triangle_counts)
+    # a hub star (no triangles) plus one planted triangle through the
+    # hub; duplicate/reversed edges must not double-count
+    edges = ([(0, i) for i in range(1, 12)]
+             + [(1, 2), (2, 1), (1, 2)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

@@ -201,6 +201,14 @@ AUDITS = {
                 "each level is one parent-keyed count + anti-join, "
                 "never Python, never a sort",
     },
+    "triangle_counts_links": {
+        "expect": ["HashAggregate", "LeftSemi"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+        "note": "triangles: degree-ordered orientation bounds the "
+                "wedge join fan-out; closing edges via a narrow "
+                "left-semi join, all-relational",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
