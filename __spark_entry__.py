@@ -4380,6 +4380,49 @@ _SITEMAP_ORACLE = """
 """
 
 
+def q_weighted_sample_by_lang(spark, sf_dir):
+    """exact-k weighted training-mix draw (operators/sampling.py
+    weighted_sample_by_group, Efraimidis-Spirakis A-ES): 5 docs per
+    language, weighted by document length, from deterministic md5
+    uniforms — the same rows win on every re-run and engine (the
+    ln(u)/w rank key is rounded to 9 digits so a libm last-bit
+    difference can never flip a selection). Oracle replays the
+    identical uniforms, key, and ranked cut in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from osc_geo_h3grid_srv_spark.operators.sampling import (
+        weighted_sample_by_group)
+    docs = _t(spark, sf_dir, "documents") \
+        .withColumn("w", F.length("text"))
+    out = weighted_sample_by_group(docs, k=5, group_col="lang",
+                                   weight_col="w", key_col="doc_id",
+                                   salt="wrs1")
+    return out.select("lang", "doc_id",
+                      F.col("sample_rank").cast("int")
+                      .alias("sample_rank"))
+
+
+def _weighted_sample_oracle_sql():
+    hexp = _hex8_to_num_sql("md5('wrs1|' || doc_id)")
+    return f"""
+        with d as (
+            select lang, doc_id, length(text)::double as w
+            from documents where length(text) > 0),
+        kx as (
+            select lang, doc_id,
+                   round(ln(({hexp} + 1.0) / 4294967296.0) / w, 9)
+                       as wkey
+            from d),
+        r as (
+            select lang, doc_id,
+                   row_number() over (partition by lang
+                       order by wkey desc, doc_id asc) as sample_rank
+            from kx)
+        select lang, doc_id, sample_rank::int as sample_rank
+        from r where sample_rank <= 5
+    """
+
+
 def q_h3_compact_cells(spark, sf_dir):
     """H3 cell-set compaction (operators/h3compact.py, public H3 API):
     complete sibling groups collapse into parents, cascading toward
@@ -4707,7 +4750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip_ingest": q_warc_roundtrip_ingest,
         "incremental_ingest_dedup": q_incremental_ingest_dedup,
         # kernel-backed (rows-only checks; golden-vector gates in tests/)
-        "h3_index_documents": q_h3_index_documents,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -4739,11 +4781,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed_rollup": q_sitemap_seed_rollup,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "h3_compact_cells": q_h3_compact_cells,
         "triangle_counts_links": q_triangle_counts,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
         # ORACLE-gated entry above gets a driver-issued hash row
+        "h3_index_documents": q_h3_index_documents,
         "pages_index_pipeline": q_pages_index_pipeline,
         "polyfill_region_cells": q_polyfill_region_cells,
         "kring_cells": q_kring_cells,
@@ -5403,6 +5447,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_profile": _ANCHOR_PROFILE_ORACLE,
         "sitemap_seed_rollup": _SITEMAP_ORACLE,
         "h3_compact_cells": _H3_COMPACT_ORACLE,
+        "weighted_sample_by_lang": _weighted_sample_oracle_sql(),
         "triangle_counts_links": _triangle_oracle_sql(),
         "tpch_q3_shipping": """
             select l.l_orderkey,

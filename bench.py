@@ -261,7 +261,8 @@ def main():
              "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",
              "anchor_text_profile", "sitemap_seed_rollup",
              "tpch_q3_shipping", "tpch_q5_local_supplier",
-             "h3_compact_cells", "triangle_counts_links"]
+             "h3_compact_cells", "triangle_counts_links",
+             "weighted_sample_by_lang"]
     qs = em.queries()
 
     def _force(df):

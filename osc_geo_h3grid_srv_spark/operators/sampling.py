@@ -66,3 +66,45 @@ def stratified_mix(df: DataFrame, strata_col: str,
     return (df.join(F.broadcast(mix), on=strata_col, how="inner")
             .filter(_hash_col(key_col, salt) < F.col("__thr"))
             .drop("__thr"))
+
+
+def weighted_sample_by_group(df: DataFrame, k: int, group_col: str,
+                             weight_col: str, key_col: str,
+                             salt: str = "wrs1",
+                             round_digits: int = 9) -> DataFrame:
+    """exact-k weighted sampling WITHOUT replacement per group
+    (Efraimidis-Spirakis A-ES, public algorithm): each row draws a
+    deterministic uniform u from md5(salt|key) and ranks by
+    ln(u)/weight — the top-k per group is a weighted-without-
+    replacement draw, and the SAME rows win on every re-run, engine,
+    and executor. This complements deterministic_sample (rate-based,
+    size varies) when the mix recipe demands exactly k docs per
+    stratum regardless of stratum size.
+
+    Engine portability: u = (h + 1) / 2^32 with h the first-8-hex-
+    digit integer of the md5 (u in (0,1], never ln(0)); the rank key
+    is ROUNDED to `round_digits` before ordering (ties then break on
+    the sample key) so a last-bit libm difference in ln() between
+    engines can never flip a selection — the same rounding discipline
+    that pins the iterative oracles.
+
+    Scale shape: one codegen projection computes the key; the only
+    exchange is the per-group window (hash-partitioned by group; k and
+    the per-group candidate count bound its state). Weights must be
+    > 0 — rows with weight <= 0 or NULL are dropped (can never win a
+    weighted draw)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+    h = F.conv(_hash_col(key_col, salt), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(_HEX_SPAN))
+    wkey = F.round(F.log(u) / F.col(weight_col).cast("double"),
+                   round_digits)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__wkey").desc(), F.col(key_col).asc())
+    return (df.filter(F.col(weight_col).cast("double") > 0)
+            .withColumn("__wkey", wkey)
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .drop("__wkey")
+            .withColumnRenamed("__rank", "sample_rank"))

@@ -198,3 +198,46 @@ def test_normalize_text_expr_folds(spark):
         "id", normalize_text_expr("t").alias("c")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_weighted_sample_by_group_properties(spark):
+    """A-ES weighted sampling: exact k per group, determinism across
+    re-runs, weight monotonicity in aggregate (heavier rows win far
+    more often across independent salts), zero/negative weights never
+    selected."""
+    import hashlib
+    import math
+
+    from osc_geo_h3grid_srv_spark.operators.sampling import (
+        weighted_sample_by_group)
+    rows = [(i, "g", 100.0 if i < 5 else 1.0) for i in range(50)]
+    rows += [(100 + i, "h", 1.0) for i in range(3)]  # group smaller than k
+    rows += [(200, "z", 0.0), (201, "z", -2.0), (202, "z", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = weighted_sample_by_group(df, 4, "lang", "w", "doc_id")
+    got = {(r["lang"], r["doc_id"]): r["sample_rank"]
+           for r in out.collect()}
+    by_g = sorted(d for (g, d) in got if g == "g")
+    assert len(by_g) == 4
+    assert len([1 for (g, _) in got if g == "h"]) == 3  # all of small grp
+    assert [(d) for (g, d) in got if g == "z"] == [202]  # w<=0 dropped
+    # deterministic re-run
+    got2 = {(r["lang"], r["doc_id"]): r["sample_rank"]
+            for r in weighted_sample_by_group(
+                df, 4, "lang", "w", "doc_id").collect()}
+    assert got == got2
+    # python replica: same winners (engine parity of the exact formula)
+    def key(i, w, salt="wrs1"):
+        h = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / 16 ** 8) / w, 9)
+    want = sorted(((i, w) for i, g, w in rows if g == "g"),
+                  key=lambda t: (-key(t[0], t[1]), t[0]))[:4]
+    assert by_g == sorted(i for i, _ in want)
+    # heavy rows dominate across 30 independent salts
+    heavy_wins = 0
+    for s in range(30):
+        sel = {r["doc_id"] for r in weighted_sample_by_group(
+            df.filter("lang = 'g'"), 4, "lang", "w", "doc_id",
+            salt=f"s{s}").collect()}
+        heavy_wins += len(sel & {0, 1, 2, 3, 4})
+    assert heavy_wins > 30 * 4 * 0.6  # 100x weight ≈ always wins

@@ -209,6 +209,15 @@ AUDITS = {
                 "wedge join fan-out; closing edges via a narrow "
                 "left-semi join, all-relational",
     },
+    "weighted_sample_by_lang": {
+        "expect": ["Window", "HashAggregate|Project"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "rangepartitioning"],
+        "note": "A-ES weighted draw: key is one codegen projection; "
+                "the only exchange is the per-group window (hash-"
+                "partitioned, no global sort)",
+    },
     "hits_scores": {
         # plan seen here is the final hub<->auth join past the last
         # localCheckpoint; each iteration is two co-keyed joins + two
