@@ -4438,9 +4438,13 @@ def q_h3_compact_cells(spark, sf_dir):
     property-gated in tests/test_h3compact.py."""
     from pyspark.sql import functions as F
 
+    from osc_geo_h3grid_srv_spark.functions.h3core import (
+        PENTAGON_BASE_CELLS)
     from osc_geo_h3grid_srv_spark.operators.h3compact import (
         _res_expr, compact_cells_df)
-    pents = [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+    # the DuckDB oracle string keeps its own literal copy (engine
+    # independence); the Spark side imports the canonical table
+    pents = [int(b) for b in PENTAGON_BASE_CELLS]
     docs = _t(spark, sf_dir, "documents") \
         .filter(~(F.col("doc_id") % 122).isin(pents))
     d3 = (F.col("doc_id") * 5 + 1) % 7

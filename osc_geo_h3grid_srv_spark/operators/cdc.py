@@ -52,10 +52,18 @@ from ..functions.text import mix64
 _GEAR_SEED = 0x9E2D_CDC0
 
 
+_GEAR_CACHE = None
+
+
 def gear_table() -> np.ndarray:
-    return (mix64(np.arange(256, dtype=np.uint64)
-                  + np.uint64(_GEAR_SEED))
-            & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # cached: _chunk_positions runs once per DOCUMENT — rebuilding a
+    # constant 256-entry table per row is pure redundant work
+    global _GEAR_CACHE
+    if _GEAR_CACHE is None:
+        _GEAR_CACHE = (mix64(np.arange(256, dtype=np.uint64)
+                             + np.uint64(_GEAR_SEED))
+                       & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return _GEAR_CACHE
 
 
 def gear_table_sql_values() -> str:

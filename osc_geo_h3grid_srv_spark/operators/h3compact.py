@@ -50,8 +50,7 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell") -> DataFrame:
     the same contract as the public H3 API."""
     cur = df.select(F.col(cell_col).alias("cell")).distinct() \
         .localCheckpoint(eager=True)
-    bounds = cur.agg(F.max(_res_expr(F.col("cell"))).alias("hi"),
-                     F.min(_res_expr(F.col("cell"))).alias("lo")) \
+    bounds = cur.agg(F.max(_res_expr(F.col("cell"))).alias("hi")) \
         .collect()[0]
     if bounds["hi"] is None:
         return cur
@@ -78,6 +77,13 @@ def uncompact_cells_df(df: DataFrame, res: int,
     level, child derivation in JVM bit math, pentagon cells (fixed
     literal set per level) skip the deleted digit 1."""
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
+    # same contract as the NumPy kernel: cells finer than the target
+    # are an error, not a silent passthrough into a mixed-res output
+    n_finer = cur.filter(_res_expr(F.col("cell")) > res).limit(1).count()
+    if n_finer:
+        raise ValueError(
+            f"uncompact_cells_df: input contains cells finer than "
+            f"res {res}")
     for r in range(0, res):
         c = F.col("cell")
         is_coarser = _res_expr(c) == r

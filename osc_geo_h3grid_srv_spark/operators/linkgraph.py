@@ -106,6 +106,8 @@ def hits(edges: DataFrame, num_iter: int = 5, round_digits: int = 9,
     chained-CTE replay reaches identical values (IEEE sqrt/divide are
     correctly rounded in both engines; rounding absorbs distributed
     summation order)."""
+    if num_iter <= 0:
+        raise ValueError(f"num_iter must be positive, got {num_iter}")
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .distinct().localCheckpoint(eager=True))

@@ -119,6 +119,12 @@ def sitemap_urls(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    # failed fetch upstream: honor the never-fail
+                    # contract with a quarantine row, not a TypeError
+                    rows.append((int(sid), None, None, None, None,
+                                 None, "sitemap: null payload"))
+                    continue
                 try:
                     is_index, parsed = parse_sitemap(bytes(payload))
                     for r in parsed:
