@@ -54,6 +54,10 @@ QUERIES = [
     "dsir_selection", "minhash_lsh_pairs", "simhash_pairs",
     "contamination_flags", "domain_rollup", "bigram_lm_scores",
     "span_dedup_removal",
+    # round-4 additions (all scale with the documents table: edges /
+    # chunks / anchors grow linearly with the amplified corpus)
+    "hits_scores", "triangle_counts_links", "cdc_chunk_dedup",
+    "anchor_text_profile",
 ]
 
 
