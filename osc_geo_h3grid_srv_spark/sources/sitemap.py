@@ -104,39 +104,51 @@ def parse_sitemap(buf: bytes) -> tuple[bool, list[dict]]:
 
 
 def sitemap_urls(df: DataFrame, payload_col: str = "payload",
-                 id_col: str = "sitemap_id") -> DataFrame:
+                 id_col: str = "sitemap_id",
+                 carry_cols: tuple = ()) -> DataFrame:
     """one row per declared URL: (sitemap_id, loc, lastmod, changefreq,
     priority, is_index, error). Malformed payloads yield ONE quarantine
     row (loc NULL, error set) so every input is accounted for. Index
     files' children come back with is_index=true — the caller feeds
     those locs into the next fetch round (sitemap trees are fetched
-    level by level; this operator is one level's parse)."""
+    level by level; this operator is one level's parse).
+
+    `carry_cols` passes input columns through the mapInPandas schema
+    unchanged — streaming callers carry the fetch timestamp this way
+    instead of joining it back (a stream-stream self-join holds
+    unbounded state)."""
+    carry = [c for c in carry_cols]
     schema = (f"{id_col} long, loc string, lastmod string, "
               "changefreq string, priority double, is_index boolean, "
-              "error string")
+              "error string") + "".join(
+        f", {df.schema[c].name} {df.schema[c].dataType.simpleString()}"
+        for c in carry)
 
     def gen(batches):
         for pdf in batches:
             rows = []
-            for sid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for sid, payload, *extras in zip(
+                    pdf[id_col], pdf[payload_col],
+                    *(pdf[c] for c in carry)):
                 if payload is None:
                     # failed fetch upstream: honor the never-fail
                     # contract with a quarantine row, not a TypeError
                     rows.append((int(sid), None, None, None, None,
-                                 None, "sitemap: null payload"))
+                                 None, "sitemap: null payload",
+                                 *extras))
                     continue
                 try:
                     is_index, parsed = parse_sitemap(bytes(payload))
                     for r in parsed:
                         rows.append((int(sid), r["loc"], r["lastmod"],
                                      r["changefreq"], r["priority"],
-                                     is_index, None))
+                                     is_index, None, *extras))
                 except SitemapParseError as e:
                     rows.append((int(sid), None, None, None, None,
-                                 None, str(e)))
+                                 None, str(e), *extras))
             yield pd.DataFrame(rows, columns=[
                 id_col, "loc", "lastmod", "changefreq", "priority",
-                "is_index", "error"])
+                "is_index", "error", *carry])
 
-    return df.select(id_col, payload_col).mapInPandas(gen,
-                                                      schema=schema)
+    return df.select(id_col, payload_col, *carry).mapInPandas(
+        gen, schema=schema)
