@@ -402,6 +402,61 @@ def _emb_blocked_oracle_sql():
     """
 
 
+_SEMDEDUP_EPS = 0.3
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2303.09540,
+    operators/semdedup.py): assign every embedding to its nearest seed
+    centroid (the _ivf_centroids literals, shared with
+    ivf_assign_counts), pair up same-cluster vectors with cosine >=
+    eps via a cluster-keyed equi self-join (never a crossJoin), and
+    prune the pair member CLOSER to its centroid (keep-low-centroid-
+    similarity, id tie-break). The oracle replays the identical
+    centroid literals, argmax, per-cluster pair join, and loser rule
+    in DuckDB, so assignment, candidate generation, AND the kept set
+    are all value-hash-gated."""
+    from osc_geo_h3grid_srv_spark.operators.semdedup import (
+        semdedup_prune)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, _ivf_centroids(), eps=_SEMDEDUP_EPS)
+
+
+def _semdedup_oracle_sql():
+    C = _ivf_centroids()
+    eps = _SEMDEDUP_EPS
+    dots = []
+    for i, c in enumerate(C):
+        lit = ", ".join(f"cast('{float(x)!r}' as double)" for x in c)
+        dots.append(f"list_dot_product(v, [{lit}]) as d{i}")
+    whens = " ".join(f"when d{i} = m then {i}" for i in range(len(C)))
+    return f"""
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    d as (select vec_id, v, {', '.join(dots)} from e),
+    m as (select *, greatest({', '.join(f'd{i}' for i in range(len(C)))})
+              as m from d),
+    a as (select vec_id, v,
+                 sqrt(list_inner_product(v, v)) as n,
+                 case {whens} end as cluster,
+                 round(m / sqrt(list_inner_product(v, v)), 9) as cc
+          from m),
+    pr as (select x.vec_id as id_a, y.vec_id as id_b,
+                  x.cc as cc_a, y.cc as cc_b
+           from a x join a y
+             on x.cluster = y.cluster and x.vec_id < y.vec_id
+           where round(list_inner_product(x.v, y.v)
+                       / (x.n * y.n), 6) >= {eps}),
+    losers as (select distinct
+                   case when cc_a > cc_b
+                             or (cc_a = cc_b and id_a > id_b)
+                        then id_a else id_b end as loser
+               from pr)
+    select a.vec_id, a.cluster, a.cc as centroid_cos,
+           (loser is null) as kept
+    from a left join losers on a.vec_id = losers.loser
+    """
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     """general agg capability anchor (TPC-H Q1 shape); money sums taken
     over exact integer cents."""
@@ -3164,6 +3219,67 @@ def _triangle_oracle_sql():
 _HITS_ITER = 4
 
 
+_LPA_BLOCK, _LPA_ITER = 20, 4
+
+
+def q_lpa_communities(spark, sf_dir):
+    """community detection: synchronous label propagation (Raghavan et
+    al., operators/linkgraph.py) over a deterministic block-circulant
+    link graph (doc i links to the next 1 and 2 positions around its
+    20-doc block ring — disjoint communities the labeling must
+    recover). Integer-only state: the winner per round is the most
+    frequent neighbor label with ties to the smallest label, so the
+    DuckDB replay of the same 4 rounds as chained materialized CTEs
+    (window row_number winner) is exact — a third fully
+    value-hash-gated iterative distributed algorithm next to PageRank
+    and HITS."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        label_propagation)
+    docs = _t(spark, sf_dir, "documents")
+    B = _LPA_BLOCK
+    off = F.col("doc_id") % B
+    start = F.col("doc_id") - off
+    parts = [docs.select(F.col("doc_id").alias("src"),
+                         (start + (off + m) % B).alias("dst"))
+             for m in (1, 2)]
+    edges = parts[0].union(parts[1])
+    return label_propagation(edges, num_iter=_LPA_ITER)
+
+
+def _lpa_oracle_sql():
+    B, k = _LPA_BLOCK, _LPA_ITER
+    arms = " union all ".join(
+        f"select doc_id as src, doc_id - (doc_id % {B}) "
+        f"+ ((doc_id % {B} + {m}) % {B}) as dst from documents"
+        for m in (1, 2))
+    ctes = [
+        f"e as materialized (select src, dst from ({arms}) "
+        f"where src <> dst)",
+        "sym as materialized (select distinct node, nbr from ("
+        "select src as node, dst as nbr from e "
+        "union all select dst as node, src as nbr from e))",
+        "nodes as materialized (select distinct node from sym)",
+        "l0 as materialized (select node, node as label from nodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"v{i} as materialized (select s.node, l.label as lbl, "
+            f"count(*) as c from sym s join l{i - 1} l "
+            f"on s.nbr = l.node group by 1, 2)")
+        ctes.append(
+            f"w{i} as materialized (select node, lbl, row_number() "
+            f"over (partition by node order by c desc, lbl asc) as rn "
+            f"from v{i})")
+        ctes.append(
+            f"l{i} as materialized (select n.node, "
+            f"coalesce(w.lbl, n.node) as label from nodes n left join "
+            f"(select node, lbl from w{i} where rn = 1) w "
+            f"on n.node = w.node)")
+    return ("with " + ", ".join(ctes)
+            + f" select node, label from l{k}")
+
+
 def q_hits_scores(spark, sf_dir):
     """link-graph analytics: HITS hubs-and-authorities (Kleinberg,
     operators/linkgraph.py) over the SAME deterministic synthetic link
@@ -4845,6 +4961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlink_profile": q_inlink_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
         "normalize_text": q_normalize_text,
+        # -- block 4: added after the round-4 gate window filled ------
+        "semdedup_prune": q_semdedup_prune,
+        "lpa_communities": q_lpa_communities,
     }
 
 
@@ -5149,6 +5268,8 @@ def oracle_sql() -> dict[str, str]:
         "inlink_profile": _INLINK_ORACLE,
         "winnow_fingerprints": _winnow_oracle_sql(),
         "normalize_text": _normalize_oracle_sql(),
+        "semdedup_prune": _semdedup_oracle_sql(),
+        "lpa_communities": _lpa_oracle_sql(),
         "hll_token_distinct": _hll_oracle_sql(),
         "cms_term_frequencies": _cms_oracle_sql(),
         "pq_code_hist": _pq_hist_oracle_sql(),

@@ -142,6 +142,61 @@ def hits(edges: DataFrame, num_iter: int = 5, round_digits: int = 9,
     return hubs.join(auth, "node").select("node", "hub", "auth")
 
 
+def label_propagation(edges: DataFrame, num_iter: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """community detection by synchronous label propagation (Raghavan
+    et al. 2007, public algorithm) over the UNDIRECTED graph — the
+    cheap community signal web pipelines use to spot link farms /
+    mirror families (a community that is too dense or too uniform is a
+    spam cluster candidate). Returns (node, label): nodes sharing a
+    label after `num_iter` rounds are one community.
+
+    Determinism: updates are SYNCHRONOUS (every node recomputes from
+    the previous round's labels — no sequential scan order to pin) and
+    the per-node winner is max_by((count, -label)), i.e. the most
+    frequent neighbor label with ties to the SMALLEST label. Both
+    choices make the whole run a pure function of the edge set, so a
+    DuckDB replay of the same rounds as chained materialized CTEs
+    reaches the identical labeling — integer counts only, no FP state
+    at all.
+
+    Plan shape per round (holds at 10^11 edges): one co-keyed join
+    (symmetrized edges x labels on the neighbor id) + one
+    partial-aggregated groupBy((node, label)) + the per-node max_by
+    groupBy — nothing on the wire wider than (id, id, count). The
+    symmetrized edge list is materialized once (localCheckpoint);
+    labels re-checkpoint each round to truncate lineage. Nodes are the
+    edge endpoints (self-loops dropped), each starting as its own
+    label."""
+    if num_iter <= 0:
+        raise ValueError(f"num_iter must be positive, got {num_iter}")
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    sym = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(e.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr")))
+           .distinct().localCheckpoint(eager=True))
+    nodes = sym.select("node").distinct().localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(num_iter):
+        prev = labels.select(F.col("node").alias("__n"),
+                             F.col("label").alias("__l"))
+        votes = (sym.join(prev, sym.nbr == prev.__n)
+                 .groupBy("node", "__l")
+                 .agg(F.count("*").alias("__c")))
+        win = (votes.groupBy("node")
+               .agg(F.max_by("__l", F.struct(F.col("__c"),
+                                             -F.col("__l")))
+                    .alias("label")))
+        labels = (nodes.join(win, "node", "left")
+                  .select("node",
+                          F.coalesce(win.label, F.col("node"))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """per-node triangle counts over the UNDIRECTED version of the

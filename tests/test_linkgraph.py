@@ -174,3 +174,68 @@ def test_triangle_counts_star_plus_triangle(spark):
     got = {r["node"]: r["n_triangles"]
            for r in triangle_counts(df).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _brute_lpa(edges, num_iter):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(num_iter):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            # most frequent, ties to the smallest label
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        label_propagation)
+    rs = np.random.RandomState(23)
+    edges = [(int(rs.randint(0, 30)), int(rs.randint(0, 30)))
+             for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (1, 3, 5):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, num_iter=k).collect()}
+        assert got == _brute_lpa(edges, k), f"num_iter={k}"
+
+
+def test_label_propagation_recovers_blocks(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        label_propagation)
+    # two disjoint circulant blocks (+1/+2 chords — pure even rings
+    # oscillate under synchronous updates, the published LPA caveat):
+    # every node must end with its block's min label
+    edges = ([(i, (i + m) % 10) for i in range(10) for m in (1, 2)]
+             + [(100 + i, 100 + (i + m) % 10)
+                for i in range(10) for m in (1, 2)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, num_iter=12).collect()}
+    comm = {}
+    for n, l in got.items():
+        comm.setdefault(l, set()).add(n)
+    rings = sorted(frozenset(m) for m in comm.values())
+    assert rings == [frozenset(range(10)),
+                     frozenset(range(100, 110))]
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        label_propagation)
+    # node 2 sees labels {0, 1} once each after round 1 start: the
+    # tie must resolve to 0, never 1 (and never nondeterministically)
+    edges = [(0, 2), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, num_iter=1).collect()}
+    assert got[2] == 0

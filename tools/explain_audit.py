@@ -526,6 +526,26 @@ AUDITS = {
                 "must never contain a cross/nested-loop join; the "
                 "exact cosine re-rank is JVM fold arithmetic",
     },
+    "semdedup_prune": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "SemDeDup semantic dedup: centroid assignment is one "
+                "codegen projection (literal dot products), candidate "
+                "pairs come from a cluster-keyed EQUI self-join (never "
+                "a cross/nested-loop join), the kept set is a LeftAnti "
+                "against distinct losers — ids only on the wire",
+    },
+    "lpa_communities": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "rangepartitioning"],
+        "note": "label propagation: per round one co-keyed equi-join "
+                "(symmetrized edges x labels) + two partial-aggregated "
+                "groupBys; nothing wider than (id, id, count) on the "
+                "wire, integer-only state, no sort anywhere",
+    },
     "image_dhash_pairs": {
         "expect": ["MapInPandas", "bit_count"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
