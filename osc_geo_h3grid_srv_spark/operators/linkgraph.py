@@ -179,7 +179,7 @@ def label_propagation(edges: DataFrame, num_iter: int = 4,
            .distinct().localCheckpoint(eager=True))
     nodes = sym.select("node").distinct().localCheckpoint(eager=True)
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(num_iter):
+    for it in range(num_iter):
         prev = labels.select(F.col("node").alias("__n"),
                              F.col("label").alias("__l"))
         votes = (sym.join(prev, sym.nbr == prev.__n)
@@ -192,8 +192,12 @@ def label_propagation(edges: DataFrame, num_iter: int = 4,
         labels = (nodes.join(win, "node", "left")
                   .select("node",
                           F.coalesce(win.label, F.col("node"))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+                          .alias("label")))
+        # truncate lineage between rounds, but return the FINAL round
+        # un-checkpointed so callers (and the plan audit) see the real
+        # per-round plan shape instead of an opaque checkpoint scan
+        if it != num_iter - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

@@ -145,3 +145,79 @@ def top_fraction_by_group_approx(df: DataFrame, frac: float,
     return (df.join(F.broadcast(thr), group_col)
             .filter(F.col(score_col) >= F.col("__thr"))
             .drop("__thr"))
+
+
+# Gopher quality-rule thresholds (Rae et al. 2112.11446 Table A1,
+# public literature). The "stop words" list is the paper's own.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_hits: int = 2) -> DataFrame:
+    """the published Gopher rule filter (Rae et al., the public
+    heuristic-gate standard that MassiveWeb and its descendants apply
+    BEFORE any learned quality model): per document, the measured
+    signals and one boolean per rule plus the overall gate —
+
+      * word count within [min_words, max_words]
+      * mean word length within [min_mean_len, max_mean_len]
+      * '#'/ellipsis symbol-to-word ratio <= max_symbol_ratio
+      * fraction of words containing an alphabetic char >= min_alpha_frac
+      * at least min_stop_hits DISTINCT Gopher stop words present
+
+    Everything is ONE shuffle-free whole-stage-codegen projection over
+    the token array (split / size / aggregate / filter / rlike) — the
+    10^12-row gate is a map-only scan, exactly like quality_features.
+    Ratios are rounded to 6 digits BEFORE the threshold compare so the
+    DuckDB oracle replay and any re-run flip the same documents.
+
+    Returned flags: (doc_id, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stop_hits, pass_word_count, pass_mean_len,
+    pass_symbol, pass_alpha, pass_stopwords, gopher_pass)."""
+    t = text_col
+    toks = F.split(F.col(t), " ")
+    n_words = F.size(toks).cast("bigint")
+    nzw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.expr(f"aggregate(split({t}, ' '), cast(0 as bigint), "
+               "(acc, x) -> acc + length(x))") / nzw, 6)
+    n_sym = (F.length(t)
+             - F.length(F.regexp_replace(t, r"[#…]", ""))
+             ).cast("bigint")
+    sym_ratio = F.round(n_sym / nzw, 6)
+    n_alpha = F.expr(f"size(filter(split({t}, ' '), "
+                     "x -> x rlike '[a-zA-Z]'))").cast("bigint")
+    alpha_frac = F.round(n_alpha / nzw, 6)
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(array({stop_list}), "
+        f"s -> array_contains(split(lower({t}), ' '), s)))"
+    ).cast("bigint")
+    out = docs.select(
+        F.col(id_col), n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_hits"))
+    p_wc = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words))
+    p_ml = ((F.col("mean_word_len") >= min_mean_len)
+            & (F.col("mean_word_len") <= max_mean_len))
+    p_sy = F.col("symbol_ratio") <= max_symbol_ratio
+    p_al = F.col("alpha_word_frac") >= min_alpha_frac
+    p_st = F.col("n_stop_hits") >= min_stop_hits
+    return (out.withColumn("pass_word_count", p_wc)
+            .withColumn("pass_mean_len", p_ml)
+            .withColumn("pass_symbol", p_sy)
+            .withColumn("pass_alpha", p_al)
+            .withColumn("pass_stopwords", p_st)
+            .withColumn("gopher_pass",
+                        p_wc & p_ml & p_sy & p_al & p_st))

@@ -8,6 +8,8 @@ map-side projection — no exchange, no Python nodes.
 import math
 import re
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osc_geo_h3grid_srv_spark.operators.quality import (
@@ -141,4 +143,64 @@ def test_top_fraction_approx_plan_has_no_window(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                 "CartesianProduct"):
+        assert bad not in plan
+
+
+def _brute_gopher(docs):
+    import re
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    out = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        nw = len(toks)
+        nzw = max(nw, 1)
+        ml = round(sum(len(x) for x in toks) / nzw, 6)
+        sym = round((text.count("#") + text.count("…")) / nzw, 6)
+        al = round(sum(1 for x in toks
+                       if re.search("[a-zA-Z]", x)) / nzw, 6)
+        lo = text.lower().split(" ")
+        st = sum(1 for s in stop if s in lo)
+        flags = (50 <= nw <= 100000, 3.0 <= ml <= 10.0, sym <= 0.1,
+                 al >= 0.8, st >= 2)
+        out[did] = (nw, ml, sym, al, st, *flags, all(flags))
+    return out
+
+
+def test_gopher_flags_match_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        gopher_quality_flags)
+    docs = [
+        (1, " ".join(["the to of and word okay fine"] * 10)),  # passes
+        (2, "too short to pass the word count rule"),
+        (3, " ".join(["#!?"] * 60)),                # symbol+alpha fail
+        (4, " ".join(["supercalifragilistic"] * 60)),  # mean len fail
+        (5, " ".join(["zz qq ww ee rr"] * 12)),     # no stopwords
+        (6, " ".join(["123 456"] * 30)),            # alpha fail
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["mean_word_len"],
+                         r["symbol_ratio"], r["alpha_word_frac"],
+                         r["n_stop_hits"], r["pass_word_count"],
+                         r["pass_mean_len"], r["pass_symbol"],
+                         r["pass_alpha"], r["pass_stopwords"],
+                         r["gopher_pass"])
+           for r in gopher_quality_flags(df).collect()}
+    want = _brute_gopher(docs)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        for gi, wi in zip(got[d][1:5], want[d][1:5]):
+            assert gi == pytest.approx(wi, abs=1e-9), d
+        assert got[d][5:] == want[d][5:], d
+    assert got[1][-1] and not any(got[d][-1] for d in (2, 3, 4, 5, 6))
+
+
+def test_gopher_plan_is_mapside(spark):
+    from osc_geo_h3grid_srv_spark.operators.quality import (
+        gopher_quality_flags)
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_quality_flags(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
