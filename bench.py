@@ -255,7 +255,8 @@ def main():
              "pq_adc_topk", "inlink_profile", "winnow_fingerprints",
              "normalize_text", "hll_token_distinct",
              "cms_term_frequencies", "frontier_timeline",
-             "jpeg_decode_stats", "video_frame_stats", "g711_decode_stats",
+             "jpeg_decode_stats", "gif_decode_stats",
+             "video_frame_stats", "g711_decode_stats",
              "image_dhash_pairs", "image_dup_clusters", "audio_afp_pairs",
              "bloom_membership",
              "embedding_blocked_pairs", "hits_scores", "cdc_chunk_dedup",

@@ -193,6 +193,9 @@ def decode_image(buf: bytes) -> np.ndarray:
         if buf[:2] == b"\xFF\xD8":
             from .jpegcodec import decode_jpeg
             return decode_jpeg(buf)
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            from .gifcodec import decode_gif
+            return decode_gif(buf)
     except ImageDecodeError:
         raise
     except (_struct.error, _zlib.error, ValueError, IndexError,

@@ -155,6 +155,54 @@ def synth_jpeg_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def synth_gif_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """deterministic media table whose payloads are REAL GIFs
+    (functions/gifcodec.py — real LZW compression, not literal codes).
+    GIF is lossless, so the oracle replays the palette-indexed raster
+    recipe exactly, with zero container knowledge.
+
+    Per row id: h0 = mix64(id) drives dims (w = 4 + h0%13, ht =
+    4 + (h0>>9)%11 — same pitch as the PPM synth) and palette size
+    ncol in {4, 16, 64} via (h0>>20)%3. Raster index at flat position
+    j*8+k = byte k of mix64(j + id*131 + 7) mod ncol; palette color c
+    = ((c*37+11)%256, (c*73+29)%256, (c*151+47)%256). Container
+    layout cycles independently of the pixel recipe — interlace on
+    i%4==1, local color table on i%5==2, 89a GCE + comment extensions
+    on i%3==0 — so one recipe oracle gates the interlace reorder, both
+    table layouts, and the extension walk at once."""
+    from ..functions.gifcodec import encode_gif_indexed
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                w = 4 + (h0 % 13)
+                ht = 4 + ((h0 >> 9) % 11)
+                ncol = (4, 16, 64)[(h0 >> 20) % 3]
+                npx = w * ht
+                nwords = (npx + 7) // 8
+                words = mix64(np.arange(nwords, dtype=np.uint64)
+                              + u * np.uint64(131) + np.uint64(7))
+                idx = (np.frombuffer(words.tobytes(), np.uint8)[:npx]
+                       % ncol).reshape(ht, w)
+                c = np.arange(ncol, dtype=np.int64)
+                pal = np.stack([(c * 37 + 11) % 256, (c * 73 + 29) % 256,
+                                (c * 151 + 47) % 256], axis=1) \
+                    .astype(np.uint8)
+                payload = encode_gif_indexed(
+                    idx, pal, interlace=i % 4 == 1,
+                    local_palette=i % 5 == 2, gce=i % 3 == 0)
+                rows.append((int(i), "image", w, ht, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
 def decode_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL decode (BMP/PPM/PGM, functions/imagecodec.py) -> per-image
     pixel statistics. Undecodable payloads land in an error column

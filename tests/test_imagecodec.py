@@ -88,7 +88,9 @@ def test_pnm_header_comments_and_whitespace():
     # JPEG magic now routes to the real baseline decoder (round 4),
     # which quarantines this truncated stream with its own message
     (b"\xff\xd8\xff\xe0jpeg", "jpeg: truncated"),
-    (b"GIF89a......", "unknown image container"),
+    # GIF is a real decoder since round 4; a bare magic is truncated
+    (b"GIF89a......", "gif"),
+    (b"RIFFxxxxWEBP", "unknown image container"),
 ])
 def test_decode_errors(buf, msg):
     with pytest.raises(ic.ImageDecodeError, match=msg):

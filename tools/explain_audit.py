@@ -135,6 +135,15 @@ AUDITS = {
                 "binary payloads feeding a JVM aggregate; the slow "
                 "row-at-a-time BatchEvalPython path must not appear",
     },
+    "gif_decode_stats": {
+        # Python here is DELIBERATE (binary codec) — assert the Arrow
+        # batch path, never row-at-a-time Python
+        "expect": ["MapInPandas|ArrowEvalPython", "HashAggregate"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "real GIF/LZW decode: Arrow-batched mapInPandas over "
+                "binary payloads feeding a JVM aggregate; the slow "
+                "row-at-a-time BatchEvalPython path must not appear",
+    },
     "audio_decode_stats": {
         # Python here is DELIBERATE (binary codec) — assert the Arrow
         # batch path, never row-at-a-time Python
