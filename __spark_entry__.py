@@ -3794,6 +3794,54 @@ def q_bigram_lm_scores(spark, sf_dir):
     return bigram_lm_scores(docs, add_k=0.5)
 
 
+def q_kn_lm_scores(spark, sf_dir):
+    """interpolated Kneser-Ney bigram perplexity (operators/lm.py
+    kn_lm_scores) — the published smoothing behind KenLM, i.e. what
+    CCNet-style quality filters actually run in production, next to
+    the add-k baseline gated by bigram_lm_scores. Discount D is the
+    Chen-Goodman count-of-counts estimate n1/(n1+2*n2) computed from
+    the corpus itself; the oracle replays the full model (type table,
+    context totals, continuation-type counts, discount, interpolation)
+    so a wrong continuation count or leftover-mass term flips the
+    hash."""
+    from osc_geo_h3grid_srv_spark.operators.lm import kn_lm_scores
+    docs = _t(spark, sf_dir, "documents")
+    return kn_lm_scores(docs)
+
+
+def _kn_lm_oracle_sql():
+    return """
+        with toks as (
+            select doc_id, string_split(text, ' ') as t from documents
+            where len(string_split(text, ' ')) >= 2),
+        bg0 as (
+            select doc_id, t, unnest(range(1, len(t))) as i from toks),
+        bg as (select doc_id, t[i] as w1, t[i + 1] as w2 from bg0),
+        bgc as (select w1, w2, count(*) as cb from bg group by 1, 2),
+        ctx as (select w1, sum(cb) as cu, count(*) as t1
+                from bgc group by 1),
+        cont as (select w2, count(*) as r2 from bgc group by 1),
+        tot as (select count(*)::double as btypes,
+                       sum((cb = 1)::bigint) as n1,
+                       sum((cb = 2)::bigint) as n2
+                from bgc),
+        dd as (select case when n1 + 2.0 * n2 > 0
+                           then n1 / (n1 + 2.0 * n2)
+                           else 0.5 end as d, btypes from tot)
+        select bg.doc_id, count(*)::bigint as n_bigrams,
+               round(sum(ln(greatest(cb - d, 0) / cu
+                            + (d * t1 / cu) * (r2 / btypes)))
+                     / count(*), 6) as avg_logprob,
+               round(exp(-sum(ln(greatest(cb - d, 0) / cu
+                                 + (d * t1 / cu) * (r2 / btypes)))
+                     / count(*)), 4) as perplexity
+        from bg
+        join bgc using (w1, w2) join ctx using (w1)
+        join cont using (w2) cross join dd
+        group by 1
+    """
+
+
 def _bigram_lm_oracle_sql(k="0.5"):
     return f"""
         with toks as (
@@ -5016,7 +5064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "bm25_topk": q_bm25_topk,
         "training_mix_sample": q_training_mix_sample,
-        "geometry_stats": q_geometry_stats,
         # semdedup/lpa/gopher landed last and have never seen a driver
         # gate; langid_agreement / fingerprint_docs / ann_topk_lsh moved
         # to block 3 to make room (driver-green r2, text.py /
@@ -5043,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_timeline": q_frontier_timeline,
         "embedding_blocked_pairs": q_embedding_blocked_pairs,
         "hits_scores": q_hits_scores,
+        "kn_lm_scores": q_kn_lm_scores,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "anchor_text_profile": q_anchor_text_profile,
         "sitemap_seed_rollup": q_sitemap_seed_rollup,
@@ -5112,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "simplify_polygon": q_simplify_polygon,
+        "geometry_stats": q_geometry_stats,
     }
 
 
@@ -5759,6 +5808,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_domains": _url_canonical_oracle_sql(),
         "domain_rollup": _domain_rollup_oracle_sql(),
         "bigram_lm_scores": _bigram_lm_oracle_sql(),
+        "kn_lm_scores": _kn_lm_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "warc_roundtrip_ingest": """
             select doc_id % 10 as bucket, count(*) as n_pages,

@@ -378,6 +378,18 @@ AUDITS = {
                 "(co-keyed shuffle join at web scale), V as a one-row "
                 "broadcast — no Python in train or score",
     },
+    "kn_lm_scores": {
+        "expect": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "interpolated Kneser-Ney: ONE corpus (w1,w2) groupBy "
+                "builds the bigram-type table; context totals, "
+                "continuation-type counts and the n1/n2 discount all "
+                "derive from that vocab-sized relation (the token "
+                "stream is shuffled once); count tables broadcast back "
+                "onto the per-doc bigram relation, discount as a "
+                "one-row broadcast — no Python anywhere",
+    },
     "contamination_flags": {
         "expect": ["BroadcastHashJoin", "HashAggregate", "Generate"],
         "forbid": ["SortMergeJoin", "ArrowEvalPython", "BatchEvalPython",
