@@ -1,0 +1,151 @@
+"""Exact all-pairs set-cosine similarity search with prefix filtering
+(Bayardo, Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity
+Search"; the same bound family PPJoin builds on) — the standard way to
+make EXACT near-duplicate discovery tractable at corpus scale, sitting
+between the estimate-only MinHash path (`dedup.minhash_lsh_pairs`) and
+the unpruned verifier (`dedup.ngram_jaccard_pairs`).
+
+For binary term sets A, B and cosine threshold t:
+
+  cos(A,B) = |A inter B| / sqrt(|A|*|B|)  >=  t
+
+implies two prunes that lose NO qualifying pair:
+
+* size filter:   |B| >= t^2 * |A|   (else |A inter B| <= |B| < t*sqrt(|A||B|))
+* prefix filter: order every doc's terms by one GLOBAL canonical order
+  (ascending document frequency, ties by term); any qualifying pair
+  must share a term inside each doc's first
+      p = |A| - ceil(t^2 * |A|) + 1
+  terms, because missing the whole prefix caps the overlap at
+  |A| - p < t^2*|A| <= t*sqrt(|A||B|) for size-filter survivors.
+
+So candidate generation self-joins ONLY the prefix postings — and the
+df-ascending order puts the corpus's rarest terms in the prefixes, so
+the join's per-term bucket sizes are the df of RARE terms, not the
+stop-word df that makes a naive postings self-join quadratic.
+
+Scale design (10^12 docs):
+* the df table and the per-doc prefix rank are one groupBy + one
+  doc-partitioned window over the distinct-term relation — the window
+  partitions on doc_id, so no global sort;
+* candidate pairs carry only (id_a, id_b) through a distinct — width 2;
+* exact verification recomputes each side's term set FROM THE DOCS
+  TABLE (array_distinct over a codegen split — no postings re-shuffle)
+  and intersects JVM-side with array_intersect; candidates join to docs
+  by id, a co-keyed shuffle join;
+* the completeness of the prune is not an assumption here: the DuckDB
+  oracle for `allpairs_cosine_pairs` runs the UNPRUNED quadratic
+  postings join, so a prefix bound that dropped one true pair flips the
+  value hash.
+
+No reference-repo counterpart (the reference has no text similarity);
+cites the public WWW 2007 paper only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gram_array(text_col: str, n: int) -> Column:
+    """distinct word-n-gram array from a single-space split —
+    byte-identical to the DuckDB oracle's string_split replay."""
+    t = F.split(F.col(text_col), " ")
+    if n == 1:
+        return F.array_distinct(t)
+    # windows of n consecutive words joined by one space; docs shorter
+    # than n words contribute no terms (the size guard matters:
+    # F.sequence(0, -1) would DESCEND, not be empty)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_terms(docs: DataFrame, id_col: str, text_col: str,
+                n: int) -> DataFrame:
+    """(id, term) distinct word-n-gram posting relation."""
+    return (docs.select(F.col(id_col).alias("id"),
+                        _gram_array(text_col, n).alias("terms"))
+            .filter(F.size("terms") > 0)
+            .select("id", F.explode("terms").alias("term")))
+
+
+def allpairs_candidate_pairs(docs: DataFrame, threshold: float,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             ngram: int = 2) -> DataFrame:
+    """Prefix+size-filtered candidate set (id_a < id_b), BEFORE exact
+    verification — exposed so tests can assert the prune is
+    (a) complete (superset of true pairs) and (b) effective (strictly
+    smaller than the unpruned postings join)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold {threshold} not in (0, 1]")
+    t2 = float(threshold) * float(threshold)
+    terms = _gram_terms(docs, id_col, text_col, ngram)
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    sizes = terms.groupBy("id").agg(F.count("*").alias("sz"))
+    # global canonical order = (df asc, term asc); per-doc prefix rank
+    # is a doc-partitioned window (docs are bounded, no global sort)
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
+    prefix = (terms.join(dfreq, "term")
+              .withColumn("rk", F.row_number().over(w))
+              .join(sizes, "id")
+              .filter(F.col("rk")
+                      <= F.col("sz") - F.ceil(F.lit(t2) * F.col("sz"))
+                      + 1)
+              .select("id", "term", "sz", "rk"))
+    a = prefix.select(F.col("id").alias("id_a"), "term",
+                      F.col("sz").alias("sz_a"), F.col("rk").alias("rk_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "term",
+                      F.col("sz").alias("sz_b"), F.col("rk").alias("rk_b"))
+    # per-pair tightened prefix: once BOTH sizes are known, the required
+    # overlap is alpha = ceil(t*sqrt(sz_a*sz_b)) and the prefix-filter
+    # lemma guarantees a shared term within each side's first
+    # sz - alpha + 1 positions — strictly tighter than the indexing
+    # prefix above (which had to assume the smallest legal partner).
+    # Exact: the lemma's witness term satisfies both rank bounds, so no
+    # qualifying pair is dropped (the DuckDB oracle replays the
+    # unpruned join and would catch one).
+    alpha = F.ceil(F.lit(float(threshold))
+                   * F.sqrt(F.col("sz_a") * F.col("sz_b")))
+    return (a.join(b, "term")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    # size filter, both directions
+                    & (F.col("sz_b") >= F.lit(t2) * F.col("sz_a"))
+                    & (F.col("sz_a") >= F.lit(t2) * F.col("sz_b"))
+                    & (F.col("rk_a") <= F.col("sz_a") - alpha + 1)
+                    & (F.col("rk_b") <= F.col("sz_b") - alpha + 1))
+            .select("id_a", "id_b").distinct())
+
+
+def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          ngram: int = 2) -> DataFrame:
+    """All pairs with set-cosine >= threshold over distinct word-n-gram
+    sets. Returns (id_a, id_b, cosine round 6) with id_a < id_b.
+
+    Exact: prefix + size filtering prune candidates, then every
+    candidate is verified against the true term sets.
+    """
+    cand = allpairs_candidate_pairs(docs, threshold, id_col, text_col,
+                                    ngram)
+    # exact verify: term sets recomputed from docs (map-side split),
+    # JVM array_intersect — terms are distinct so size == overlap count
+    sets = (docs.select(F.col(id_col).alias("id"),
+                        _gram_array(text_col, ngram).alias("ts"))
+            .filter(F.size("ts") > 0))
+    va = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    vb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    cos = (F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+           / F.sqrt(F.size("ts_a").cast("double")
+                    * F.size("ts_b").cast("double")))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

@@ -1,0 +1,111 @@
+"""All-pairs exact similarity search (operators/allpairs.py) —
+prefix+size prune completeness/effectiveness vs a brute-force
+quadratic baseline, on both synthetic text and the sf0.001 documents
+table. No reference counterpart (the reference has no text
+similarity); the bounds are from Bayardo, Ma & Srikant, WWW 2007.
+"""
+
+import itertools
+
+import pytest
+
+from osc_geo_h3grid_srv_spark.operators.allpairs import (
+    _gram_array, allpairs_candidate_pairs, allpairs_cosine_pairs)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_pairs(rows, threshold, n=2):
+    """Quadratic python oracle over distinct word-n-gram sets."""
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if grams:
+            sets[doc_id] = grams
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        cos = inter / (len(sets[a]) * len(sets[b])) ** 0.5
+        if cos >= threshold:
+            out[(a, b)] = round(cos, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_vs_brute_documents(spark, docs):
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    for t in (0.5, 0.8):
+        want = _brute_pairs(rows, t)
+        got = {(r.id_a, r.id_b): r.cosine
+               for r in allpairs_cosine_pairs(docs, t).collect()}
+        assert got == want
+        assert want, f"fixture must plant near-dup pairs at t={t}"
+
+
+def test_candidates_complete_and_pruned(spark, docs):
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    # completeness: the prune may never drop a qualifying pair, at a
+    # mid threshold where the prefixes are long and overlap-prone
+    true_pairs = set(_brute_pairs(rows, 0.7))
+    cand_mid = {(r.id_a, r.id_b)
+                for r in allpairs_candidate_pairs(docs, 0.7).collect()}
+    assert true_pairs <= cand_mid
+    # effectiveness: at a realistic near-dup threshold the prefix+size
+    # prune must collapse the unpruned postings join (every pair
+    # sharing >= 1 bigram) by an order of magnitude — Zipf-common
+    # bigrams make nearly every doc pair share SOMETHING, so this is
+    # the property that keeps the join from going quadratic
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        sets[doc_id] = {" ".join(toks[i:i + 2])
+                        for i in range(max(0, len(toks) - 1))}
+    unpruned = sum(
+        1 for a, b in itertools.combinations(sorted(sets), 2)
+        if sets[a] & sets[b])
+    cand_hi = allpairs_candidate_pairs(docs, 0.9).count()
+    assert cand_hi < unpruned / 10, (cand_hi, unpruned)
+    # tightening the threshold must never grow the candidate set
+    assert cand_hi <= len(cand_mid)
+
+
+def test_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "a b a b"), (4, "a b a b c")],
+        ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in allpairs_cosine_pairs(df, 0.5).collect()}
+    # docs 1, 2 contribute no bigrams; 3={a b, b a}, 4={a b, b a, b c}
+    assert set(got) == {(3, 4)}
+    assert got[(3, 4)] == round(2 / (2 * 3) ** 0.5, 6)
+
+
+def test_threshold_validation(spark, docs):
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            allpairs_candidate_pairs(docs, bad)
+
+
+def test_unigram_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y w"), (3, "p q r")], ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in allpairs_cosine_pairs(df, 0.5, ngram=1).collect()}
+    assert got == {(1, 2): round(2 / 3, 6)}
+
+
+def test_gram_array_short_doc_is_empty(spark):
+    # regression guard: F.sequence(0, -1) DESCENDS in Spark — a one-word
+    # doc must yield [] bigrams, not a crash or a descending range
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    out = df.select(_gram_array("text", 2).alias("g")).collect()
+    assert out[0].g == []

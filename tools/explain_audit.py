@@ -74,6 +74,19 @@ AUDITS = {
         "forbid": [],
         "note": "P2 time-key filters pushed to scan",
     },
+    "allpairs_cosine_pairs": {
+        "expect": ["HashAggregate", "Window",
+                   "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+        "note": "WWW'07 prefix-filtered exact all-pairs: the postings "
+                "self-join is an EQUI-join on the PRUNED prefix relation "
+                "(AQE broadcasts it at oracle scale; shuffled hash/SMJ "
+                "at corpus scale — both fine, cross join never); "
+                "doc-partitioned row_number window, no global sort; "
+                "verification re-derives term sets map-side and "
+                "intersects JVM-side — never a cross join, no Python",
+    },
     "minhash_lsh_pairs": {
         "expect": ["HashAggregate",
                    r"hashpartitioning\(id_a[^)]*id_b[^)]*est_jaccard"],
