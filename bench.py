@@ -263,7 +263,8 @@ def main():
              "anchor_text_profile", "sitemap_seed_rollup",
              "tpch_q3_shipping", "tpch_q5_local_supplier",
              "h3_compact_cells", "triangle_counts_links",
-             "weighted_sample_by_lang", "allpairs_cosine_pairs"]
+             "weighted_sample_by_lang", "allpairs_cosine_pairs",
+             "containment_pairs"]
     qs = em.queries()
 
     def _force(df):

@@ -123,6 +123,67 @@ def allpairs_candidate_pairs(docs: DataFrame, threshold: float,
             .select("id_a", "id_b").distinct())
 
 
+def containment_pairs(docs: DataFrame, threshold: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      ngram: int = 2) -> DataFrame:
+    """DIRECTED containment pairs: (id_a, id_b, containment) for every
+    ordered pair with |A inter B| / |A| >= threshold — doc A is mostly
+    quoted/excerpted inside doc B. Catches what symmetric cosine
+    misses: a paragraph lifted into a 100x-longer page has containment
+    ~1 but cosine ~0.1.
+
+    Containment's required overlap alpha = ceil(t*|A|) depends only on
+    the CONTAINED side, so only A prunes to a prefix at index time
+    (|A| - ceil(t*|A|) + 1 rarest terms); B must expose all its terms
+    (its smallest legal alpha is 1 — the classic containment-join
+    asymmetry). Once the pair is formed, B's per-pair prefix bound
+    rk_b <= |B| - ceil(t*|A|) + 1 applies exactly (prefix-filter
+    lemma), and |B| >= ceil(t*|A|) prunes undersized containers.
+    Verification recomputes both term sets from the docs table and
+    intersects JVM-side; the DuckDB oracle replays the unpruned
+    ordered postings join, gating the prune's completeness.
+
+    Scale: the A-side prefix join keys on the corpus's RARE terms (df
+    ascending order), and the B-side postings relation is the same
+    (id, term) relation the inverted index already materializes; the
+    pair stream carries only (id_a, id_b) through distinct.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold {threshold} not in (0, 1]")
+    t = float(threshold)
+    terms = _gram_terms(docs, id_col, text_col, ngram)
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    sizes = terms.groupBy("id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
+    ranked = (terms.join(dfreq, "term")
+              .withColumn("rk", F.row_number().over(w))
+              .join(sizes, "id"))
+    alpha_a = F.ceil(F.lit(t) * F.col("sz_a"))
+    a = (ranked.filter(F.col("rk")
+                       <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+         .select(F.col("id").alias("id_a"), "term",
+                 F.col("sz").alias("sz_a")))
+    b = ranked.select(F.col("id").alias("id_b"), "term",
+                      F.col("sz").alias("sz_b"), F.col("rk").alias("rk_b"))
+    cand = (a.join(b, "term")
+            .filter((F.col("id_a") != F.col("id_b"))
+                    & (F.col("sz_b") >= alpha_a)
+                    & (F.col("rk_b") <= F.col("sz_b") - alpha_a + 1))
+            .select("id_a", "id_b").distinct())
+    sets = (docs.select(F.col(id_col).alias("id"),
+                        _gram_array(text_col, ngram).alias("ts"))
+            .filter(F.size("ts") > 0))
+    va = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    vb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    cont = (F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+            / F.size("ts_a").cast("double"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("containment", cont)
+            .filter(F.col("containment") >= F.lit(t))
+            .select("id_a", "id_b",
+                    F.round("containment", 6).alias("containment")))
+
+
 def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
                           id_col: str = "doc_id",
                           text_col: str = "text",

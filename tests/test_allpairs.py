@@ -10,7 +10,8 @@ import itertools
 import pytest
 
 from osc_geo_h3grid_srv_spark.operators.allpairs import (
-    _gram_array, allpairs_candidate_pairs, allpairs_cosine_pairs)
+    _gram_array, allpairs_candidate_pairs, allpairs_cosine_pairs,
+    containment_pairs)
 
 SF = "/root/testdata/sf0.001"
 
@@ -87,6 +88,51 @@ def test_short_and_empty_docs(spark):
     # docs 1, 2 contribute no bigrams; 3={a b, b a}, 4={a b, b a, b c}
     assert set(got) == {(3, 4)}
     assert got[(3, 4)] == round(2 / (2 * 3) ** 0.5, 6)
+
+
+def _brute_containment(rows, threshold, n=2):
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        if grams:
+            sets[doc_id] = grams
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= threshold:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_containment_vs_brute(spark, docs):
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    for t in (0.5, 0.8):
+        want = _brute_containment(rows, t)
+        got = {(r.id_a, r.id_b): r.containment
+               for r in containment_pairs(docs, t).collect()}
+        assert got == want
+        assert want, f"fixture must plant containment pairs at t={t}"
+
+
+def test_containment_is_directional(spark):
+    # a 3-bigram quote inside a much longer doc: containment(quote ->
+    # host) = 1.0, the reverse direction far below threshold, and
+    # symmetric cosine would miss it entirely
+    quote = "alpha beta gamma delta"
+    host = quote + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, quote), (2, host)],
+                               ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, 0.9).collect()}
+    assert got == {(1, 2): 1.0}
+    cos = allpairs_cosine_pairs(df, 0.9).collect()
+    assert cos == []
 
 
 def test_threshold_validation(spark, docs):

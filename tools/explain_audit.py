@@ -87,6 +87,15 @@ AUDITS = {
                 "verification re-derives term sets map-side and "
                 "intersects JVM-side — never a cross join, no Python",
     },
+    "containment_pairs": {
+        "expect": ["HashAggregate", "Window",
+                   "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+        "note": "directed containment join: A-side prefix postings "
+                "equi-join B-side full postings with per-pair rank "
+                "bound — never a cross join, no Python",
+    },
     "minhash_lsh_pairs": {
         "expect": ["HashAggregate",
                    r"hashpartitioning\(id_a[^)]*id_b[^)]*est_jaccard"],
