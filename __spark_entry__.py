@@ -3044,6 +3044,76 @@ def _bm25_oracle_sql(k=25, k1=1.2, b=0.75):
     """
 
 
+def q_rrf_hybrid_topk(spark, sf_dir):
+    """text retrieval: hybrid lexical+dense ranking — BM25 top-50 and
+    brute-cosine-vs-vec-7 top-50 fused by reciprocal rank (SIGIR 2009,
+    k0=60), top-25 out (operators/retrieval.py rrf_fuse). The oracle
+    replays BOTH retrievers' full scoring, both rank windows, and the
+    fuse in DuckDB — rank determinism comes from ranking on the
+    retrievers' already-rounded scores with id tie-breaks."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.retrieval import (
+        bm25_topk, rrf_fuse)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "score")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qv"))
+    j = emb.crossJoin(F.broadcast(q))
+    dot = F.expr("aggregate(zip_with(embedding, qv, (x, y) -> "
+                 "cast(x as double) * cast(y as double)), "
+                 "cast(0.0 as double), (acc, v) -> acc + v)")
+    nv = F.sqrt(F.expr("aggregate(embedding, cast(0.0 as double), "
+                       "(acc, v) -> acc + cast(v as double) "
+                       "* cast(v as double))"))
+    nq = F.sqrt(F.expr("aggregate(qv, cast(0.0 as double), "
+                       "(acc, v) -> acc + cast(v as double) "
+                       "* cast(v as double))"))
+    dense = (j.withColumn("score", F.round(dot / (nv * nq), 5))
+             .select(F.col("vec_id").alias("doc_id"), "score")
+             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+             .limit(50))
+    return rrf_fuse([lex, dense], k0=60, k=25)
+
+
+def _rrf_oracle_sql(k0=60, k=25, n=50):
+    return f"""
+        with lex as (
+            select doc_id,
+                   row_number() over (order by score desc, doc_id asc)
+                       as rank
+            from ({_bm25_oracle_sql(k=n)})),
+        dense_all as (
+            select e.vec_id as doc_id,
+                   round(
+                     list_sum(list_transform(
+                         list_zip(e.embedding, q.qv),
+                         x -> cast(x[1] as double) * cast(x[2] as double)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> cast(x as double) * cast(x as double))))
+                      * sqrt(list_sum(list_transform(q.qv,
+                            x -> cast(x as double) * cast(x as double))))),
+                     5) as score
+            from embeddings e,
+                 (select embedding as qv from embeddings
+                  where vec_id = 7) q),
+        dense as (
+            select doc_id,
+                   row_number() over (order by score desc, doc_id asc)
+                       as rank
+            from (select * from dense_all
+                  order by score desc, doc_id asc limit {n})),
+        fused as (
+            select doc_id, 1.0 / ({k0} + rank) as rr from lex
+            union all
+            select doc_id, 1.0 / ({k0} + rank) as rr from dense)
+        select doc_id, round(sum(rr), 6) as rrf_score,
+               count(*)::bigint as n_systems
+        from fused group by doc_id
+        order by rrf_score desc, doc_id asc limit {k}
+    """
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """similarity: IVF ANN search path — assign every vector to its
     nearest deterministic seed centroid, probe the n_probe best lists
@@ -5130,6 +5200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new entries past the window: driver-gated in round 5 -----
         # (oracle-green via tools/verify_entry.py this round)
         "containment_pairs": q_containment_pairs,
+        "rrf_hybrid_topk": q_rrf_hybrid_topk,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
         # ORACLE-gated entry above gets a driver-issued hash row
@@ -5792,6 +5863,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(),
+        "rrf_hybrid_topk": _rrf_oracle_sql(),
         "training_mix_sample": _training_mix_oracle_sql(),
         "contamination_flags": _contamination_oracle_sql(),
         "quality_model_scores": _quality_model_oracle_sql(),

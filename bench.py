@@ -264,7 +264,7 @@ def main():
              "tpch_q3_shipping", "tpch_q5_local_supplier",
              "h3_compact_cells", "triangle_counts_links",
              "weighted_sample_by_lang", "allpairs_cosine_pairs",
-             "containment_pairs"]
+             "containment_pairs", "rrf_hybrid_topk"]
     qs = em.queries()
 
     def _force(df):

@@ -169,3 +169,47 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     return (starts.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_hits"),
                  F.min("start").cast("long").alias("first_pos")))
+
+
+def rrf_fuse(rankings: list[DataFrame], k0: int = 60, k: int = 25,
+             id_col: str = "doc_id", score_col: str = "score"
+             ) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked lists — the standard way to combine a lexical (BM25)
+    and a dense (embedding-cosine) retriever into one hybrid ranking
+    without score calibration:
+
+        rrf(d) = sum over systems s ranking d of  1 / (k0 + rank_s(d))
+
+    Each input is an (id_col, score_col) DataFrame (any extra columns
+    are dropped). Ranks are row_number over (score desc, id asc) —
+    fully deterministic, and computed on the already-ROUNDED scores the
+    retrievers emit so the oracle's ranking replays bit-identically.
+
+    Returns (id_col, rrf_score round 6, n_systems) top-k ordered by
+    (rrf_score desc, id asc).
+
+    Scale: the inputs are top-n system outputs (bounded — thousands of
+    rows, not the corpus), so each rank window is a single tiny
+    partition and the fuse is one union + one groupBy; at 10^12-doc
+    corpora the heavy lifting stays inside the retrievers, which
+    already avoid global sorts (TakeOrderedAndProject).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k0 < 1:
+        raise ValueError(f"k0 {k0} must be >= 1")
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    tagged = None
+    for df in rankings:
+        r = (df.select(id_col, score_col)
+             .withColumn("rank", F.row_number().over(w))
+             .select(id_col, (1.0 / (F.lit(float(k0)) + F.col("rank")))
+                     .alias("rr")))
+        tagged = r if tagged is None else tagged.unionByName(r)
+    return (tagged.groupBy(id_col)
+            .agg(F.round(F.sum("rr"), 6).alias("rrf_score"),
+                 F.count("*").cast("long").alias("n_systems"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -241,3 +241,52 @@ def test_weighted_sample_by_group_properties(spark):
             salt=f"s{s}").collect()}
         heavy_wins += len(sel & {0, 1, 2, 3, 4})
     assert heavy_wins > 30 * 4 * 0.6  # 100x weight ≈ always wins
+
+
+class TestRRF:
+    def test_hand_computed_fusion(self, spark):
+        from osc_geo_h3grid_srv_spark.operators.retrieval import rrf_fuse
+        # system 1 ranks: a(1) b(2) c(3); system 2 ranks: b(1) a(2) d(3)
+        s1 = spark.createDataFrame(
+            [("a", 3.0), ("b", 2.0), ("c", 1.0)], ["doc_id", "score"])
+        s2 = spark.createDataFrame(
+            [("b", 9.0), ("a", 8.0), ("d", 7.0)], ["doc_id", "score"])
+        got = {r.doc_id: (r.rrf_score, r.n_systems)
+               for r in rrf_fuse([s1, s2], k0=60, k=10).collect()}
+        assert got == {
+            "a": (round(1 / 61 + 1 / 62, 6), 2),
+            "b": (round(1 / 62 + 1 / 61, 6), 2),
+            "c": (round(1 / 63, 6), 1),
+            "d": (round(1 / 63, 6), 1),
+        }
+
+    def test_rank_ties_break_by_id(self, spark):
+        from osc_geo_h3grid_srv_spark.operators.retrieval import rrf_fuse
+        s = spark.createDataFrame(
+            [("z", 5.0), ("a", 5.0)], ["doc_id", "score"])
+        got = [(r.doc_id, r.rrf_score)
+               for r in rrf_fuse([s], k0=60, k=10).collect()]
+        # equal scores: id asc wins rank 1
+        assert got == [("a", round(1 / 61, 6)), ("z", round(1 / 62, 6))]
+
+    def test_validation(self, spark):
+        from osc_geo_h3grid_srv_spark.operators.retrieval import rrf_fuse
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            rrf_fuse([])
+        s = spark.createDataFrame([("a", 1.0)], ["doc_id", "score"])
+        with _pt.raises(ValueError):
+            rrf_fuse([s], k0=0)
+
+    def test_hybrid_beats_single_system_on_planted_doc(self, spark):
+        from osc_geo_h3grid_srv_spark.operators.retrieval import rrf_fuse
+        # doc x is rank 3 lexically and rank 3 densely; y/z are rank 1
+        # in ONE system only — x's fused score must come out on top
+        lex = spark.createDataFrame(
+            [("y", 9.0), ("m", 8.0), ("x", 7.0), ("n", 6.0)],
+            ["doc_id", "score"])
+        den = spark.createDataFrame(
+            [("z", 9.0), ("p", 8.0), ("x", 7.0), ("q", 6.0)],
+            ["doc_id", "score"])
+        top = rrf_fuse([lex, den], k0=60, k=1).collect()
+        assert top[0].doc_id == "x"

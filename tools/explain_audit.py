@@ -326,6 +326,15 @@ AUDITS = {
                 "predicate is a codegen'd string compare; the mix table "
                 "broadcasts — the corpus scan is one pass, no Python",
     },
+    "rrf_hybrid_topk": {
+        "expect": ["TakeOrderedAndProject", "HashAggregate", "Union"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "hybrid fusion: both retrievers end in "
+                "TakeOrderedAndProject (never a full sort of the "
+                "corpus); the fuse is a union + groupBy over two "
+                "bounded top-n lists",
+    },
     "bm25_topk": {
         "expect": ["TakeOrderedAndProject", "BroadcastHashJoin",
                    "Generate"],
