@@ -612,6 +612,30 @@ def q_sessionize_events(spark, sf_dir):
                  F.sum("n_ev").alias("total_events")))
 
 
+def q_collocations_g2(spark, sf_dir):
+    """text analysis: top-30 corpus collocations by Dunning's G^2
+    log-likelihood ratio (CL 1993) with PMI alongside, bigrams with
+    n >= 5 (operators/collocations.py). Oracle replays the 2x2
+    contingency algebra cell-by-cell in DuckDB; ordering is on the
+    rounded statistic with a lexicographic tie-break."""
+    from osc_geo_h3grid_srv_spark.operators.collocations import (
+        collocations)
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, k=30)
+
+
+def q_corpus_power_laws(spark, sf_dir):
+    """text analysis: Zipf rank-frequency slope + Heaps vocabulary-
+    growth fit over the corpus (operators/corpusstats.py) — the
+    looks-like-language sanity gate for a crawled corpus. Oracle
+    replays both least-squares fits with the identical explicit-sum
+    arithmetic in DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.corpusstats import (
+        corpus_power_laws)
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_power_laws(docs, min_freq=5)
+
+
 def q_bigram_counts(spark, sf_dir):
     """text analysis: corpus bigram counts over documents — JVM-only
     array ops (split + slice + zip), explode, hash agg; the classic
@@ -1608,6 +1632,21 @@ def _jaccard_cluster_inputs(spark, sf_dir):
                      >= 0.75)
              .select("id_a", "id_b"))
     return docs, pairs
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """training-data pipeline: near-dup-aware train/val/test split —
+    the split is md5(salt|cluster_rep) vs cumulative-fraction hex
+    thresholds, so every member of a near-dup cluster lands in the
+    SAME split (no test-set leakage through paraphrased pages).
+    Oracle extends the recursive-CTE closure with the identical
+    case-when replay (operators/cluster.py leakage_safe_split)."""
+    from osc_geo_h3grid_srv_spark.operators.cluster import (
+        dedup_clusters, leakage_safe_split)
+    docs, pairs = _jaccard_cluster_inputs(spark, sf_dir)
+    cl = dedup_clusters(docs, pairs)
+    return leakage_safe_split(cl).select(
+        "doc_id", "cluster_rep", "cluster_size", "split")
 
 
 def q_dedup_keep_decision(spark, sf_dir):
@@ -2895,6 +2934,83 @@ def q_h3_index_documents(spark, sf_dir):
                  F.sum("val").alias("sum_val"),
                  F.sum(mism.cast("long")).alias("n_parent_impl_mismatch"))
             .filter(F.col("n_points") >= 3))
+
+
+def q_gi_star_hotspots(spark, sf_dir):
+    """spatial statistics: Getis-Ord Gi* hotspot z-scores over the
+    queen 8-neighborhood of the integer surrogate grid (the
+    SQL-expressible stand-in; the H3 k-ring variant is
+    h3_hotspot_cells). Per-cell x = exact integer sum(val), so every
+    float enters through the identically-structured z formula — the
+    whole statistic is value-hash-gated against DuckDB
+    (operators/hotspot.py gi_star_grid; Getis & Ord 1992)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.hotspot import gi_star_grid
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    cells = (geo.groupBy(F.floor(F.col("lat") / 4).alias("gx"),
+                         F.floor(F.col("lng") / 24).alias("gy"))
+             .agg(F.sum("val").alias("x")))
+    return gi_star_grid(cells)
+
+
+def q_zorder_layout_spans(spark, sf_dir):
+    """data layout: Z-order (Morton) file-clustering spans — quantize
+    lat/lng to 10-bit ranks, bit-interleave with the parallel-prefix
+    spread, bucket by key>>12 (the file a z-ordered range write would
+    hit), report each bucket's row count + bounding box (the parquet
+    footer stats a 100TB scan would prune on). Entire pipeline is
+    integer bit-math, value-hash-gated against the identical DuckDB
+    chain (operators/layout.py)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.layout import zorder_spans
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    qx = F.floor((F.col("lat") + 60) * 8)
+    qy = F.floor((F.col("lng") + 180) * 2)
+    return zorder_spans(geo, qx, qy, bucket_shift=12)
+
+
+def _zorder_oracle_sql():
+    from osc_geo_h3grid_srv_spark.operators.layout import morton_sql
+    return """
+        with geo as ({geo_cust}),
+        q as (select floor((lat + 60) * 8)::bigint as qx,
+                     floor((lng + 180) * 2)::bigint as qy
+              from geo)
+        select ({morton}) >> 12 as bucket, count(*)::bigint as n,
+               min(qx) as x_min, max(qx) as x_max,
+               min(qy) as y_min, max(qy) as y_max
+        from q group by 1
+    """.format(geo_cust=_geo_sql("customer", "c_custkey"),
+               morton=morton_sql("qx", "qy"))
+
+
+def q_morans_i(spark, sf_dir):
+    """spatial statistics: global Moran's I autocorrelation with full
+    Cliff-Ord normality inference (E[I], Var[I], z) over the surrogate
+    grid — one row, every term of the variance formula value-hash-
+    gated against DuckDB (operators/hotspot.py morans_i_grid)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.hotspot import morans_i_grid
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    cells = (geo.groupBy(F.floor(F.col("lat") / 4).alias("gx"),
+                         F.floor(F.col("lng") / 24).alias("gy"))
+             .agg(F.sum("val").alias("x")))
+    return morans_i_grid(cells)
+
+
+def q_h3_hotspot_cells(spark, sf_dir):
+    """spatial statistics: the SAME Gi* statistic with true geodesic
+    k-ring neighborhoods on res-5 H3 cells (kernel-backed ->
+    rows-gated; brute-force parity in tests/test_hotspot.py)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.functions.spark_udfs import (
+        make_latlng_to_cell)
+    from osc_geo_h3grid_srv_spark.operators.hotspot import gi_star_h3
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    to5 = make_latlng_to_cell(5)
+    cells = (geo.withColumn("cell", to5(F.col("lat"), F.col("lng")))
+             .groupBy("cell").agg(F.sum("val").alias("x")))
+    return gi_star_h3(cells, k=1)
 
 
 def q_pages_index_pipeline(spark, sf_dir):
@@ -5201,6 +5317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle-green via tools/verify_entry.py this round)
         "containment_pairs": q_containment_pairs,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
+        "collocations_g2": q_collocations_g2,
+        "leakage_safe_split": q_leakage_safe_split,
+        "corpus_power_laws": q_corpus_power_laws,
+        "gi_star_hotspots": q_gi_star_hotspots,
+        "morans_i": q_morans_i,
+        "zorder_layout_spans": q_zorder_layout_spans,
+        "h3_hotspot_cells": q_h3_hotspot_cells,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
         # ORACLE-gated entry above gets a driver-issued hash row
@@ -5464,6 +5587,174 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) over (partition by comp) as bigint)
                        as cluster_size
             from cc
+        """,
+        "leakage_safe_split": """
+            with recursive words as (
+                select distinct doc_id,
+                       unnest(string_split(lower(text), ' ')) as w
+                from documents where doc_id < 150),
+            sizes as (select doc_id, count(*) as sz from words group by 1),
+            common as (
+                select a.doc_id as id_a, b.doc_id as id_b,
+                       count(*) as common
+                from words a join words b using (w)
+                where a.doc_id < b.doc_id
+                group by 1, 2),
+            pairs as (
+                select id_a, id_b from common
+                join sizes sa on sa.doc_id = id_a
+                join sizes sb on sb.doc_id = id_b
+                where common / (sa.sz + sb.sz - common) >= 0.75),
+            edges as (
+                select id_a as u, id_b as v from pairs
+                union
+                select id_b, id_a from pairs),
+            lab as (
+                select doc_id as node, doc_id as comp
+                from documents where doc_id < 150
+                union
+                select e.u, l.comp from edges e join lab l on l.node = e.v),
+            cc as (select node, min(comp) as comp from lab group by node)
+            select cast(node as bigint) as doc_id,
+                   cast(comp as bigint) as cluster_rep,
+                   cast(count(*) over (partition by comp) as bigint)
+                       as cluster_size,
+                   case when substr(md5('split1|' || comp::varchar), 1, 8)
+                             < '{t_train}' then 'train'
+                        when substr(md5('split1|' || comp::varchar), 1, 8)
+                             < '{t_val}' then 'val'
+                        else 'test' end as split
+            from cc
+        """.format(t_train=format(int(0.8 * 2 ** 32), "08x"),
+                   t_val=format(int(0.9 * 2 ** 32), "08x")),
+        "gi_star_hotspots": """
+            with geo as ({geo_cust}),
+            cells as (
+                select floor(lat / 4)::bigint as gx,
+                       floor(lng / 24)::bigint as gy,
+                       sum(val)::double as x
+                from geo group by 1, 2),
+            stats as (
+                select count(*)::double as n, avg(x) as xbar,
+                       sqrt(avg(x * x) - avg(x) * avg(x)) as s
+                from cells),
+            offs as (
+                select dx.range as dx, dy.range as dy
+                from range(-1, 2) dx, range(-1, 2) dy),
+            nbr as (
+                select c.gx, c.gy,
+                       count(*) as w_i, sum(v.x) as sx
+                from cells c
+                cross join offs o
+                join cells v on v.gx = c.gx + o.dx
+                            and v.gy = c.gy + o.dy
+                group by 1, 2)
+            select gx, gy, w_i::bigint as w_i,
+                   round(case when s * sqrt((n * w_i - w_i * w_i)
+                                            / (n - 1.0)) <> 0
+                         then (sx - xbar * w_i)
+                              / (s * sqrt((n * w_i - w_i * w_i)
+                                          / (n - 1.0))) end, 5) as gi_z
+            from nbr cross join stats
+        """.format(geo_cust=_geo_sql("customer", "c_custkey")),
+        "zorder_layout_spans": _zorder_oracle_sql(),
+        "morans_i": """
+            with geo as ({geo_cust}),
+            cells as (
+                select floor(lat / 4)::bigint as gx,
+                       floor(lng / 24)::bigint as gy,
+                       sum(val)::double as x
+                from geo group by 1, 2),
+            stats as (select count(*)::double as n, avg(x) as xbar
+                      from cells),
+            offs as (
+                select dx.range as dx, dy.range as dy
+                from range(-1, 2) dx, range(-1, 2) dy
+                where not (dx.range = 0 and dy.range = 0)),
+            edges as (
+                select c.gx, c.gy, c.x as xi, v.x as xj
+                from cells c
+                cross join offs o
+                join cells v on v.gx = c.gx + o.dx
+                            and v.gy = c.gy + o.dy),
+            crossterm as (
+                select sum((xi - xbar) * (xj - xbar)) as sc,
+                       count(*)::double as w
+                from edges cross join stats),
+            degs as (select gx, gy, count(*)::double as deg
+                     from edges group by 1, 2),
+            s2t as (select 4.0 * sum(deg * deg) as s2 from degs),
+            ssqt as (select sum((x - xbar) * (x - xbar)) as ss
+                     from cells cross join stats)
+            select n::bigint as n, w::bigint as w_pairs,
+                   round((n / w) * sc / ss, 5) as morans_i,
+                   round(-1.0 / (n - 1.0), 5) as e_i,
+                   round(case when
+                           ((n * n * (2.0 * w) - n * s2 + 3.0 * w * w)
+                            / (w * w * (n * n - 1.0)))
+                           - (-1.0 / (n - 1.0)) * (-1.0 / (n - 1.0)) > 0
+                         then ((n / w) * sc / ss - (-1.0 / (n - 1.0)))
+                           / sqrt(((n * n * (2.0 * w) - n * s2
+                                    + 3.0 * w * w)
+                                   / (w * w * (n * n - 1.0)))
+                                  - (-1.0 / (n - 1.0))
+                                    * (-1.0 / (n - 1.0))) end, 5) as z
+            from crossterm cross join s2t cross join ssqt
+                 cross join stats
+        """.format(geo_cust=_geo_sql("customer", "c_custkey")),
+        "corpus_power_laws": """
+            with toks as (
+                select doc_id as id, w as term
+                from (select doc_id,
+                             unnest(string_split(lower(text), ' ')) as w
+                      from documents)
+                where w <> ''),
+            tf as (select term, count(*) as freq from toks group by 1),
+            ranked as (
+                select freq,
+                       row_number() over (order by freq desc, term asc)
+                           as rank
+                from tf where freq >= 5),
+            zpts as (select ln(rank::double) as x, ln(freq::double) as y
+                     from ranked),
+            zf as (select count(*)::double as n,
+                          sum(x) as sx, sum(y) as sy, sum(x*x) as sxx,
+                          sum(y*y) as syy, sum(x*y) as sxy from zpts),
+            per_doc as (select id, count(*) as n_tok from toks group by 1),
+            f1 as (select term, min(id) as id from toks group by 1),
+            firsts as (select id, count(*) as n_new from f1 group by 1),
+            cum as (
+                select sum(p.n_tok) over (order by p.id
+                           rows between unbounded preceding
+                           and current row) as cum_tok,
+                       sum(coalesce(f.n_new, 0)) over (order by p.id
+                           rows between unbounded preceding
+                           and current row) as cum_voc
+                from per_doc p left join firsts f using (id)),
+            hpts as (select ln(cum_tok::double) as x,
+                            ln(cum_voc::double) as y from cum),
+            hf as (select count(*)::double as n,
+                          sum(x) as sx, sum(y) as sy, sum(x*x) as sxx,
+                          sum(y*y) as syy, sum(x*y) as sxy from hpts),
+            stats as (select count(*)::bigint as total_tokens,
+                             count(distinct term)::bigint as vocab_size
+                      from toks),
+            nfit as (select count(*)::bigint as n_terms_fit from ranked)
+            select
+                round((zf.n * zf.sxy - zf.sx * zf.sy)
+                      / (zf.n * zf.sxx - zf.sx * zf.sx), 5) as zipf_slope,
+                round(((zf.n * zf.sxy - zf.sx * zf.sy)
+                       * (zf.n * zf.sxy - zf.sx * zf.sy))
+                      / ((zf.n * zf.sxx - zf.sx * zf.sx)
+                         * (zf.n * zf.syy - zf.sy * zf.sy)), 5)
+                    as zipf_r2,
+                round((hf.n * hf.sxy - hf.sx * hf.sy)
+                      / (hf.n * hf.sxx - hf.sx * hf.sx), 5) as heaps_beta,
+                round(exp((hf.sy - (hf.n * hf.sxy - hf.sx * hf.sy)
+                           / (hf.n * hf.sxx - hf.sx * hf.sx) * hf.sx)
+                          / hf.n), 5) as heaps_k,
+                n_terms_fit, vocab_size, total_tokens
+            from zf cross join hf cross join stats cross join nfit
         """,
         "dedup_keep_decision": """
             with recursive words as (
@@ -5864,6 +6155,41 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(),
         "rrf_hybrid_topk": _rrf_oracle_sql(),
+        "collocations_g2": """
+            with toks as (
+                select string_split(text, ' ') as t from documents),
+            bg as (
+                select t[i] as l, t[i+1] as r
+                from toks, unnest(range(1, len(t))) as rr(i)
+                where len(t) >= 2),
+            bgf as (
+                select l, r, count(*) as n from bg
+                where l <> '' and r <> '' group by 1, 2),
+            lm as (select l, sum(n) as c_left from bgf group by 1),
+            rm as (select r, sum(n) as c_right from bgf group by 1),
+            tot as (select sum(n)::double as n_total from bgf)
+            select l as "left", r as "right", n::bigint as n,
+                round(ln(n * n_total / (c_left * c_right)), 6) as pmi,
+                round(2 * (
+                    (case when n > 0 then n * ln(n * n_total
+                        / (c_left * c_right)) else 0 end)
+                  + (case when c_left - n > 0 then (c_left - n)
+                        * ln((c_left - n) * n_total
+                             / (c_left * (n_total - c_right)))
+                        else 0 end)
+                  + (case when c_right - n > 0 then (c_right - n)
+                        * ln((c_right - n) * n_total
+                             / ((n_total - c_left) * c_right))
+                        else 0 end)
+                  + (case when n_total - c_left - c_right + n > 0
+                        then (n_total - c_left - c_right + n)
+                        * ln((n_total - c_left - c_right + n) * n_total
+                             / ((n_total - c_left) * (n_total - c_right)))
+                        else 0 end)), 6) as g2
+            from bgf join lm using (l) join rm using (r) cross join tot
+            where n >= 5
+            order by g2 desc, l asc, r asc limit 30
+        """,
         "training_mix_sample": _training_mix_oracle_sql(),
         "contamination_flags": _contamination_oracle_sql(),
         "quality_model_scores": _quality_model_oracle_sql(),

@@ -264,7 +264,10 @@ def main():
              "tpch_q3_shipping", "tpch_q5_local_supplier",
              "h3_compact_cells", "triangle_counts_links",
              "weighted_sample_by_lang", "allpairs_cosine_pairs",
-             "containment_pairs", "rrf_hybrid_topk"]
+             "containment_pairs", "rrf_hybrid_topk", "collocations_g2",
+             "leakage_safe_split", "corpus_power_laws",
+             "gi_star_hotspots", "h3_hotspot_cells", "morans_i",
+             "zorder_layout_spans"]
     qs = em.queries()
 
     def _force(df):

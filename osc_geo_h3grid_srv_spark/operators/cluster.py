@@ -160,3 +160,52 @@ def dedup_keep_decision(clustered: DataFrame, quality_col: str,
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc())
     return clustered.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def leakage_safe_split(clusters: DataFrame,
+                       fractions: list[tuple[str, float]] | None = None,
+                       salt: str = "split1",
+                       rep_col: str = "cluster_rep") -> DataFrame:
+    """Near-dup-aware train/val/test assignment: the split is a pure
+    function of the CLUSTER REPRESENTATIVE, so every member of a
+    near-duplicate cluster lands in the same split — the property that
+    stops test-set leakage through paraphrased/mirrored pages (the
+    failure mode of hashing raw doc ids, where two near-identical docs
+    straddle train and test).
+
+    Assignment replays everywhere: u = first 8 hex chars of
+    md5(salt | rep) compared against cumulative-fraction thresholds
+    rendered as 8-digit hex literals — the same replayable-keep trick
+    the training-mix sampler uses, so DuckDB/any engine reproduces the
+    split bit-for-bit. Adding documents never reshuffles existing
+    clusters' splits (stable salt), and fractions hold in expectation
+    over clusters.
+
+    Input: (doc_id, rep_col, ...) from dedup_clusters. Output adds a
+    `split` column. One codegen projection — zero additional shuffles
+    on top of the clustering.
+    """
+    if fractions is None:
+        fractions = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    tot = sum(f for _, f in fractions)
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {tot}, expected 1.0")
+    names = [n for n, _ in fractions]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    u = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"),
+                       F.col(rep_col).cast("string"))), 1, 8)
+    cum = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = format(min(int(cum * 2 ** 32), 2 ** 32 - 1), "08x")
+        cond = u < F.lit(thr)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return clusters.withColumn("split", expr)

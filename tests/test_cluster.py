@@ -118,3 +118,60 @@ def test_dedup_keep_decision(spark):
     # exactly one keeper per cluster, always
     kept = [d for d, k in out.items() if k]
     assert len(kept) == 4
+
+
+class TestLeakageSafeSplit:
+    def _clusters(self, spark):
+        # 3 clusters: {1,2,3} rep 1, {10, 11} rep 10, {20} rep 20
+        rows = [(1, 1, 3), (2, 1, 3), (3, 1, 3),
+                (10, 10, 2), (11, 10, 2), (20, 20, 1)]
+        return spark.createDataFrame(
+            rows, "doc_id long, cluster_rep long, cluster_size long")
+
+    def test_cluster_members_share_split(self, spark):
+        from osc_geo_h3grid_srv_spark.operators.cluster import (
+            leakage_safe_split)
+        out = leakage_safe_split(self._clusters(spark)).collect()
+        by_rep = {}
+        for r in out:
+            by_rep.setdefault(r.cluster_rep, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_rep.values()), by_rep
+
+    def test_split_is_pure_function_of_rep_and_salt(self, spark):
+        import hashlib
+        from osc_geo_h3grid_srv_spark.operators.cluster import (
+            leakage_safe_split)
+        out = {r.doc_id: r.split
+               for r in leakage_safe_split(self._clusters(spark)).collect()}
+        t_train = format(int(0.8 * 2 ** 32), "08x")
+        t_val = format(int(0.9 * 2 ** 32), "08x")
+        for doc, rep in [(1, 1), (2, 1), (10, 10), (20, 20)]:
+            u = hashlib.md5(f"split1|{rep}".encode()).hexdigest()[:8]
+            want = ("train" if u < t_train
+                    else "val" if u < t_val else "test")
+            assert out[doc] == want
+
+    def test_fractions_hold_over_many_clusters(self, spark):
+        from pyspark.sql import functions as F
+        from osc_geo_h3grid_srv_spark.operators.cluster import (
+            leakage_safe_split)
+        df = spark.range(10000).selectExpr(
+            "id as doc_id", "id as cluster_rep", "1L as cluster_size")
+        counts = {r.split: r.n for r in
+                  leakage_safe_split(df).groupBy("split")
+                  .agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["train"] / 10000 - 0.8) < 0.02
+        assert abs(counts["val"] / 10000 - 0.1) < 0.01
+        assert abs(counts["test"] / 10000 - 0.1) < 0.01
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from osc_geo_h3grid_srv_spark.operators.cluster import (
+            leakage_safe_split)
+        df = self._clusters(spark)
+        with _pt.raises(ValueError):
+            leakage_safe_split(df, fractions=[("a", 0.5), ("b", 0.4)])
+        with _pt.raises(ValueError):
+            leakage_safe_split(df, fractions=[])
+        with _pt.raises(ValueError):
+            leakage_safe_split(df, fractions=[("a", 0.5), ("a", 0.5)])

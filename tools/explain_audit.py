@@ -326,6 +326,54 @@ AUDITS = {
                 "predicate is a codegen'd string compare; the mix table "
                 "broadcasts — the corpus scan is one pass, no Python",
     },
+    "gi_star_hotspots": {
+        "expect": ["HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "Gi* on the surrogate grid: per-cell agg first (points "
+                "collapse before any fan-out), 9x literal explode of "
+                "the CELL relation, equi-join on grid keys; the one "
+                "BroadcastNestedLoopJoin is the 1-row global-stats "
+                "scalar riding the plan",
+    },
+    "zorder_layout_spans": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin",
+                   "rangepartitioning"],
+        "note": "z-order spans: the morton key is a codegen bit-math "
+                "projection; the only exchange is the final "
+                "bucket-count hash agg (map-side combined)",
+    },
+    "morans_i": {
+        "expect": ["HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "Moran's I: same cell-relation fan-out as Gi*; every "
+                "global term is a broadcast 1-row aggregate",
+    },
+    "corpus_power_laws": {
+        "expect": ["HashAggregate", "Window"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "power-law fits: corpus pass collapses to vocab-/doc-"
+                "sized relations before any window; output is 1 row",
+    },
+    "leakage_safe_split": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "split assignment is a codegen md5 projection on top "
+                "of the clustering — zero additional shuffles",
+    },
+    "collocations_g2": {
+        "expect": ["TakeOrderedAndProject", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "Dunning G^2 collocations: one corpus bigram shuffle, "
+                "vocab-sized marginal joins, broadcast 1-row total, "
+                "top-k never a full sort",
+    },
     "rrf_hybrid_topk": {
         "expect": ["TakeOrderedAndProject", "HashAggregate", "Union"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
