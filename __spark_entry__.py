@@ -636,6 +636,62 @@ def q_corpus_power_laws(spark, sf_dir):
     return corpus_power_laws(docs, min_freq=5)
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """text analysis: TextRank keyword extraction (EMNLP 2004) — 5
+    weighted-PageRank iterations over the word co-occurrence graph,
+    every iteration rounded to 9 digits so the DuckDB oracle replays
+    the chain of iterations as chained CTEs bit-for-bit
+    (operators/textrank.py)."""
+    from osc_geo_h3grid_srv_spark.operators.textrank import (
+        textrank_keywords)
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, min_edge_count=3, num_iter=5, k=20)
+
+
+def _textrank_oracle_sql(min_edge=3, d=0.85, num_iter=5, k=20):
+    one_minus_d = repr(1.0 - d)
+    iters = []
+    for i in range(1, num_iter + 1):
+        iters.append(f"""
+            s{i} as (
+                select n.term,
+                       round({one_minus_d} + {d}
+                             * coalesce(c.contrib, 0.0), 9) as score
+                from nodes n left join (
+                    select dst, sum(share * score) as contrib
+                    from ew join s{i - 1} on ew.src = s{i - 1}.term
+                    group by 1) c on n.term = c.dst)""")
+    return f"""
+        with toks as (select string_split(text, ' ') as t
+                      from documents),
+        bgall as (
+            select t[i] as l, t[i+1] as r
+            from toks, unnest(range(1, len(t))) as rr(i)
+            where len(t) >= 2),
+        bg as (select l, r, count(*) as n from bgall
+               where l <> '' and r <> '' group by 1, 2),
+        und as (
+            select least(l, r) as u, greatest(l, r) as v,
+                   sum(n) as w
+            from bg where n >= {min_edge} and l <> r
+            group by 1, 2),
+        edges as (select u as src, v as dst, w from und
+                  union all
+                  select v, u, w from und),
+        tot as (select src, sum(w) as wtot from edges group by 1),
+        ew as (select src, dst, w::double / wtot::double as share
+               from edges join tot using (src)),
+        nodes as (select distinct src as term from ew),
+        s0 as (select term, 1.0::double as score from nodes),
+        {','.join(iters)},
+        deg as (select src as term, count(*)::bigint as degree
+                from ew group by 1)
+        select s.term, round(s.score, 6) as score, deg.degree
+        from s{num_iter} s join deg using (term)
+        order by score desc, term asc limit {k}
+    """
+
+
 def q_bigram_counts(spark, sf_dir):
     """text analysis: corpus bigram counts over documents — JVM-only
     array ops (split + slice + zip), explode, hash agg; the classic
@@ -5323,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star_hotspots": q_gi_star_hotspots,
         "morans_i": q_morans_i,
         "zorder_layout_spans": q_zorder_layout_spans,
+        "textrank_keywords": q_textrank_keywords,
         "h3_hotspot_cells": q_h3_hotspot_cells,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
@@ -5658,6 +5715,7 @@ def oracle_sql() -> dict[str, str]:
             from nbr cross join stats
         """.format(geo_cust=_geo_sql("customer", "c_custkey")),
         "zorder_layout_spans": _zorder_oracle_sql(),
+        "textrank_keywords": _textrank_oracle_sql(),
         "morans_i": """
             with geo as ({geo_cust}),
             cells as (

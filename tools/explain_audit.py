@@ -336,6 +336,14 @@ AUDITS = {
                 "BroadcastNestedLoopJoin is the 1-row global-stats "
                 "scalar riding the plan",
     },
+    "textrank_keywords": {
+        "expect": ["HashAggregate", "TakeOrderedAndProject"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "TextRank: vocab-sized co-occurrence graph, "
+                "checkpointed weighted-PageRank rounds, top-k never a "
+                "full sort",
+    },
     "zorder_layout_spans": {
         "expect": ["HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
