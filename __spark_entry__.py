@@ -256,6 +256,45 @@ def q_time_filter_events(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """event analytics: strict-order first-touch funnel
+    view -> click -> purchase over the events stream
+    (operators/funnel.py) — per-step reached-user counts and
+    conversion vs step 1, each step one user-keyed shuffle of that
+    step's events only. Oracle replays the min-aggregate chain."""
+    from osc_geo_h3grid_srv_spark.operators.funnel import (
+        funnel_conversion)
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """event analytics: weekly cohort retention triangle — cohort =
+    ISO week of first event, active = any event in cohort+a weeks
+    (operators/funnel.py). The corpus collapses to user-week grain
+    before any join."""
+    from osc_geo_h3grid_srv_spark.operators.funnel import (
+        cohort_retention)
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def q_lisa_clusters(spark, sf_dir):
+    """spatial statistics: LISA local Moran's I with Moran-scatter
+    quadrant labels (HH/LL/HL/LH) over the surrogate grid — the
+    per-cell decomposition of morans_i (operators/hotspot.py
+    local_moran_grid); sum(local_i) = W * global I (pytest
+    cross-check). Fully value-hash-gated."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.hotspot import (
+        local_moran_grid)
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    cells = (geo.groupBy(F.floor(F.col("lat") / 4).alias("gx"),
+                         F.floor(F.col("lng") / 24).alias("gy"))
+             .agg(F.sum("val").alias("x")))
+    return local_moran_grid(cells)
+
+
 def q_exact_dedup(spark, sf_dir):
     """dedup family: exact text dedup via md5 hash-groupBy."""
     from osc_geo_h3grid_srv_spark.operators.dedup import exact_dedup
@@ -5380,6 +5419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "zorder_layout_spans": q_zorder_layout_spans,
         "textrank_keywords": q_textrank_keywords,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        "lisa_clusters": q_lisa_clusters,
         "h3_hotspot_cells": q_h3_hotspot_cells,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
@@ -5716,6 +5758,80 @@ def oracle_sql() -> dict[str, str]:
         """.format(geo_cust=_geo_sql("customer", "c_custkey")),
         "zorder_layout_spans": _zorder_oracle_sql(),
         "textrank_keywords": _textrank_oracle_sql(),
+        "funnel_conversion": """
+            with s1 as (
+                select user_id as u, min(ts) as t from events
+                where event_type = 'view' group by 1),
+            s2 as (
+                select e.user_id as u, min(e.ts) as t
+                from events e join s1 on s1.u = e.user_id
+                where e.event_type = 'click' and e.ts > s1.t
+                group by 1),
+            s3 as (
+                select e.user_id as u, min(e.ts) as t
+                from events e join s2 on s2.u = e.user_id
+                where e.event_type = 'purchase' and e.ts > s2.t
+                group by 1),
+            counts as (
+                select 1 as step, 'view' as event_type,
+                       count(*)::bigint as n_users from s1
+                union all
+                select 2, 'click', count(*)::bigint from s2
+                union all
+                select 3, 'purchase', count(*)::bigint from s3),
+            base as (select count(*)::double as n1 from s1)
+            select step, event_type, n_users,
+                   round(n_users::double / n1, 4) as pct_of_step1
+            from counts cross join base
+        """,
+        "cohort_retention": """
+            with uw as (
+                select distinct user_id as u,
+                       date_trunc('week', ts) as w
+                from events),
+            first as (select u, min(w) as cw from uw group by 1)
+            select strftime(cw, '%Y-%m-%d') as cohort_week,
+                   (date_diff('day', cw, w) / 7)::bigint as age_weeks,
+                   count(distinct u)::bigint as n_active
+            from uw join first using (u)
+            group by 1, 2
+        """,
+        "lisa_clusters": """
+            with geo as ({geo_cust}),
+            cells as (
+                select floor(lat / 4)::bigint as gx,
+                       floor(lng / 24)::bigint as gy,
+                       sum(val)::double as x
+                from geo group by 1, 2),
+            stats as (
+                select count(*)::double as n, avg(x) as xbar,
+                       sum(x * x) / count(*) - avg(x) * avg(x) as m2
+                from cells),
+            offs as (
+                select dx.range as dx, dy.range as dy
+                from range(-1, 2) dx, range(-1, 2) dy
+                where not (dx.range = 0 and dy.range = 0)),
+            nbr as (
+                select c.gx, c.gy, c.x as xi,
+                       count(*) as w_i, sum(v.x) as sxj
+                from cells c
+                cross join offs o
+                join cells v on v.gx = c.gx + o.dx
+                            and v.gy = c.gy + o.dy
+                group by 1, 2, 3)
+            select gx, gy, w_i::bigint as w_i,
+                   round((xi - xbar) / m2
+                         * (sxj - w_i * xbar), 5) as local_i,
+                   round(-w_i / (n - 1.0), 5) as e_i,
+                   case when xi - xbar >= 0 and sxj - w_i * xbar >= 0
+                            then 'HH'
+                        when xi - xbar < 0 and sxj - w_i * xbar < 0
+                            then 'LL'
+                        when xi - xbar >= 0 and sxj - w_i * xbar < 0
+                            then 'HL'
+                        else 'LH' end as quadrant
+            from nbr cross join stats
+        """.format(geo_cust=_geo_sql("customer", "c_custkey")),
         "morans_i": """
             with geo as ({geo_cust}),
             cells as (

@@ -267,7 +267,8 @@ def main():
              "containment_pairs", "rrf_hybrid_topk", "collocations_g2",
              "leakage_safe_split", "corpus_power_laws",
              "gi_star_hotspots", "h3_hotspot_cells", "morans_i",
-             "zorder_layout_spans", "textrank_keywords"]
+             "zorder_layout_spans", "textrank_keywords",
+             "funnel_conversion", "cohort_retention", "lisa_clusters"]
     qs = em.queries()
 
     def _force(df):

@@ -1,0 +1,80 @@
+"""Event-sequence analytics over the events stream: ordered funnel
+conversion and weekly cohort retention — the two standard behavioral
+rollups of any web-scale event pipeline (textbook web-analytics
+semantics; no reference counterpart — the reference has no event
+sequencing).
+
+* funnel: a user converts step k iff they performed step k's event
+  STRICTLY AFTER their step-(k-1) conversion time; conversion time is
+  the EARLIEST such event (the standard strict-order, first-touch
+  funnel). Computed as a chain of per-user min-aggregates with a
+  time-shifted equi-join per step — each step is one user-keyed
+  shuffle of that step's events only, never a per-user sort of the
+  full stream, and the user-keyed exchanges co-locate so AQE reuses
+  the partitioning across steps.
+* cohort retention: cohort = ISO week of the user's first event
+  (any type); a cohort is "active at age a" if the user has any event
+  in cohort_week + a weeks. One distinct over (user, week) — corpus
+  collapses to user-week grain before the join with first-weeks.
+
+Both are pure relational plans; the entries value-hash-gate them
+against identical DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(events: DataFrame, steps: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """-> (step, event_type, n_users, pct_of_step1 round 4) for the
+    strict-order first-touch funnel over `steps`."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate steps: {steps}")
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(F.col(user_col).alias("u"))
+           .agg(F.min(ts_col).alias("t")))
+    reached = [cur]
+    for s in steps[1:]:
+        nxt = (events.filter(F.col(type_col) == s)
+               .select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("ts2"))
+               .join(cur, "u")
+               .filter(F.col("ts2") > F.col("t"))
+               .groupBy("u").agg(F.min("ts2").alias("t")))
+        reached.append(nxt)
+        cur = nxt
+    counts = None
+    for i, (s, df) in enumerate(zip(steps, reached), start=1):
+        c = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(s).alias("event_type"),
+            "n_users")
+        counts = c if counts is None else counts.unionByName(c)
+    base = (reached[0].agg(F.count("*").cast("double").alias("n1")))
+    return (counts.crossJoin(F.broadcast(base))
+            .select("step", "event_type", "n_users",
+                    F.round(F.col("n_users").cast("double")
+                            / F.col("n1"), 4).alias("pct_of_step1")))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """-> (cohort_week 'yyyy-MM-dd', age_weeks, n_active) weekly
+    retention triangle; age 0 row equals cohort size."""
+    uw = (events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).alias("w"))
+        .distinct())
+    first = uw.groupBy("u").agg(F.min("w").alias("cw"))
+    return (uw.join(first, "u")
+            .select("u", F.date_format("cw", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    (F.datediff(F.col("w"), F.col("cw")) / 7)
+                    .cast("long").alias("age_weeks"))
+            .groupBy("cohort_week", "age_weeks")
+            .agg(F.count_distinct("u").cast("long").alias("n_active")))

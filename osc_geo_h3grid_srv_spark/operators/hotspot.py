@@ -187,3 +187,57 @@ def morans_i_grid(cells: DataFrame, x_col: str = "x",
         F.round(mi, 5).alias("morans_i"),
         F.round(ei, 5).alias("e_i"),
         F.round(F.when(var > 0, (mi - ei) / F.sqrt(var)), 5).alias("z"))
+
+
+def local_moran_grid(cells: DataFrame, x_col: str = "x",
+                     gx: str = "gx", gy: str = "gy") -> DataFrame:
+    """LISA — Local Indicators of Spatial Association (Anselin,
+    Geographical Analysis 1995), the per-cell decomposition of
+    Moran's I with the same queen weights (self excluded):
+
+        z_i = x_i - xbar,     m2 = sum z^2 / n
+        I_i = (z_i / m2) * sum_j w_ij z_j
+        E[I_i] = -W_i / (n - 1)          (binary weights, normality)
+
+    plus the Moran-scatter quadrant label: HH (hot cluster core),
+    LL (cold), HL / LH (spatial outliers) from the signs of z_i and
+    the neighborhood lag. -> (gx, gy, w_i, local_i round 5, e_i
+    round 5, quadrant). Cells with no present neighbor are dropped
+    (their lag is undefined). sum_i I_i / W = global I, which the
+    pytest cross-checks against morans_i_grid.
+    """
+    base = cells.select(F.col(gx).alias("gx"), F.col(gy).alias("gy"),
+                        F.col(x_col).cast("double").alias("x"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        (F.sum(F.col("x") * F.col("x")) / F.count("*")
+         - F.avg("x") * F.avg("x")).alias("m2"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)])
+    probes = (base.select("gx", "gy", F.col("x").alias("xi"),
+                          F.explode(offs).alias("o"))
+              .select("gx", "gy", "xi",
+                      (F.col("gx") + F.col("o.dx")).alias("nx"),
+                      (F.col("gy") + F.col("o.dy")).alias("ny")))
+    vals = base.select(F.col("gx").alias("nx"), F.col("gy").alias("ny"),
+                       F.col("x").alias("xj"))
+    nbr = (probes.join(vals, ["nx", "ny"])
+           .groupBy("gx", "gy", "xi")
+           .agg(F.count("*").alias("w_i"), F.sum("xj").alias("sxj")))
+    j = nbr.crossJoin(F.broadcast(stats))
+    zi = F.col("xi") - F.col("xbar")
+    lag = F.col("sxj") - F.col("w_i").cast("double") * F.col("xbar")
+    li = zi / F.col("m2") * lag
+    quad = (F.when((zi >= 0) & (lag >= 0), F.lit("HH"))
+            .when((zi < 0) & (lag < 0), F.lit("LL"))
+            .when((zi >= 0) & (lag < 0), F.lit("HL"))
+            .otherwise(F.lit("LH")))
+    return j.select(
+        "gx", "gy", F.col("w_i").cast("long").alias("w_i"),
+        F.round(li, 5).alias("local_i"),
+        F.round(-F.col("w_i").cast("double") / (F.col("n") - 1.0), 5)
+        .alias("e_i"),
+        quad.alias("quadrant"))

@@ -336,6 +336,28 @@ AUDITS = {
                 "BroadcastNestedLoopJoin is the 1-row global-stats "
                 "scalar riding the plan",
     },
+    "funnel_conversion": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "Window", "rangepartitioning"],
+        "note": "funnel: chained per-user min-aggregates + time-"
+                "shifted equi-joins; never a per-user sort/window of "
+                "the full stream",
+    },
+    "cohort_retention": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "Window", "rangepartitioning"],
+        "note": "cohort triangle: stream collapses to user-week grain "
+                "before the first-week join",
+    },
+    "lisa_clusters": {
+        "expect": ["HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "LISA: same cell-relation fan-out as Gi*/Moran; "
+                "quadrant labels are codegen case-when",
+    },
     "textrank_keywords": {
         "expect": ["HashAggregate", "TakeOrderedAndProject"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
