@@ -3079,6 +3079,38 @@ def _zorder_oracle_sql():
                morton=morton_sql("qx", "qy"))
 
 
+def q_hilbert_layout_spans(spark, sf_dir):
+    """data layout: HILBERT-curve file clustering spans — same
+    contract as zorder_layout_spans but with the unrolled xy2d
+    rotate/reflect chain (order 10), whose unit-step locality beats
+    Morton's diagonal seams. The 10-level state machine is replayed
+    level-by-level as chained DuckDB CTEs (operators/layout.py
+    hilbert_key_2d / hilbert_sql_ctes)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.layout import hilbert_spans
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    qx = F.floor((F.col("lat") + 60) * 8)
+    qy = F.floor((F.col("lng") + 180) * 2)
+    return hilbert_spans(geo, qx, qy, order=10, bucket_shift=14)
+
+
+def _hilbert_oracle_sql():
+    from osc_geo_h3grid_srv_spark.operators.layout import hilbert_sql_ctes
+    ctes, last = hilbert_sql_ctes("qx", "qy", "__hq", ["qx", "qy"], 10)
+    return """
+        with geo as ({geo_cust}),
+        __hq as (select floor((lat + 60) * 8)::bigint as qx,
+                        floor((lng + 180) * 2)::bigint as qy
+                 from geo),
+        {ctes}
+        select hd >> 14 as bucket, count(*)::bigint as n,
+               min(qx) as x_min, max(qx) as x_max,
+               min(qy) as y_min, max(qy) as y_max
+        from {last} group by 1
+    """.format(geo_cust=_geo_sql("customer", "c_custkey"),
+               ctes=ctes, last=last)
+
+
 def q_morans_i(spark, sf_dir):
     """spatial statistics: global Moran's I autocorrelation with full
     Cliff-Ord normality inference (E[I], Var[I], z) over the surrogate
@@ -5420,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_spans": q_zorder_layout_spans,
         "textrank_keywords": q_textrank_keywords,
         "funnel_conversion": q_funnel_conversion,
+        "hilbert_layout_spans": q_hilbert_layout_spans,
         "cohort_retention": q_cohort_retention,
         "lisa_clusters": q_lisa_clusters,
         "h3_hotspot_cells": q_h3_hotspot_cells,
@@ -5758,6 +5791,7 @@ def oracle_sql() -> dict[str, str]:
         """.format(geo_cust=_geo_sql("customer", "c_custkey")),
         "zorder_layout_spans": _zorder_oracle_sql(),
         "textrank_keywords": _textrank_oracle_sql(),
+        "hilbert_layout_spans": _hilbert_oracle_sql(),
         "funnel_conversion": """
             with s1 as (
                 select user_id as u, min(ts) as t from events

@@ -268,7 +268,8 @@ def main():
              "leakage_safe_split", "corpus_power_laws",
              "gi_star_hotspots", "h3_hotspot_cells", "morans_i",
              "zorder_layout_spans", "textrank_keywords",
-             "funnel_conversion", "cohort_retention", "lisa_clusters"]
+             "funnel_conversion", "cohort_retention", "lisa_clusters",
+             "hilbert_layout_spans"]
     qs = em.queries()
 
     def _force(df):

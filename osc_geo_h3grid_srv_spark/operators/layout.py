@@ -92,3 +92,100 @@ def layout_by_zorder(df: DataFrame, qx: Column, qy: Column,
     keyed = df.withColumn("__zkey", morton_key_2d(qx, qy))
     return (keyed.repartitionByRange(n_partitions, F.col("__zkey"))
             .sortWithinPartitions("__zkey").drop("__zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: better locality than Z-order (no long diagonal jumps)
+# ---------------------------------------------------------------------------
+
+def with_hilbert_key(df: DataFrame, x: Column, y: Column,
+                     order: int = 10, out: str = "hd") -> DataFrame:
+    """Append the Hilbert curve distance `out` of grid point (x, y) on
+    a 2^order x 2^order grid (Hilbert 1891; the classic xy2d bit
+    algorithm as published in public references). Strictly better
+    locality than Morton: consecutive keys are always 4-adjacent
+    cells, so range reads never straddle the long diagonal seams
+    Z-order has — the pytest quantifies this.
+
+    The per-level rotate/reflect state machine unrolls to `order`
+    rounds of withColumns projections over NAMED state columns
+    (hx, hy, hd). Named references matter: inlining the recurrence as
+    one Column would double the expression tree per level (4^order
+    nodes — order 10 overflows the analyzer), while named per-level
+    projections stay linear, and Catalyst's CollapseProject leaves
+    them be because the state columns are referenced more than once.
+    The identical unrolled chain renders to SQL via hilbert_sql_ctes()
+    for the oracle replay (one CTE per level — the same linearization).
+    """
+    if not 1 <= order <= 31:
+        raise ValueError(f"order {order} out of range")
+    hx, hy = f"__{out}_hx", f"__{out}_hy"
+    d = df.withColumns({hx: x.cast("long"), hy: y.cast("long"),
+                        out: F.lit(0).cast("long")})
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = F.when(F.col(hx).bitwiseAND(F.lit(s)) > 0, F.lit(1)) \
+            .otherwise(F.lit(0)).cast("long")
+        ry = F.when(F.col(hy).bitwiseAND(F.lit(s)) > 0, F.lit(1)) \
+            .otherwise(F.lit(0)).cast("long")
+        # rotate quadrant: if ry == 0 { if rx == 1 reflect; swap x,y }
+        d = d.withColumns({
+            out: F.col(out)
+            + F.lit(s) * F.lit(s) * (F.lit(3) * rx).bitwiseXOR(ry),
+            hx: F.when(ry == 0,
+                       F.when(rx == 1, F.lit(s - 1) - F.col(hy))
+                       .otherwise(F.col(hy))).otherwise(F.col(hx)),
+            hy: F.when(ry == 0,
+                       F.when(rx == 1, F.lit(s - 1) - F.col(hx))
+                       .otherwise(F.col(hx))).otherwise(F.col(hy)),
+        })
+        s //= 2
+    return d.drop(hx, hy)
+
+
+def hilbert_sql_ctes(x_expr: str, y_expr: str, source: str,
+                     keep: list[str], order: int = 10
+                     ) -> tuple[str, str]:
+    """the identical unrolled xy2d chain as chained SQL CTEs (oracle
+    replay): returns (cte_block, last_cte_name); the last CTE carries
+    `keep` columns plus the final key column `hd`. Column references
+    inside each SELECT resolve to the INPUT level (SQL semantics), so
+    the per-level state (hx, hy, hd) can reuse its names — exactly the
+    rebinding the Spark loop does."""
+    if not 1 <= order <= 31:
+        raise ValueError(f"order {order} out of range")
+    ks = ", ".join(keep)
+    ctes = [f"h0 as (select {ks}, ({x_expr})::bigint as hx, "
+            f"({y_expr})::bigint as hy, 0::bigint as hd from {source})"]
+    lvl = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = f"(case when (hx & {s}) > 0 then 1 else 0 end)"
+        ry = f"(case when (hy & {s}) > 0 then 1 else 0 end)"
+        ctes.append(
+            f"h{lvl + 1} as (select {ks}, "
+            f"case when {ry} = 0 then (case when {rx} = 1 "
+            f"then {s - 1} - hy else hy end) else hx end as hx, "
+            f"case when {ry} = 0 then (case when {rx} = 1 "
+            f"then {s - 1} - hx else hx end) else hy end as hy, "
+            f"hd + {s}::bigint * {s} * xor({rx} * 3, {ry}) as hd "
+            f"from h{lvl})")
+        lvl += 1
+        s //= 2
+    return ",\n".join(ctes), f"h{lvl}"
+
+
+def hilbert_spans(df: DataFrame, qx: Column, qy: Column,
+                  order: int, bucket_shift: int) -> DataFrame:
+    """per-bucket layout statistics under HILBERT clustering — same
+    contract as zorder_spans, bucket = hilbert_d >> bucket_shift."""
+    if not 0 <= bucket_shift <= 62:
+        raise ValueError(f"bucket_shift {bucket_shift} out of range")
+    d = with_hilbert_key(df.select(qx.alias("qx"), qy.alias("qy")),
+                         F.col("qx"), F.col("qy"), order)
+    d = d.select("qx", "qy", F.shiftright(F.col("hd"), bucket_shift)
+                 .alias("bucket"))
+    return (d.groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("qx").alias("x_min"), F.max("qx").alias("x_max"),
+                 F.min("qy").alias("y_min"), F.max("qy").alias("y_max")))

@@ -94,3 +94,65 @@ def test_layout_write_partitions_are_key_ranges(spark, tmp_path):
         layout_by_zorder(df, F.col("qx"), F.col("qy"), 0)
     with pytest.raises(ValueError):
         zorder_spans(df, F.col("qx"), F.col("qy"), -1)
+
+
+def _py_xy2d(order, x, y):
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_parity_vs_python(spark):
+    from osc_geo_h3grid_srv_spark.operators.layout import with_hilbert_key
+    rng = np.random.default_rng(13)
+    pts = [(int(a), int(b)) for a, b in
+           zip(rng.integers(0, 1024, 400), rng.integers(0, 1024, 400))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = with_hilbert_key(df, F.col("x"), F.col("y"), 10).collect()
+    for r in got:
+        assert r.hd == _py_xy2d(10, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_is_a_bijection_with_unit_steps(spark):
+    from osc_geo_h3grid_srv_spark.operators.layout import with_hilbert_key
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = [r.asDict() for r in
+            with_hilbert_key(df, F.col("x"), F.col("y"), 4).collect()]
+    rows = [type("R", (), {"x": r["x"], "y": r["y"], "d": r["hd"]})
+            for r in rows]
+    ds = sorted(r.d for r in rows)
+    assert ds == list(range(256))  # bijection onto 0..255
+    inv = {r.d: (r.x, r.y) for r in rows}
+    # consecutive keys are 4-adjacent cells — the locality guarantee
+    # Morton lacks (its max step on this grid is 16+)
+    for i in range(255):
+        (x1, y1), (x2, y2) = inv[i], inv[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    mort_inv = {_py_morton(x, y): (x, y) for x, y in pts}
+    mort_steps = [abs(mort_inv[i][0] - mort_inv[i + 1][0])
+                  + abs(mort_inv[i][1] - mort_inv[i + 1][1])
+                  for i in range(255)]
+    assert max(mort_steps) > 1  # morton does jump
+
+
+def test_hilbert_validation(spark):
+    from osc_geo_h3grid_srv_spark.operators.layout import (
+        hilbert_spans, hilbert_sql_ctes, with_hilbert_key)
+    df0 = spark.createDataFrame([(0, 0)], "x long, y long")
+    with pytest.raises(ValueError):
+        with_hilbert_key(df0, F.col("x"), F.col("y"), 0)
+    with pytest.raises(ValueError):
+        hilbert_sql_ctes("x", "y", "t", ["x"], 32)
+    df = spark.createDataFrame([(1, 1)], "qx long, qy long")
+    with pytest.raises(ValueError):
+        hilbert_spans(df, F.col("qx"), F.col("qy"), 10, 63)

@@ -375,6 +375,15 @@ AUDITS = {
                 "projection; the only exchange is the final "
                 "bucket-count hash agg (map-side combined)",
     },
+    "hilbert_layout_spans": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "SortMergeJoin",
+                   "rangepartitioning"],
+        "note": "hilbert spans: the 10-level rotate/reflect chain is "
+                "one codegen projection; only exchange is the final "
+                "bucket agg",
+    },
     "morans_i": {
         "expect": ["HashAggregate", "Generate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
