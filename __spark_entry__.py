@@ -3031,6 +3031,20 @@ def q_h3_index_documents(spark, sf_dir):
             .filter(F.col("n_points") >= 3))
 
 
+def q_distance_pairs_join(spark, sf_dir):
+    """J-family: within-250km great-circle PAIR join over the derived
+    customer geo points (lat up to 84.9, lng spanning +-180 — the
+    high-latitude and antimeridian regimes that broke naive lng
+    bucketing in r2). Spark side reuses J5's exact per-band pitch +
+    wrap-copy machinery (operators/distjoin.py); the oracle is the
+    UNPRUNED quadratic haversine self-join, so a banding bound that
+    drops one true pair flips the hash."""
+    from osc_geo_h3grid_srv_spark.operators.distjoin import (
+        within_distance_pairs)
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    return within_distance_pairs(geo, 250.0)
+
+
 def q_gi_star_hotspots(spark, sf_dir):
     """spatial statistics: Getis-Ord Gi* hotspot z-scores over the
     queen 8-neighborhood of the integer surrogate grid (the
@@ -5453,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "funnel_conversion": q_funnel_conversion,
         "hilbert_layout_spans": q_hilbert_layout_spans,
+        "distance_pairs_join": q_distance_pairs_join,
         "cohort_retention": q_cohort_retention,
         "lisa_clusters": q_lisa_clusters,
         "h3_hotspot_cells": q_h3_hotspot_cells,
@@ -5792,6 +5807,23 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_spans": _zorder_oracle_sql(),
         "textrank_keywords": _textrank_oracle_sql(),
         "hilbert_layout_spans": _hilbert_oracle_sql(),
+        # UNPRUNED quadratic haversine self-join (identical formula
+        # structure to the Spark side's verify step)
+        "distance_pairs_join": """
+            with geo as ({geo_cust})
+            select a.id as id_a, b.id as id_b,
+                   round(2 * 6371.0088 * asin(sqrt(
+                       pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * pow(sin((radians(b.lng) - radians(a.lng)) / 2),
+                             2))), 4) as dist_km
+            from geo a join geo b on a.id < b.id
+            where 2 * 6371.0088 * asin(sqrt(
+                      pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+                      + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * pow(sin((radians(b.lng) - radians(a.lng)) / 2),
+                            2))) <= 250.0
+        """.format(geo_cust=_geo_sql("customer", "c_custkey")),
         "funnel_conversion": """
             with s1 as (
                 select user_id as u, min(ts) as t from events

@@ -269,7 +269,7 @@ def main():
              "gi_star_hotspots", "h3_hotspot_cells", "morans_i",
              "zorder_layout_spans", "textrank_keywords",
              "funnel_conversion", "cohort_retention", "lisa_clusters",
-             "hilbert_layout_spans"]
+             "hilbert_layout_spans", "distance_pairs_join"]
     qs = em.queries()
 
     def _force(df):

@@ -326,6 +326,15 @@ AUDITS = {
                 "predicate is a codegen'd string compare; the mix table "
                 "broadcasts — the corpus scan is one pass, no Python",
     },
+    "distance_pairs_join": {
+        "expect": ["HashAggregate|SortMergeJoin|ShuffledHashJoin"
+                   "|BroadcastHashJoin", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "within-distance pair join: bucket EQUI-join (band + "
+                "per-band lng pitch), 9x probe-side explode, exact "
+                "haversine verify — never a theta/cross join",
+    },
     "gi_star_hotspots": {
         "expect": ["HashAggregate", "Generate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
