@@ -329,7 +329,7 @@ def q_word_jaccard_pairs(spark, sf_dir):
 
 def q_allpairs_cosine_pairs(spark, sf_dir):
     """dedup family: EXACT all-pairs set-cosine >= 0.6 over distinct
-    word-bigram sets via prefix + size filtering (Bayardo, Ma &
+    word-TRIGRAM sets via prefix + size filtering (Bayardo, Ma &
     Srikant, WWW 2007; operators/allpairs.py). The oracle replays the
     UNPRUNED quadratic postings join — a prefix bound that drops one
     true pair flips the value hash, so the prune's completeness is
@@ -337,19 +337,19 @@ def q_allpairs_cosine_pairs(spark, sf_dir):
     from osc_geo_h3grid_srv_spark.operators.allpairs import (
         allpairs_cosine_pairs)
     docs = _t(spark, sf_dir, "documents")
-    return allpairs_cosine_pairs(docs, 0.6, "doc_id", "text", ngram=2)
+    return allpairs_cosine_pairs(docs, 0.6, "doc_id", "text", ngram=3)
 
 
 def q_containment_pairs(spark, sf_dir):
     """dedup family: DIRECTED containment |A inter B|/|A| >= 0.7 over
-    distinct word-bigram sets (operators/allpairs.py containment_pairs)
+    distinct word-TRIGRAM sets (operators/allpairs.py containment_pairs)
     — quote/excerpt detection that symmetric cosine misses. Oracle =
     unpruned ordered postings join; the A-side prefix prune and the
     per-pair B rank bound are gated for completeness."""
     from osc_geo_h3grid_srv_spark.operators.allpairs import (
         containment_pairs)
     docs = _t(spark, sf_dir, "documents")
-    return containment_pairs(docs, 0.7, "doc_id", "text", ngram=2)
+    return containment_pairs(docs, 0.7, "doc_id", "text", ngram=3)
 
 
 def q_token_stats(spark, sf_dir):
@@ -6521,9 +6521,10 @@ def oracle_sql() -> dict[str, str]:
                 select doc_id, string_split(text, ' ') as t
                 from documents),
             grams as (
-                select distinct doc_id, t[i] || ' ' || t[i+1] as term
-                from toks, unnest(range(1, len(t))) as r(i)
-                where len(t) >= 2),
+                select distinct doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] as term
+                from toks, unnest(range(1, len(t) - 1)) as r(i)
+                where len(t) >= 3),
             sizes as (select doc_id, count(*) as sz from grams group by 1),
             common as (
                 select a.doc_id as id_a, b.doc_id as id_b,
@@ -6544,9 +6545,10 @@ def oracle_sql() -> dict[str, str]:
                 select doc_id, string_split(text, ' ') as t
                 from documents),
             grams as (
-                select distinct doc_id, t[i] || ' ' || t[i+1] as term
-                from toks, unnest(range(1, len(t))) as r(i)
-                where len(t) >= 2),
+                select distinct doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] as term
+                from toks, unnest(range(1, len(t) - 1)) as r(i)
+                where len(t) >= 3),
             sizes as (select doc_id, count(*) as sz from grams group by 1),
             common as (
                 select a.doc_id as id_a, b.doc_id as id_b,

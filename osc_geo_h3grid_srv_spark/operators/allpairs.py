@@ -48,10 +48,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _gram_array(text_col: str, n: int) -> Column:
-    """distinct word-n-gram array from a single-space split —
-    byte-identical to the DuckDB oracle's string_split replay."""
-    t = F.split(F.col(text_col), " ")
+def _gram_array_of(t: Column, n: int) -> Column:
+    """distinct word-n-gram array over an already-split token array
+    column. IMPORTANT: pass a bound ATTRIBUTE (a projected column),
+    not the split(...) expression itself — higher-order functions run
+    interpreted (no codegen, no common-subexpression elimination), so
+    an inline split would be re-evaluated for every element_at in the
+    lambda: measured ~7x the whole pass at sf0.1."""
     if n == 1:
         return F.array_distinct(t)
     # windows of n consecutive words joined by one space; docs shorter
@@ -66,19 +69,49 @@ def _gram_array(text_col: str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_array(text_col: str, n: int) -> Column:
+    """distinct word-n-gram array from a single-space split (inline
+    split form — fine for tests/single use; the operators below route
+    through a projected token column instead, see _gram_array_of)."""
+    return _gram_array_of(F.split(F.col(text_col), " "), n)
+
+
+def _gram_sets(docs: DataFrame, id_col: str, text_col: str,
+               n: int) -> DataFrame:
+    """(id, ts) distinct n-gram ARRAY per doc, split projected once."""
+    return (_spread(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.split(F.col(text_col), " ").alias("__toks"))
+            .select("id", _gram_array_of(F.col("__toks"), n).alias("ts"))
+            .filter(F.size("ts") > 0))
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Parallelism guard for the repeated text passes below: a small
+    single-file parquet scan plans as ONE input partition (128 MB
+    maxPartitionBytes), which serializes every split/explode pass of
+    this operator onto one core — measured 13 s/pass at sf0.1 vs
+    sub-second spread. Repartition only when the scan is narrower than
+    the cluster; at real corpus scale the input already has thousands
+    of partitions and this is a no-op (no shuffle added)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def _gram_terms(docs: DataFrame, id_col: str, text_col: str,
                 n: int) -> DataFrame:
     """(id, term) distinct word-n-gram posting relation."""
-    return (docs.select(F.col(id_col).alias("id"),
-                        _gram_array(text_col, n).alias("terms"))
-            .filter(F.size("terms") > 0)
-            .select("id", F.explode("terms").alias("term")))
+    return (_gram_sets(docs, id_col, text_col, n)
+            .select("id", F.explode("ts").alias("term")))
 
 
 def allpairs_candidate_pairs(docs: DataFrame, threshold: float,
                              id_col: str = "doc_id",
                              text_col: str = "text",
-                             ngram: int = 2) -> DataFrame:
+                             ngram: int = 2,
+                             _sets: DataFrame | None = None) -> DataFrame:
     """Prefix+size-filtered candidate set (id_a < id_b), BEFORE exact
     verification — exposed so tests can assert the prune is
     (a) complete (superset of true pairs) and (b) effective (strictly
@@ -86,7 +119,16 @@ def allpairs_candidate_pairs(docs: DataFrame, threshold: float,
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold {threshold} not in (0, 1]")
     t2 = float(threshold) * float(threshold)
-    terms = _gram_terms(docs, id_col, text_col, ngram)
+    # materialize the per-doc gram arrays ONCE (linkgraph.py
+    # discipline): the interpreted higher-order-function n-gram pass
+    # is the operator's fixed cost, and FOUR consumers need it (df
+    # table, sizes, prefix rank, and the caller's exact verify) —
+    # deriving them all from one checkpointed relation is the postings
+    # materialization every published all-pairs system does.
+    if _sets is None:
+        _sets = _gram_sets(docs, id_col, text_col, ngram) \
+            .localCheckpoint(eager=True)
+    terms = _sets.select("id", F.explode("ts").alias("term"))
     dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
     sizes = terms.groupBy("id").agg(F.count("*").alias("sz"))
     # global canonical order = (df asc, term asc); per-doc prefix rank
@@ -151,7 +193,9 @@ def containment_pairs(docs: DataFrame, threshold: float,
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold {threshold} not in (0, 1]")
     t = float(threshold)
-    terms = _gram_terms(docs, id_col, text_col, ngram)
+    sets = _gram_sets(docs, id_col, text_col, ngram) \
+        .localCheckpoint(eager=True)  # ONE materialized gram pass
+    terms = sets.select("id", F.explode("ts").alias("term"))
     dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
     sizes = terms.groupBy("id").agg(F.count("*").alias("sz"))
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
@@ -170,9 +214,6 @@ def containment_pairs(docs: DataFrame, threshold: float,
                     & (F.col("sz_b") >= alpha_a)
                     & (F.col("rk_b") <= F.col("sz_b") - alpha_a + 1))
             .select("id_a", "id_b").distinct())
-    sets = (docs.select(F.col(id_col).alias("id"),
-                        _gram_array(text_col, ngram).alias("ts"))
-            .filter(F.size("ts") > 0))
     va = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     vb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     cont = (F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
@@ -194,13 +235,12 @@ def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
     Exact: prefix + size filtering prune candidates, then every
     candidate is verified against the true term sets.
     """
+    sets = _gram_sets(docs, id_col, text_col, ngram) \
+        .localCheckpoint(eager=True)
     cand = allpairs_candidate_pairs(docs, threshold, id_col, text_col,
-                                    ngram)
-    # exact verify: term sets recomputed from docs (map-side split),
-    # JVM array_intersect — terms are distinct so size == overlap count
-    sets = (docs.select(F.col(id_col).alias("id"),
-                        _gram_array(text_col, ngram).alias("ts"))
-            .filter(F.size("ts") > 0))
+                                    ngram, _sets=sets)
+    # exact verify over the SAME materialized gram arrays: JVM
+    # array_intersect — terms are distinct so size == overlap count
     va = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     vb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     cos = (F.size(F.array_intersect("ts_a", "ts_b")).cast("double")

@@ -58,6 +58,10 @@ QUERIES = [
     # chunks / anchors grow linearly with the amplified corpus)
     "hits_scores", "triangle_counts_links", "cdc_chunk_dedup",
     "anchor_text_profile",
+    # late round-4: the exact-similarity prefix join (its candidate
+    # volume is the scale question) and the two iteration-bound text
+    # graph/stat operators
+    "allpairs_cosine_pairs", "textrank_keywords", "collocations_g2",
 ]
 
 
