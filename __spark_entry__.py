@@ -3045,6 +3045,158 @@ def q_distance_pairs_join(spark, sf_dir):
     return within_distance_pairs(geo, 250.0)
 
 
+def q_asof_join_events(spark, sf_dir):
+    """temporal as-of join (operators/asof.py): every click/view event
+    picks up the user's most recent PRIOR purchase (value + age),
+    NULL when none or when the match is older than the 1-day
+    tolerance. Runs the BUCKETED two-phase plan (6h buckets) — the
+    bounded-partition production path — against DuckDB's native
+    ASOF LEFT JOIN, an independent implementation rather than a
+    replay; a pytest property gate separately pins
+    bucketed == single-window on randomized inputs."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    snaps = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("snap_value")))
+    clicks = (ev.filter(F.col("event_type").isin("click", "view"))
+              .select("event_id", "user_id", "ts"))
+    out = asof_join(clicks, snaps, "user_id", "ts", "ts",
+                    ["snap_value"], tolerance_s=86400.0,
+                    bucket_s=21600.0)
+    return out.select(
+        "event_id", "user_id",
+        F.round("snap_value", 6).alias("snap_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+        .alias("age_us"))
+
+
+def q_interval_overlap_join(spark, sf_dir):
+    """keyless point-in-interval join (operators/intervaljoin.py):
+    click events x purchase attribution windows [purchase_ts,
+    purchase_ts + 300..1199s) — banded bucket equi-join on 15-min
+    time buckets, each point in exactly one bucket so no dedup step
+    exists. Oracle is the UNPRUNED quadratic inequality join in
+    DuckDB: a banding bound that drops one true pair flips the
+    value hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.intervaljoin import (
+        interval_overlap_join)
+    ev = _t(spark, sf_dir, "events")
+    dur_us = ((F.lit(300) + F.floor(F.col("value") * 100) % 900)
+              * F.lit(1_000_000)).cast("long")
+    iv = (ev.filter(F.col("event_type") == "purchase")
+          .select(F.col("event_id").alias("purchase_id"),
+                  F.col("ts").alias("start_ts"),
+                  F.timestamp_micros(
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      + dur_us).cast("timestamp_ntz").alias("end_ts")))
+    pts = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("click_id"),
+                   F.col("ts").alias("click_ts")))
+    j = interval_overlap_join(pts, iv, "click_ts", "start_ts",
+                              "end_ts", bucket_s=900.0)
+    return j.select(
+        "click_id", "purchase_id",
+        (F.unix_micros(F.col("click_ts").cast("timestamp"))
+         - F.unix_micros(F.col("start_ts").cast("timestamp")))
+        .alias("lag_us"))
+
+
+def q_kcore_links(spark, sf_dir):
+    """graph-shape analytics: 4-core of the undirected planted link
+    graph by 12 synchronous peeling rounds (operators/linkgraph.py
+    kcore) — the transitive density backbone next to
+    triangle_counts_links. Integer degrees only; the oracle replays
+    the identical 12 rounds as chained DuckDB CTEs, so one node
+    peeled in a different round flips the hash. A pytest gate
+    asserts the fixpoint lands within the round budget."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import kcore
+    docs = _t(spark, sf_dir, "documents")
+    n_row = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    base = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id").crossJoin(F.broadcast(n_row)))
+    parts = [base.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * m + j) % F.col("nm"))
+                         .alias("dst"))
+             for j, m in enumerate(_PR_MULTS)]
+    return kcore(parts[0].union(parts[1]).union(parts[2]),
+                 k=_KCORE_K, num_rounds=_KCORE_ROUNDS)
+
+
+def _kcore_oracle_sql():
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    arms = " union all ".join(
+        f"select doc_id as src, (doc_id * {m} + {j}) % nm as dst "
+        f"from documents, nn where doc_id % 10 <> 0"
+        for j, m in enumerate(_PR_MULTS))
+    ctes = [
+        "nn as (select max(doc_id) + 1 as nm from documents)",
+        f"de as materialized (select src, dst from ({arms}) where src <> dst)",
+        "sym as materialized (select distinct node, nbr from ("
+        "select src as node, dst as nbr from de "
+        "union all select dst, src from de))",
+        "alive0 as materialized (select distinct node from sym)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"alive{i - 1}"
+        ctes.append(
+            f"deg{i} as materialized (select s.node, count(*)::bigint as deg "
+            f"from sym s join {p} a on s.node = a.node "
+            f"join {p} b on s.nbr = b.node group by s.node)")
+        ctes.append(
+            f"alive{i} as materialized (select node from deg{i} where deg >= {k})")
+    return ("with " + ", ".join(ctes)
+            + f" select node, deg from deg{rounds} where deg >= {k}")
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """distributed second moments (operators/embstats.py): the full
+    upper-triangle population covariance of the dim-64 embedding
+    column via ONE mapInPandas pass emitting per-batch sufficient
+    statistics (n, colsums, X^T X) — ~2k partial rows per input split
+    regardless of row count — reduced by a tiny groupBy(i, j). The
+    PCA fit (driver eigh of this d x d matrix) and the pure-JVM
+    projection are pytest-gated on top of this oracle. DuckDB replays
+    the covariance independently from the raw vectors (1M product
+    rows at sf0.01); float32 inputs are widened to float64 before any
+    product on BOTH sides, so the comparison is exact to the
+    round(6)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.embstats import (
+        covariance_matrix)
+    emb = _t(spark, sf_dir, "embeddings")
+    # + 0.0 after the round: IEEE -0.0 + 0.0 = +0.0, killing the
+    # -0.0-vs-0.0 hash split when a near-zero cell rounds to zero
+    # with different signs in the two engines
+    return (covariance_matrix(emb, "embedding", 64)
+            .select("i", "j",
+                    (F.round("cov", 6) + F.lit(0.0)).alias("cov")))
+
+
+_EMB_COV_ORACLE = """
+    with n as (select count(*) as n from embeddings),
+    means as (
+        select i, avg(embedding[i]::double) as m
+        from embeddings, range(1, 65) t(i)
+        group by i),
+    sums as (
+        select a.i as i, b.i as j,
+               sum(e.embedding[a.i]::double
+                   * e.embedding[b.i]::double) as s
+        from embeddings e, range(1, 65) a(i), range(1, 65) b(i)
+        where b.i >= a.i
+        group by a.i, b.i)
+    select (s.i - 1)::int as i, (s.j - 1)::int as j,
+           round(s.s / n.n - mi.m * mj.m, 6) + 0.0 as cov
+    from sums s, n, means mi, means mj
+    where mi.i = s.i and mj.i = s.j
+"""
+
+
 def q_gi_star_hotspots(spark, sf_dir):
     """spatial statistics: Getis-Ord Gi* hotspot z-scores over the
     queen 8-neighborhood of the integer surrogate grid (the
@@ -3599,6 +3751,7 @@ def _quality_top_fraction_oracle_sql(frac=0.25):
 
 
 _PR_DAMP, _PR_ITER, _PR_MULTS = 0.85, 5, (3, 5, 7)
+_KCORE_K, _KCORE_ROUNDS = 4, 12
 
 
 def q_pagerank_links(spark, sf_dir):
@@ -5469,6 +5622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs_join": q_distance_pairs_join,
         "cohort_retention": q_cohort_retention,
         "lisa_clusters": q_lisa_clusters,
+        "asof_join_events": q_asof_join_events,
+        "interval_overlap_join": q_interval_overlap_join,
+        "kcore_links": q_kcore_links,
+        "embedding_covariance": q_embedding_covariance,
         "h3_hotspot_cells": q_h3_hotspot_cells,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
@@ -6445,6 +6602,42 @@ def oracle_sql() -> dict[str, str]:
         "h3_compact_cells": _H3_COMPACT_ORACLE,
         "weighted_sample_by_lang": _weighted_sample_oracle_sql(),
         "triangle_counts_links": _triangle_oracle_sql(),
+        "kcore_links": _kcore_oracle_sql(),
+        "embedding_covariance": _EMB_COV_ORACLE,
+        "asof_join_events": """
+            with snaps as (
+                select user_id, ts as sts, max(value) as snap_value
+                from events where event_type = 'purchase'
+                group by 1, 2),
+            clk as (
+                select event_id, user_id, ts from events
+                where event_type in ('click', 'view'))
+            select c.event_id, c.user_id,
+                   case when epoch_us(c.ts) - epoch_us(s.sts)
+                             <= 86400000000
+                        then round(s.snap_value, 6) end as snap_value,
+                   case when epoch_us(c.ts) - epoch_us(s.sts)
+                             <= 86400000000
+                        then epoch_us(c.ts) - epoch_us(s.sts)
+                        end as age_us
+            from clk c asof left join snaps s
+              on c.user_id = s.user_id and c.ts >= s.sts
+        """,
+        "interval_overlap_join": """
+            with iv as (
+                select event_id as purchase_id, ts as start_ts,
+                       ts + to_microseconds(
+                           (300 + floor(value * 100)::bigint % 900)
+                           * 1000000) as end_ts
+                from events where event_type = 'purchase'),
+            pts as (
+                select event_id as click_id, ts as click_ts
+                from events where event_type = 'click')
+            select p.click_id, i.purchase_id,
+                   epoch_us(p.click_ts) - epoch_us(i.start_ts) as lag_us
+            from pts p join iv i
+              on p.click_ts >= i.start_ts and p.click_ts < i.end_ts
+        """,
         "tpch_q3_shipping": """
             select l.l_orderkey,
                    strftime(o.o_orderdate, '%Y-%m-%d') as o_orderdate,

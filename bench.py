@@ -269,7 +269,9 @@ def main():
              "gi_star_hotspots", "h3_hotspot_cells", "morans_i",
              "zorder_layout_spans", "textrank_keywords",
              "funnel_conversion", "cohort_retention", "lisa_clusters",
-             "hilbert_layout_spans", "distance_pairs_join"]
+             "hilbert_layout_spans", "distance_pairs_join",
+             "asof_join_events", "interval_overlap_join", "kcore_links",
+             "embedding_covariance"]
     qs = em.queries()
 
     def _force(df):

@@ -201,6 +201,59 @@ def label_propagation(edges: DataFrame, num_iter: int = 4,
     return labels
 
 
+def kcore(edges: DataFrame, k: int, num_rounds: int = 12,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core of the UNDIRECTED graph by synchronous peeling — the
+    standard density backbone (a node is in the k-core iff it keeps
+    >= k neighbors after everyone below k is recursively removed).
+    Web pipelines use it to split organic link neighborhoods (shallow
+    cores) from densely self-linking farm/mirror families (deep
+    cores), the same role as triangle_counts but transitive. Returns
+    (node, deg): the surviving nodes with their degree INSIDE the
+    surviving subgraph.
+
+    Peeling rule per round (synchronous, so the run is a pure function
+    of the edge set — no scan order to pin): alive_{i+1} = nodes of
+    alive_i whose degree within alive_i is >= k. Exactly `num_rounds`
+    rounds run; peeling is monotone, so once the set is stable every
+    extra round is a no-op, and the DuckDB oracle replays the SAME
+    round count as chained CTEs — integer degrees only, no FP state.
+    A pytest gate asserts the fixpoint is reached within num_rounds on
+    the planted graph (rounds R-1 and R agree).
+
+    Plan shape per round (holds at 10^11 edges): two left-semi joins
+    keyed by node id restrict the symmetrized edge list to surviving
+    endpoints, then one partial-aggregated groupBy(node) counts
+    degrees — nothing wider than (id, id) on the wire, and the edge
+    set only ever SHRINKS, so later rounds are strictly cheaper. The
+    symmetrized edges are materialized once; the alive set
+    re-checkpoints per round to truncate lineage (same discipline as
+    pagerank/label_propagation above)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if num_rounds <= 0:
+        raise ValueError(f"num_rounds must be positive, got {num_rounds}")
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    sym = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(e.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr")))
+           .distinct().localCheckpoint(eager=True))
+    alive = sym.select("node").distinct().localCheckpoint(eager=True)
+    deg = None
+    for it in range(num_rounds):
+        nbr_alive = alive.select(F.col("node").alias("nbr"))
+        deg = (sym.join(alive, "node", "left_semi")
+               .join(nbr_alive, "nbr", "left_semi")
+               .groupBy("node")
+               .agg(F.count("*").cast("bigint").alias("deg")))
+        alive = deg.filter(F.col("deg") >= k).select("node")
+        if it != num_rounds - 1:
+            alive = alive.localCheckpoint(eager=True)
+    return deg.filter(F.col("deg") >= k)
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """per-node triangle counts over the UNDIRECTED version of the

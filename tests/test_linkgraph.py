@@ -2,6 +2,7 @@
 power-iteration replay, including dangling-mass redistribution."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from osc_geo_h3grid_srv_spark.operators.linkgraph import pagerank
@@ -239,3 +240,80 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
     got = {r["node"]: r["label"]
            for r in label_propagation(df, num_iter=1).collect()}
     assert got[2] == 0
+
+
+def _brute_kcore(edges, k):
+    """node -> degree inside the k-core (full peel to fixpoint)."""
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def test_kcore_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import kcore
+    rs = np.random.RandomState(31)
+    edges = [(int(rs.randint(0, 40)), int(rs.randint(0, 40)))
+             for _ in range(220)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 5):
+        got = {r["node"]: r["deg"]
+               for r in kcore(df, k=k, num_rounds=40).collect()}
+        assert got == _brute_kcore(edges, k), f"k={k}"
+
+
+def test_kcore_clique_plus_tail(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import kcore
+    # K5 clique + a chain hanging off node 0: the 4-core is exactly
+    # the clique (deg 4 each); the chain peels away transitively
+    edges = ([(i, j) for i in range(5) for j in range(i + 1, 5)]
+             + [(0, 10), (10, 11), (11, 12)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["deg"]
+           for r in kcore(df, k=4, num_rounds=10).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_entry_fixpoint_within_round_budget(spark):
+    # the driver entry runs _KCORE_ROUNDS synchronous rounds and its
+    # oracle replays exactly that count: assert the planted graph
+    # reaches its fixpoint one round EARLIER, so the last round is a
+    # no-op and round-count drift can never change the answer
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import kcore
+    docs = spark.range(600).select(F.col("id").alias("doc_id"))
+    nm = 600
+    base = [int(d) for d in range(600) if d % 10 != 0]
+    edges = [(d, (d * mult + j) % nm)
+             for j, mult in enumerate(m._PR_MULTS) for d in base]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r["node"], r["deg"]) for r in kcore(
+        df, k=m._KCORE_K, num_rounds=m._KCORE_ROUNDS - 1).collect()}
+    b = {(r["node"], r["deg"]) for r in kcore(
+        df, k=m._KCORE_K, num_rounds=m._KCORE_ROUNDS).collect()}
+    assert a == b, "fixpoint not reached within the round budget"
+    assert b == {(n, d) for n, d in _brute_kcore(
+        edges, m._KCORE_K).items()}
+
+
+def test_kcore_rejects_bad_args(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import kcore
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be positive"):
+        kcore(df, k=0)
+    with pytest.raises(ValueError, match="num_rounds"):
+        kcore(df, k=2, num_rounds=0)

@@ -725,6 +725,45 @@ AUDITS = {
                 "NO global sort — the shape that survives 10^12-row "
                 "groups where the exact rank form cannot",
     },
+    "asof_join_events": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "bucketed as-of join: union + (key,bucket)-bounded "
+                "window carry, then a carry-in fix equi-joined back on "
+                "(key,bucket) — no range join, no cross join, and no "
+                "single-key-owns-the-history task at scale",
+    },
+    "interval_overlap_join": {
+        "expect": ["Generate", "HashAggregate|SortMergeJoin"
+                   "|ShuffledHashJoin|BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "keyless point-in-interval join: interval side "
+                "replicated to its time buckets (Generate), points in "
+                "exactly one bucket, bucket EQUI-join + exact "
+                "containment filter — Spark's default for this shape "
+                "is a BroadcastNestedLoopJoin, which must never appear",
+    },
+    "embedding_covariance": {
+        "expect": ["MapInPandas", "HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "note": "sufficient-statistics covariance: one mapInPandas "
+                "pass emits per-batch (n, colsum, X^T X) partials — "
+                "~2k rows per split regardless of row count — then a "
+                "tiny groupBy(i,j) reduce; the means/n fan back in as "
+                "broadcasts; the data rows themselves NEVER shuffle "
+                "(the BroadcastNestedLoopJoin is the 1-row n scalar)",
+    },
+    "kcore_links": {
+        "expect": ["LeftSemi", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "k-core peeling: per-round left-semi restriction of "
+                "the (id,id) edge list + partial-agg degree count; the "
+                "one BroadcastNestedLoopJoin is the 1-row max(doc_id) "
+                "scalar riding the synthetic edge build",
+    },
 }
 
 
