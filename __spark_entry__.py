@@ -3197,6 +3197,140 @@ _EMB_COV_ORACLE = """
 """
 
 
+def q_timeseries_gapfill(spark, sf_dir):
+    """per-key time-series resample + linear gap-fill
+    (operators/resample.py): each user's irregular purchase values
+    projected onto the epoch-aligned 6h grid inside their observed
+    span, linearly interpolated between the surrounding observations
+    (exact hits pass through). Runs the BUCKETED plan (both neighbor
+    lookups are operators/asof.py joins, backward + forward, 1-day
+    buckets). The oracle is DuckDB's native ASOF in both directions —
+    an independent implementation — and the interpolation formula is
+    written with the identical operand order in both engines, so the
+    round(6) hash compares bit-identical doubles."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.resample import (
+        resample_interpolate)
+    ev = _t(spark, sf_dir, "events")
+    obs = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("user_id", "ts")
+           .agg(F.max("value").alias("val")))
+    out = resample_interpolate(obs, "user_id", "ts", "val",
+                               step_s=21600.0, bucket_s=86400.0)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("grid_ts").cast("timestamp")).alias("gus"),
+        F.round("val", 6).alias("val"))
+
+
+_GAPFILL_ORACLE = """
+    with obs as (
+        select user_id, epoch_us(ts) as tus, max(value) as val
+        from events where event_type = 'purchase' group by 1, 2),
+    spans as (
+        select user_id,
+               ceil(min(tus) / 21600000000)::bigint as lo,
+               floor(max(tus) / 21600000000)::bigint as hi
+        from obs group by 1),
+    grid as (
+        select user_id, unnest(range(lo, hi + 1)) * 21600000000 as gus
+        from spans where hi >= lo),
+    prev as (
+        select g.user_id, g.gus, p.tus as ptus, p.val as pval
+        from grid g asof join obs p
+          on g.user_id = p.user_id and g.gus >= p.tus),
+    nxt as (
+        select g.user_id, g.gus, n.tus as ntus, n.val as nval
+        from grid g asof join obs n
+          on g.user_id = n.user_id and g.gus <= n.tus)
+    select p.user_id, p.gus,
+           round(case when p.ptus = n.ntus then p.pval
+                 else p.pval + (n.nval - p.pval)
+                      * ((p.gus - p.ptus) / (n.ntus - p.ptus)) end,
+                 6) as val
+    from prev p join nxt n on n.user_id = p.user_id and n.gus = p.gus
+"""
+
+
+def q_dbscan_grid_clusters(spark, sf_dir):
+    """density-based spatial clustering (operators/dbscan.py): grid
+    DBSCAN over the customer surrogate points on a 4x8-degree cell
+    lattice, min_pts=10 on the queen 9-cell neighborhood — core /
+    border / noise labeling plus connected-component cluster ids
+    (smallest member cell key), the question the hotspot entries'
+    users ask next. The iterative large-star/small-star component
+    loop is value-hash-gated against a DuckDB recursive-CTE min-label
+    closure; cluster ids are emitted as decoded (cluster_gx,
+    cluster_gy) so the hash never rides float64-widened packed
+    keys."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.dbscan import (
+        _OFF, _SPAN, dbscan_grid)
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    pts = geo.select(F.floor(F.col("lat") / 4).alias("gx"),
+                     F.floor(F.col("lng") / 8).alias("gy"))
+    out = dbscan_grid(pts, min_pts=10)
+    return out.select(
+        "gx", "gy", "n_pts", "is_core",
+        (F.floor(F.col("cluster") / _SPAN) - _OFF).alias("cluster_gx"),
+        (F.col("cluster") % _SPAN - _OFF).alias("cluster_gy"))
+
+
+def _dbscan_oracle_sql(min_pts=10):
+    from osc_geo_h3grid_srv_spark.operators.dbscan import (
+        _OFF, _SPAN, cell_key_sql)
+    key_c = cell_key_sql("c.gx", "c.gy")
+    key_nb = cell_key_sql("(a.gx + o.dx)", "(a.gy + o.dy)")
+    return f"""
+        with recursive geo as ({_geo_sql('customer', 'c_custkey')}),
+        cells as (
+            select floor(lat / 4)::bigint as gx,
+                   floor(lng / 8)::bigint as gy,
+                   count(*)::bigint as n_pts
+            from geo group by 1, 2),
+        offs as (select a.o as dx, b.o as dy
+                 from range(-1, 2) a(o), range(-1, 2) b(o)),
+        dens as (
+            select c.gx, c.gy, sum(v.n_pts) as nbhd
+            from cells c cross join offs o
+            join cells v on v.gx = c.gx + o.dx and v.gy = c.gy + o.dy
+            group by c.gx, c.gy),
+        flags as (
+            select c.gx, c.gy, c.n_pts,
+                   d.nbhd >= {min_pts} as is_core, {key_c} as key
+            from cells c join dens d using (gx, gy)),
+        core as (select gx, gy, key from flags where is_core),
+        edges as (
+            select a.key as u, b.key as v
+            from core a cross join offs o
+            join core b on b.gx = a.gx + o.dx and b.gy = a.gy + o.dy
+            where a.key <> b.key),
+        lab as (
+            select key as node, key as comp from core
+            union
+            select e.u, l.comp from edges e join lab l on l.node = e.v),
+        cc as (select node, min(comp) as comp from lab group by node),
+        core_lab as (
+            select c.gx, c.gy, cc.comp as cluster
+            from core c join cc on cc.node = c.key),
+        border as (
+            select f.gx, f.gy, min(cl.cluster) as cluster
+            from flags f cross join offs o
+            join core_lab cl
+              on cl.gx = f.gx + o.dx and cl.gy = f.gy + o.dy
+            where not f.is_core and (o.dx <> 0 or o.dy <> 0)
+            group by f.gx, f.gy)
+        select f.gx, f.gy, f.n_pts, f.is_core,
+               coalesce(cl.cluster, b.cluster) // {_SPAN} - {_OFF}
+                   as cluster_gx,
+               coalesce(cl.cluster, b.cluster) % {_SPAN} - {_OFF}
+                   as cluster_gy
+        from flags f
+        left join core_lab cl on cl.gx = f.gx and cl.gy = f.gy
+        left join border b on b.gx = f.gx and b.gy = f.gy
+    """
+
+
 def q_gi_star_hotspots(spark, sf_dir):
     """spatial statistics: Getis-Ord Gi* hotspot z-scores over the
     queen 8-neighborhood of the integer surrogate grid (the
@@ -3838,6 +3972,62 @@ def q_triangle_counts(spark, sf_dir):
                          .alias("dst"))
              for j, m in enumerate(_PR_MULTS)]
     return triangle_counts(parts[0].union(parts[1]).union(parts[2]))
+
+
+def q_edge_jaccard_links(spark, sf_dir):
+    """graph-shape analytics: per-edge neighborhood Jaccard over the
+    same planted link graph as triangle_counts_links
+    (operators/linkgraph.py edge_jaccard) — the link-prediction /
+    mirror-family signal: J(a,b) = common neighbors / neighborhood
+    union, candidates from the degree-ordered triangle machinery so
+    hub skew never blows up the wedge join. Every normalized a<b edge
+    is emitted (common = 0 included); the oracle recomputes the
+    intersection as a relational neighbor-set join in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import edge_jaccard
+    docs = _t(spark, sf_dir, "documents")
+    n_row = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    base = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id").crossJoin(F.broadcast(n_row)))
+    parts = [base.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * m + j) % F.col("nm"))
+                         .alias("dst"))
+             for j, m in enumerate(_PR_MULTS)]
+    return edge_jaccard(parts[0].union(parts[1]).union(parts[2]))
+
+
+def _edge_jaccard_oracle_sql():
+    arms = " union all ".join(
+        f"select doc_id as src, (doc_id * {m} + {j}) % nm as dst "
+        f"from documents, nn where doc_id % 10 <> 0"
+        for j, m in enumerate(_PR_MULTS))
+    return f"""
+        with nn as (select max(doc_id) + 1 as nm from documents),
+        ue as materialized (
+            select distinct least(src, dst) as a,
+                   greatest(src, dst) as b
+            from ({arms}) where src <> dst),
+        sym as materialized (
+            select a as node, b as nbr from ue
+            union all select b, a from ue),
+        deg as (select node, count(*) as deg from sym group by node),
+        t as (
+            select e.a, e.b, count(*) as common
+            from ue e
+            join sym x on x.node = e.a
+            join sym y on y.node = e.b and y.nbr = x.nbr
+            group by e.a, e.b)
+        select e.a as id_a, e.b as id_b,
+               coalesce(t.common, 0)::bigint as common,
+               round(coalesce(t.common, 0)
+                     / (da.deg + db.deg - coalesce(t.common, 0)), 6)
+                   as jaccard
+        from ue e
+        left join t on t.a = e.a and t.b = e.b
+        join deg da on da.node = e.a
+        join deg db on db.node = e.b
+    """
 
 
 def _triangle_oracle_sql():
@@ -5626,6 +5816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": q_interval_overlap_join,
         "kcore_links": q_kcore_links,
         "embedding_covariance": q_embedding_covariance,
+        "dbscan_grid_clusters": q_dbscan_grid_clusters,
+        "timeseries_gapfill": q_timeseries_gapfill,
+        "edge_jaccard_links": q_edge_jaccard_links,
         "h3_hotspot_cells": q_h3_hotspot_cells,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
@@ -6604,6 +6797,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts_links": _triangle_oracle_sql(),
         "kcore_links": _kcore_oracle_sql(),
         "embedding_covariance": _EMB_COV_ORACLE,
+        "dbscan_grid_clusters": _dbscan_oracle_sql(),
+        "timeseries_gapfill": _GAPFILL_ORACLE,
+        "edge_jaccard_links": _edge_jaccard_oracle_sql(),
         "asof_join_events": """
             with snaps as (
                 select user_id, ts as sts, max(value) as snap_value

@@ -271,7 +271,8 @@ def main():
              "funnel_conversion", "cohort_retention", "lisa_clusters",
              "hilbert_layout_spans", "distance_pairs_join",
              "asof_join_events", "interval_overlap_join", "kcore_links",
-             "embedding_covariance"]
+             "embedding_covariance", "dbscan_grid_clusters",
+             "timeseries_gapfill", "edge_jaccard_links"]
     qs = em.queries()
 
     def _force(df):

@@ -63,20 +63,32 @@ def _pay_struct(right: DataFrame, right_ts: str,
                     F.col(right_ts).alias("__af_mts"))
 
 
-def _carry(unioned: DataFrame, part_cols: Sequence[str]) -> DataFrame:
+def _carry(unioned: DataFrame, part_cols: Sequence[str],
+           backward: bool) -> DataFrame:
+    # backward: latest right with ts <= left ts -> ts ASC carry.
+    # forward: earliest right with ts >= left ts -> ts DESC carry.
+    # side 0 (right) sorts before side 1 (left) either way, so a right
+    # row AT the probe timestamp matches in both directions.
+    # NULL-ts left rows must see no carry in either direction, so
+    # they sort FIRST both ways (right NULL-ts rows are filtered at
+    # entry)
+    ts_o = (F.col(_TS).asc_nulls_first() if backward
+            else F.col(_TS).desc_nulls_first())
     w = (Window.partitionBy(*part_cols)
-         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+         .orderBy(ts_o, F.col(_SIDE).asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     return unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
 
 
 def _emit(df: DataFrame, left_cols: Sequence[str],
           payload_cols: Sequence[str], left_ts: str,
-          tolerance_s: Optional[float]) -> DataFrame:
+          tolerance_s: Optional[float], backward: bool) -> DataFrame:
     pay = F.col(_PAY)
     if tolerance_s is not None:
         age = (F.unix_micros(F.col(left_ts).cast("timestamp"))
                - F.unix_micros(pay["__af_mts"].cast("timestamp")))
+        if not backward:
+            age = -age
         pay = F.when(age <= F.lit(int(tolerance_s * 1_000_000)),
                      F.col(_PAY))
     out = [F.col(c) for c in left_cols]
@@ -89,10 +101,18 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
               left_ts: str, right_ts: str,
               payload_cols: Sequence[str],
               tolerance_s: Optional[float] = None,
-              bucket_s: Optional[float] = None) -> DataFrame:
-    """left columns + payload_cols + `asof_ts`, payloads NULL when no
-    right row precedes the left row (or the match is older than
-    `tolerance_s`). `bucket_s` selects the bounded two-phase plan."""
+              bucket_s: Optional[float] = None,
+              direction: str = "backward") -> DataFrame:
+    """left columns + payload_cols + `asof_ts`. direction="backward"
+    (default) matches the LATEST right row with right_ts <= left_ts;
+    "forward" matches the EARLIEST right row with right_ts >= left_ts
+    (the gap-fill / next-snapshot shape). Payloads are NULL when no
+    right row qualifies or the match is further than `tolerance_s`.
+    `bucket_s` selects the bounded two-phase plan."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
+    backward = direction == "backward"
     payload_cols = list(payload_cols)
     if not payload_cols:
         raise ValueError("payload_cols must be non-empty")
@@ -103,40 +123,48 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     left_cols = list(left.columns)
     l2 = (left.withColumn(_TS, F.col(left_ts))
           .withColumn(_SIDE, F.lit(1)))
-    r2 = (right.select(F.col(key_col),
-                       F.col(right_ts).alias(_TS),
-                       F.lit(0).alias(_SIDE),
-                       _pay_struct(right, right_ts, payload_cols)
-                       .alias(_PAY)))
+    # right NULL-ts rows are meaningless in either direction and would
+    # poison the nulls-first carry ordering
+    r2 = (right.filter(F.col(right_ts).isNotNull())
+          .select(F.col(key_col),
+                  F.col(right_ts).alias(_TS),
+                  F.lit(0).alias(_SIDE),
+                  _pay_struct(right, right_ts, payload_cols)
+                  .alias(_PAY)))
     u = l2.unionByName(r2, allowMissingColumns=True)
 
     if bucket_s is None:
-        carried = _carry(u, [key_col])
+        carried = _carry(u, [key_col], backward)
         return _emit(carried, left_cols, payload_cols, left_ts,
-                     tolerance_s)
+                     tolerance_s, backward)
 
     us = int(bucket_s * 1_000_000)
     u = u.withColumn(_BKT, F.floor(
         F.unix_micros(F.col(_TS).cast("timestamp")) / us))
-    carried = _carry(u, [key_col, _BKT])
+    carried = _carry(u, [key_col, _BKT], backward)
 
-    # bucket-granularity carry table: the last right payload in each
-    # touched (key, bucket), window-carried per key across buckets so
-    # carry_in(b) = newest right payload from any bucket < b
+    # bucket-granularity carry table: the nearest-to-the-boundary right
+    # payload in each touched (key, bucket), window-carried per key
+    # across buckets so carry_in(b) = nearest right payload from any
+    # earlier (backward) / later (forward) bucket
+    best = F.max_by(_PAY, F.col(_TS)) if backward \
+        else F.min_by(_PAY, F.col(_TS))
     last_r = (r2.withColumn(_BKT,
                             F.floor(F.unix_micros(
                                 F.col(_TS).cast("timestamp")) / us))
               .groupBy(key_col, _BKT)
-              .agg(F.max_by(_PAY, F.col(_TS)).alias(_PAY)))
+              .agg(best.alias(_PAY)))
     frame = (u.select(key_col, _BKT).distinct()
              .join(last_r, [key_col, _BKT], "left"))
-    wk = (Window.partitionBy(key_col).orderBy(F.col(_BKT).asc())
+    bkt_o = F.col(_BKT).asc() if backward else F.col(_BKT).desc()
+    wk = (Window.partitionBy(key_col).orderBy(bkt_o)
           .rowsBetween(Window.unboundedPreceding, 0))
     carry_in = (frame
                 .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(wk))
                 .withColumn(_IN, F.lag(_PAY).over(
-                    Window.partitionBy(key_col).orderBy(F.col(_BKT).asc())))
+                    Window.partitionBy(key_col).orderBy(bkt_o)))
                 .select(key_col, _BKT, _IN))
     fixed = (carried.join(carry_in, [key_col, _BKT], "left")
              .withColumn(_PAY, F.coalesce(F.col(_PAY), F.col(_IN))))
-    return _emit(fixed, left_cols, payload_cols, left_ts, tolerance_s)
+    return _emit(fixed, left_cols, payload_cols, left_ts, tolerance_s,
+                 backward)

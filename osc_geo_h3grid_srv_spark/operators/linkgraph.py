@@ -270,6 +270,18 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     neighbor-join never happens. Three narrow exchanges total: the
     degree count, the wedge equi-join on the pivot, and the closing
     edge equi-join on the (a, b) pair."""
+    e, deg = _norm_edges_degrees(edges, src, dst)
+    closed = _closed_triangles(e, deg)
+    per_node = (closed.select(F.explode(F.array("pivot", "n1", "n2"))
+                              .alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").cast("bigint").alias("n_triangles")))
+    return per_node
+
+
+def _norm_edges_degrees(edges: DataFrame, src: str,
+                        dst: str) -> tuple[DataFrame, DataFrame]:
+    """(normalized distinct a<b edge list, (node, deg) table)."""
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v"))
@@ -279,6 +291,13 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     deg = (e.select(F.col("a").alias("node"))
            .unionAll(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
+    return e, deg
+
+
+def _closed_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """one row (pivot, n1, n2) per triangle via the degree-ordered
+    edge-iterator (see triangle_counts docstring for the scale
+    argument); vertex order is by (deg, id), not id."""
     da = deg.select(F.col("node").alias("a"),
                     F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"),
@@ -298,11 +317,49 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     wedges = (x.join(y, "pivot")
               .filter(F.struct(F.col("dn1"), F.col("n1"))
                       < F.struct(F.col("dn2"), F.col("n2"))))
-    closed = wedges.join(
+    return wedges.join(
         oe.select(F.col("lo").alias("n1"), F.col("hi").alias("n2")),
         ["n1", "n2"], "left_semi")
-    per_node = (closed.select(F.explode(F.array("pivot", "n1", "n2"))
-                              .alias("node"))
-                .groupBy("node")
-                .agg(F.count("*").cast("bigint").alias("n_triangles")))
-    return per_node
+
+
+def edge_jaccard(edges: DataFrame, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """per-EDGE neighborhood Jaccard over the undirected graph:
+    J(a,b) = |N(a) & N(b)| / |N(a) | N(b)| with the link-prediction
+    convention N(x) = all neighbors of x (so b in N(a) counts toward
+    the union; Liben-Nowell & Kleinberg 2003 — public literature).
+    Web pipelines read a high-J edge as "these two pages link to the
+    same crowd" — mirror/farm families score near 1, organic citation
+    edges near 0. Returns (id_a, id_b, common, jaccard round 6) for
+    every normalized a<b edge (common = 0 edges included).
+
+    |N(a) & N(b)| is exactly the triangle count through the edge, so
+    the candidate generation reuses the degree-ordered edge-iterator
+    (bounded wedge fan-out, no hub blowup): triangles explode to
+    their 3 normalized edges, one groupBy counts per-edge support,
+    and degrees broadcast back — union size needs no set math
+    (deg_a + deg_b - common)."""
+    e, deg = _norm_edges_degrees(edges, src, dst)
+    closed = _closed_triangles(e, deg)
+    tri_edges = closed.select(F.explode(F.array(
+        F.struct(F.least("pivot", "n1").alias("a"),
+                 F.greatest("pivot", "n1").alias("b")),
+        F.struct(F.least("pivot", "n2").alias("a"),
+                 F.greatest("pivot", "n2").alias("b")),
+        F.struct(F.least("n1", "n2").alias("a"),
+                 F.greatest("n1", "n2").alias("b")))).alias("p"))
+    t = (tri_edges.select("p.a", "p.b")
+         .groupBy("a", "b").agg(F.count("*").alias("common")))
+    out = (e.join(t, ["a", "b"], "left")
+           .join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("deg_a")), "a")
+           .join(deg.select(F.col("node").alias("b"),
+                            F.col("deg").alias("deg_b")), "b")
+           .withColumn("common",
+                       F.coalesce(F.col("common"), F.lit(0))
+                       .cast("bigint")))
+    j = (F.col("common")
+         / (F.col("deg_a") + F.col("deg_b") - F.col("common")))
+    return out.select(F.col("a").alias("id_a"),
+                      F.col("b").alias("id_b"), "common",
+                      F.round(j, 6).alias("jaccard"))

@@ -143,3 +143,74 @@ def test_internal_and_payload_collisions_raise(spark):
     with pytest.raises(ValueError, match="bucket_s"):
         asof_join(_mk_left(spark, [(1, 10.0)]), right,
                   "k", "lts", "rts", ["val"], bucket_s=0.0)
+
+
+def _brute_fwd(left_rows, right_rows, tol_s=None):
+    """forward direction: earliest right with rs >= s."""
+    out = {}
+    for i, (k, s) in enumerate(left_rows):
+        best = None
+        for (rk, rs, v) in right_rows:
+            if rk == k and rs >= s and (best is None or rs < best[0]):
+                best = (rs, v)
+        if best is None or (tol_s is not None and best[0] - s > tol_s):
+            out[i] = (None, None)
+        else:
+            out[i] = (best[1], best[0])
+    return out
+
+
+def test_forward_matches_brute_simple_and_bucketed(spark):
+    rng = np.random.default_rng(13)
+    left_rows = [(int(k), round(float(s), 3))
+                 for k, s in zip(rng.integers(0, 6, 120),
+                                 rng.uniform(0, 5000, 120))]
+    right_rows = []
+    seen = set()
+    for k, s in zip(rng.integers(0, 6, 80), rng.uniform(0, 5000, 80)):
+        key = (int(k), round(float(s), 3))
+        if key not in seen:
+            seen.add(key)
+            right_rows.append((key[0], key[1], round(key[1] / 10, 3)))
+    left, right = _mk_left(spark, left_rows), _mk_right(spark, right_rows)
+    for tol in (None, 300.0):
+        want = _brute_fwd(left_rows, right_rows, tol_s=tol)
+        for bucket_s in (None, 100.0, 733.0):
+            got = _collect(asof_join(left, right, "k", "lts", "rts",
+                                     ["val"], tolerance_s=tol,
+                                     bucket_s=bucket_s,
+                                     direction="forward"))
+            assert got == want, f"tol={tol} bucket_s={bucket_s}"
+
+
+def test_forward_right_at_probe_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(0, 1, _ts(100)), (1, 1, None)],
+        "lid long, k long, lts timestamp_ntz")
+    right = _mk_right(spark, [(1, 100.0, 42.0), (1, 150.0, 7.0)])
+    for bucket_s in (None, 30.0):
+        got = _collect(asof_join(left, right, "k", "lts", "rts",
+                                 ["val"], bucket_s=bucket_s,
+                                 direction="forward"))
+        assert got == {0: (42.0, 100.0), 1: (None, None)}, \
+            f"bucket_s={bucket_s}"
+
+
+def test_null_right_ts_rows_are_ignored(spark):
+    left = _mk_left(spark, [(1, 100.0)])
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(50), 5.0)],
+        "k long, rts timestamp_ntz, val double")
+    for d in ("backward", "forward"):
+        got = _collect(asof_join(left, right, "k", "lts", "rts",
+                                 ["val"], direction=d))
+        want = {0: (5.0, 50.0)} if d == "backward" else {0: (None, None)}
+        assert got == want, d
+
+
+def test_bad_direction_raises(spark):
+    left = _mk_left(spark, [(1, 10.0)])
+    right = _mk_right(spark, [(1, 5.0, 1.0)])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "lts", "rts", ["val"],
+                  direction="nearest")

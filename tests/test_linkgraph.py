@@ -317,3 +317,46 @@ def test_kcore_rejects_bad_args(spark):
         kcore(df, k=0)
     with pytest.raises(ValueError, match="num_rounds"):
         kcore(df, k=2, num_rounds=0)
+
+
+def _brute_edge_jaccard(edges):
+    adj = {}
+    es = set()
+    for u, v in edges:
+        if u != v:
+            a, b = min(u, v), max(u, v)
+            es.add((a, b))
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    out = {}
+    for a, b in es:
+        common = len(adj[a] & adj[b])
+        union = len(adj[a]) + len(adj[b]) - common
+        out[(a, b)] = (common, round(common / union, 6))
+    return out
+
+
+def test_edge_jaccard_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import edge_jaccard
+    rs = np.random.RandomState(41)
+    edges = [(int(rs.randint(0, 35)), int(rs.randint(0, 35)))
+             for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+           for r in edge_jaccard(df).collect()}
+    assert got == _brute_edge_jaccard(edges)
+
+
+def test_edge_jaccard_clique_and_bridge(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import edge_jaccard
+    # K4 + a pendant bridge: clique edges share the other two members
+    # (J = 2/4), the bridge shares nothing (J = 0)
+    edges = ([(i, j) for i in range(4) for j in range(i + 1, 4)]
+             + [(3, 9)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in edge_jaccard(df).collect()}
+    for i in range(3):
+        for jj in range(i + 1, 3):
+            assert got[(i, jj)] == 0.5
+    assert got[(3, 9)] == 0.0

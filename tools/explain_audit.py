@@ -755,6 +755,38 @@ AUDITS = {
                 "broadcasts; the data rows themselves NEVER shuffle "
                 "(the BroadcastNestedLoopJoin is the 1-row n scalar)",
     },
+    "edge_jaccard_links": {
+        "expect": ["LeftSemi", "HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "per-edge neighborhood Jaccard: common-neighbor "
+                "counts ride the degree-ordered triangle machinery "
+                "(bounded wedge fan-out, left-semi closing), "
+                "triangles explode to 3 edges + one groupBy; the one "
+                "BroadcastNestedLoopJoin is the 1-row max(doc_id) "
+                "scalar riding the synthetic edge build",
+    },
+    "timeseries_gapfill": {
+        "expect": ["Window", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "resample + linear gap-fill: grid explodes from the "
+                "per-key SPAN relation (one row per key), prev/next "
+                "neighbors are the two bucketed asof window carries — "
+                "no range join, no per-key full-stream sort, "
+                "interpolation is one codegen'd projection",
+    },
+    "dbscan_grid_clusters": {
+        "expect": ["Generate", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "grid DBSCAN: points collapse to the cell relation in "
+                "one groupBy, then every step (9-offset density "
+                "explode, core adjacency, border labeling) is an "
+                "equi-join on cell keys; the component loop's "
+                "intermediate rounds sit behind localCheckpoints — "
+                "this plan is the final assembly",
+    },
     "kcore_links": {
         "expect": ["LeftSemi", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
