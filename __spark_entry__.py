@@ -340,6 +340,51 @@ def q_allpairs_cosine_pairs(spark, sf_dir):
     return allpairs_cosine_pairs(docs, 0.6, "doc_id", "text", ngram=3)
 
 
+def q_knn_graph(spark, sf_dir):
+    """similarity family: thresholded k-nearest-neighbor graph
+    (operators/allpairs.py knn_graph) — per-document top-5 set-cosine
+    neighbors at floor 0.35 over word-BIGRAM sets, ranked by
+    (round(cosine,6) DESC, id ASC) so ties are pinned. The prefix+size
+    prune's completeness at the floor makes the top-k exact; the
+    oracle replays the UNPRUNED quadratic postings join + the same
+    window, so a prune that drops one qualifying neighbor flips the
+    hash."""
+    from osc_geo_h3grid_srv_spark.operators.allpairs import knn_graph
+    docs = _t(spark, sf_dir, "documents")
+    return knn_graph(docs, k=5, threshold=0.35, id_col="doc_id",
+                     text_col="text", ngram=2)
+
+
+_KNN_GRAPH_ORACLE = """
+    with toks as (
+        select doc_id, string_split(text, ' ') as t
+        from documents),
+    grams as (
+        select distinct doc_id, t[i] || ' ' || t[i+1] as term
+        from toks, unnest(range(1, len(t))) as r(i)
+        where len(t) >= 2),
+    sizes as (select doc_id, count(*) as sz from grams group by 1),
+    common as (
+        select a.doc_id as src, b.doc_id as dst, count(*) as common
+        from grams a join grams b using (term)
+        where a.doc_id <> b.doc_id
+        group by 1, 2),
+    scored as (
+        select src, dst, round(common / sqrt(sa.sz * sb.sz), 6) as cosine
+        from common
+        join sizes sa on sa.doc_id = src
+        join sizes sb on sb.doc_id = dst
+        where common / sqrt(sa.sz * sb.sz) >= 0.35),
+    ranked as (
+        select src, dst, cosine,
+               row_number() over (partition by src
+                                  order by cosine desc, dst asc)::int
+                   as rank
+        from scored)
+    select src, dst, cosine, rank from ranked where rank <= 5
+"""
+
+
 def q_containment_pairs(spark, sf_dir):
     """dedup family: DIRECTED containment |A inter B|/|A| >= 0.7 over
     distinct word-TRIGRAM sets (operators/allpairs.py containment_pairs)
@@ -3252,6 +3297,47 @@ _GAPFILL_ORACLE = """
 """
 
 
+def q_burst_zscores(spark, sf_dir):
+    """temporal analytics: per-event-type burst z-scores on hourly
+    buckets vs the trailing 24 observed buckets (operators/burst.py —
+    the relational simplification of Kleinberg burst detection). The
+    stream collapses to exact integer (type, hour) counts in one
+    map-side groupBy; the RANGE-frame window runs over that small
+    relation. mean/var come from integer sum/sum² windows, so the
+    round(5) hash compares bit-identical doubles against the same
+    window in DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.burst import burst_zscores
+    ev = _t(spark, sf_dir, "events")
+    return burst_zscores(ev, "event_type", "ts", bucket_s=3600.0,
+                         trailing=24, min_trailing=12)
+
+
+_BURST_ORACLE = """
+    with counts as (
+        select event_type,
+               epoch_us(ts) // 3600000000 as bucket,
+               count(*)::bigint as n
+        from events group by 1, 2),
+    stats as (
+        select event_type, bucket, n,
+               count(*) over w as n_trail,
+               sum(n) over w as s,
+               sum(n * n) over w as s2
+        from counts
+        window w as (partition by event_type order by bucket
+                     range between 24 preceding and 1 preceding))
+    select event_type, bucket, n, n_trail::bigint as n_trail,
+           round(case when n_trail >= 12
+                       and (s2 / n_trail
+                            - (s / n_trail) * (s / n_trail)) > 0
+                 then (n - s / n_trail)
+                      / sqrt(s2 / n_trail
+                             - (s / n_trail) * (s / n_trail))
+                 end, 5) + 0.0 as z
+    from stats
+"""
+
+
 def q_dbscan_grid_clusters(spark, sf_dir):
     """density-based spatial clustering (operators/dbscan.py): grid
     DBSCAN over the customer surrogate points on a 4x8-degree cell
@@ -5819,6 +5905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_grid_clusters": q_dbscan_grid_clusters,
         "timeseries_gapfill": q_timeseries_gapfill,
         "edge_jaccard_links": q_edge_jaccard_links,
+        "knn_graph": q_knn_graph,
+        "burst_zscores": q_burst_zscores,
         "h3_hotspot_cells": q_h3_hotspot_cells,
         # rows-only kernel entries (weak driver check, judge-smoked in
         # r3) parked just past the 50-entry driver window so every
@@ -6800,6 +6888,8 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_grid_clusters": _dbscan_oracle_sql(),
         "timeseries_gapfill": _GAPFILL_ORACLE,
         "edge_jaccard_links": _edge_jaccard_oracle_sql(),
+        "knn_graph": _KNN_GRAPH_ORACLE,
+        "burst_zscores": _BURST_ORACLE,
         "asof_join_events": """
             with snaps as (
                 select user_id, ts as sts, max(value) as snap_value

@@ -272,7 +272,8 @@ def main():
              "hilbert_layout_spans", "distance_pairs_join",
              "asof_join_events", "interval_overlap_join", "kcore_links",
              "embedding_covariance", "dbscan_grid_clusters",
-             "timeseries_gapfill", "edge_jaccard_links"]
+             "timeseries_gapfill", "edge_jaccard_links", "knn_graph",
+             "burst_zscores"]
     qs = em.queries()
 
     def _force(df):

@@ -250,3 +250,40 @@ def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= F.lit(float(threshold)))
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def knn_graph(docs: DataFrame, k: int, threshold: float,
+              id_col: str = "doc_id", text_col: str = "text",
+              ngram: int = 2) -> DataFrame:
+    """thresholded k-nearest-neighbor graph: for every document, its
+    top-k most-cosine-similar neighbors AMONG pairs with set-cosine
+    >= threshold — the neighbor graph SemDeDup-style pruning,
+    diversity sampling, and related-page navigation consume. The
+    threshold makes the contract exact and scale-honest: the WWW'07
+    prefix+size prune is complete for "cosine >= t" (gated by the
+    allpairs_cosine_pairs oracle), so top-k over those pairs is exact
+    top-k at floor t — an UNthresholded exact kNN would force the
+    quadratic join this module exists to avoid (use similarity.py's
+    IVF/LSH for approximate unbounded kNN).
+
+    Ranking is deterministic: (round(cosine, 6) DESC, neighbor id ASC)
+    — the rounded value is ranked so the DuckDB replay cannot split
+    float ties differently. Returns (src, dst, cosine, rank) with
+    rank 1..k per src; nodes with no qualifying pair emit nothing.
+    One extra exchange past the pair join: the per-src top-k window
+    over candidate pairs only (never the corpus)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pairs = allpairs_cosine_pairs(docs, threshold, id_col, text_col,
+                                  ngram)
+    sym = (pairs.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"), "cosine")
+           .unionAll(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst"),
+                                  "cosine")))
+    w = (Window.partitionBy("src")
+         .orderBy(F.col("cosine").desc(), F.col("dst").asc()))
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("src", "dst", "cosine",
+                    F.col("rank").cast("int").alias("rank")))

@@ -155,3 +155,49 @@ def test_gram_array_short_doc_is_empty(spark):
     df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
     out = df.select(_gram_array("text", 2).alias("g")).collect()
     assert out[0].g == []
+
+
+def _brute_knn(rows, k, threshold, n=2):
+    pairs = _brute_pairs(rows, threshold, n)
+    sym = {}
+    for (a, b), cos in pairs.items():
+        sym.setdefault(a, []).append((b, cos))
+        sym.setdefault(b, []).append((a, cos))
+    out = {}
+    for src, nbrs in sym.items():
+        nbrs.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (dst, cos) in enumerate(nbrs[:k], start=1):
+            out[(src, dst)] = (cos, rank)
+    return out
+
+
+def test_knn_graph_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.allpairs import knn_graph
+    import numpy as np
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab, size=12)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (1, 3, 7):
+        got = {(r.src, r.dst): (r.cosine, r.rank)
+               for r in knn_graph(df, k=k, threshold=0.2).collect()}
+        assert got == _brute_knn(rows, k, 0.2), f"k={k}"
+
+
+def test_knn_graph_tie_breaks_by_id(spark):
+    from osc_geo_h3grid_srv_spark.operators.allpairs import knn_graph
+    # docs 2 and 3 are identical texts -> both cosine 1.0 to doc 1;
+    # with k=1 the smaller id must win, deterministically
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.src: (r.dst, r.rank)
+           for r in knn_graph(df, k=1, threshold=0.5).collect()}
+    assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_knn_graph_bad_k_raises(spark):
+    from osc_geo_h3grid_srv_spark.operators.allpairs import knn_graph
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k must be"):
+        knn_graph(df, k=0, threshold=0.5)

@@ -755,6 +755,26 @@ AUDITS = {
                 "broadcasts; the data rows themselves NEVER shuffle "
                 "(the BroadcastNestedLoopJoin is the 1-row n scalar)",
     },
+    "burst_zscores": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Generate"],
+        "note": "burst detection: events collapse to (key, bucket) "
+                "integer counts in one partial-agg groupBy; the RANGE "
+                "window runs over that small relation — no self-join, "
+                "no explode of silent buckets",
+    },
+    "knn_graph": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "thresholded kNN graph: exact top-k rides the WWW'07 "
+                "prefix+size-pruned pair join (complete at the floor), "
+                "then one per-src row_number window over candidate "
+                "PAIRS only — the corpus is never windowed and the "
+                "quadratic join never planned",
+    },
     "edge_jaccard_links": {
         "expect": ["LeftSemi", "HashAggregate", "Generate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
