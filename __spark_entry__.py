@@ -5792,6 +5792,558 @@ def _dsir_oracle_sql(k=40, alpha=1.0, temperature=1.0, salt="dsir1"):
 
 
 # --------------------------------------------------------------------------
+# trajectory / movement analytics (operators/trajectory.py) + the
+# nearest-neighbor join and Ripley's K on the J-family banding
+# --------------------------------------------------------------------------
+
+def _traj_sql(table: str = "events") -> str:
+    """Deterministic per-event trajectory points: each user gets a
+    fixed base location (hash of user_id, lat in [-60,60), lng in
+    [-180,180)) and every event jitters it by up to ±0.05° on each
+    axis (hash of event_id) — so one user's events form a compact
+    cloud that crosses 0.1° grid-cell borders, giving the stay-point
+    and OD operators real runs to find. Divisions go through
+    cast(... as double) — same discipline as _geo_sql — because Spark
+    parses `1000.0` literals as DECIMAL (exact) while DuckDB parses
+    them as DOUBLE, and the one-ulp difference flips floor() grid
+    cells right at 0.1°-cell borders (seen live: lng 136.4)."""
+    d = "cast({} as double)".format
+    return (f"select user_id as entity_id, event_id as seq, ts, "
+            f"((user_id * 9973 + 11) % 120000) / {d(1000)} - 60.0 "
+            f"+ (((event_id * 31 + 7) % 2001) - 1000) / {d(20000)} as lat, "
+            f"((user_id * 7717 + 5) % 360000) / {d(1000)} - 180.0 "
+            f"+ (((event_id * 37 + 3) % 2001) - 1000) / {d(20000)} as lng "
+            f"from {table}")
+
+
+def _traj_df(spark, sf_dir) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__events_traj")
+    return spark.sql(_traj_sql("__events_traj"))
+
+
+_HAV_SQL = ("2 * 6371.0088 * asin(sqrt("
+            "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) "
+            "+ cos(radians({lat1})) * cos(radians({lat2})) "
+            "* pow(sin((radians({lng2}) - radians({lng1})) / 2), 2)))")
+
+
+def q_trajectory_stats(spark, sf_dir):
+    """mobility analytics (operators/trajectory.py): per-entity gps-
+    track summary — traversed path length (sum of haversine steps in
+    (ts, seq) order), net first->last displacement, straightness
+    ratio. One entity-keyed window pass + one groupBy; the oracle
+    replays the identical window algebra in DuckDB."""
+    from osc_geo_h3grid_srv_spark.operators.trajectory import (
+        trajectory_stats)
+    return trajectory_stats(_traj_df(spark, sf_dir))
+
+
+def _trajectory_oracle_sql():
+    step = _HAV_SQL.format(lat1="lag(lat) over w", lng1="lag(lng) over w",
+                           lat2="lat", lng2="lng")
+    disp = _HAV_SQL.format(lat1="flat", lng1="flng",
+                           lat2="llat", lng2="llng")
+    return f"""
+        with pts as ({_traj_sql()}),
+        stepped as (
+            select entity_id, {step} as step,
+                   first_value(lat) over w2 as flat,
+                   first_value(lng) over w2 as flng,
+                   last_value(lat) over w2 as llat,
+                   last_value(lng) over w2 as llng
+            from pts
+            window w as (partition by entity_id order by ts, seq),
+                   w2 as (partition by entity_id order by ts, seq
+                          rows between unbounded preceding
+                          and unbounded following)),
+        agg as (
+            select entity_id, count(*)::bigint as n_points,
+                   coalesce(sum(step), 0.0) as path,
+                   max(flat) as flat, max(flng) as flng,
+                   max(llat) as llat, max(llng) as llng
+            from stepped group by 1),
+        d as (select entity_id, n_points, path, {disp} as disp from agg)
+        select entity_id, n_points,
+               round(path, 6) + 0.0 as path_km,
+               round(disp, 6) + 0.0 as displacement_km,
+               round(case when path > 0 then disp / path end, 6) + 0.0
+                   as straightness
+        from d
+    """
+
+
+def q_stay_points(spark, sf_dir):
+    """dwell detection (operators/trajectory.py grid_stay_points):
+    maximal same-0.1°-cell runs of time-consecutive points with >= 3
+    points spanning >= 1800 s — pure gaps-and-islands window algebra
+    (two row_numbers over ONE entity-keyed sort), replayed exactly in
+    DuckDB. Timestamps surface as epoch micros (ntz discipline)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.trajectory import (
+        grid_stay_points)
+    out = grid_stay_points(_traj_df(spark, sf_dir), cell_deg=0.1,
+                           min_pts=3, min_dwell_s=1800.0)
+    return out.select(
+        "entity_id", "gx", "gy", "n_pts",
+        F.unix_micros(F.col("enter_ts").cast("timestamp"))
+        .alias("enter_us"),
+        F.unix_micros(F.col("exit_ts").cast("timestamp"))
+        .alias("exit_us"),
+        "dwell_s")
+
+
+def _stay_points_oracle_sql():
+    return f"""
+        with pts as ({_traj_sql()}),
+        cells as (
+            select entity_id, ts, seq,
+                   floor(lat / 0.1)::bigint as gx,
+                   floor(lng / 0.1)::bigint as gy
+            from pts),
+        runs as (
+            select entity_id, gx, gy, ts,
+                   row_number() over (partition by entity_id
+                                      order by ts, seq)
+                   - row_number() over (partition by entity_id, gx, gy
+                                        order by ts, seq) as run
+            from cells),
+        agg as (
+            select entity_id, gx, gy, run, count(*)::bigint as n_pts,
+                   min(ts) as enter_ts, max(ts) as exit_ts
+            from runs group by 1, 2, 3, 4)
+        select entity_id, gx, gy, n_pts,
+               epoch_us(enter_ts) as enter_us,
+               epoch_us(exit_ts) as exit_us,
+               round((epoch_us(exit_ts) - epoch_us(enter_ts)) / 1e6, 6)
+                   + 0.0 as dwell_s
+        from agg
+        where n_pts >= 3
+          and round((epoch_us(exit_ts) - epoch_us(enter_ts)) / 1e6, 6)
+              >= 1800.0
+    """
+
+
+def q_od_matrix_flows(spark, sf_dir):
+    """origin-destination matrix (operators/trajectory.py od_flows):
+    per (entity, utc day) the (ts, seq)-first 0.5°-cell is the trip
+    origin and the last the destination; flows count trips and
+    distinct entities per cell pair. Struct-min/max picks the
+    endpoints deterministically; the oracle uses the equivalent
+    row_number = 1 picks."""
+    from osc_geo_h3grid_srv_spark.operators.trajectory import od_flows
+    return od_flows(_traj_df(spark, sf_dir), cell_deg=0.5)
+
+
+def _od_flows_oracle_sql():
+    return f"""
+        with pts as ({_traj_sql()}),
+        cells as (
+            select entity_id, ts, seq, date_trunc('day', ts) as day,
+                   floor(lat / 0.5)::bigint as gx,
+                   floor(lng / 0.5)::bigint as gy
+            from pts),
+        rn as (
+            select *,
+                   row_number() over (partition by entity_id, day
+                                      order by ts, seq) as ra,
+                   row_number() over (partition by entity_id, day
+                                      order by ts desc, seq desc) as rd
+            from cells),
+        trips as (
+            select entity_id, day,
+                   max(case when ra = 1 then gx end) as o_gx,
+                   max(case when ra = 1 then gy end) as o_gy,
+                   max(case when rd = 1 then gx end) as d_gx,
+                   max(case when rd = 1 then gy end) as d_gy
+            from rn group by 1, 2)
+        select o_gx, o_gy, d_gx, d_gy, count(*)::bigint as n_trips,
+               count(distinct entity_id)::bigint as n_entities
+        from trips group by 1, 2, 3, 4
+    """
+
+
+def q_nearest_neighbor_join(spark, sf_dir):
+    """k-nearest-neighbor JOIN (operators/distjoin.py nearest_join):
+    each customer surrogate point picks its 2 nearest supplier points
+    within 500 km via the J5 banding machinery (per-band pitch,
+    antimeridian wrap) + a probe-keyed top-k window. Oracle is the
+    UNPRUNED quadratic cross join + row_number in DuckDB — a banding
+    bound that drops a true neighbor flips the hash."""
+    from osc_geo_h3grid_srv_spark.operators.distjoin import nearest_join
+    probes = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    anchors = _geo_df(spark, sf_dir, "supplier", "s_suppkey")
+    return nearest_join(probes, anchors, 500.0, k=2)
+
+
+def _nearest_join_oracle_sql():
+    hav = _HAV_SQL.format(lat1="p.lat", lng1="p.lng",
+                          lat2="a.lat", lng2="a.lng")
+    return f"""
+        with p as ({_geo_sql('customer', 'c_custkey')}),
+        a as ({_geo_sql('supplier', 's_suppkey')}),
+        d as (
+            select p.id as probe_id, a.id as anchor_id, {hav} as dist
+            from p cross join a),
+        r as (
+            select probe_id, anchor_id, dist,
+                   row_number() over (partition by probe_id
+                                      order by dist, anchor_id) as rank
+            from d where dist <= 500.0)
+        select probe_id, rank::int as rank, anchor_id,
+               round(dist, 4) as dist_km
+        from r where rank <= 2
+    """
+
+
+def q_c4_line_filters(spark, sf_dir):
+    """C4 page cleaning (operators/c4rules.py, Raffel et al. 2020
+    §2.2): terminal-punctuation / min-words / javascript line rules +
+    lorem-ipsum / curly-brace / min-kept-lines page rules. The flat
+    documents table is first decorated deterministically into multi-
+    line pages (6-word sentences, 'slow'->'javascript', doc_id-keyed
+    lorem/brace contamination) — the SAME decoration runs in the
+    DuckDB oracle, which then replays the rules with list_filter and
+    value-hashes the full cleaned text."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.c4rules import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.replace(
+            F.regexp_replace("text", r"((?:\w+ ){5}\w+) ", "$1.\n"),
+            F.lit("slow"), F.lit("javascript")),
+        F.when(F.col("doc_id") % 37 == 0, F.lit(" lorem ipsum"))
+        .when(F.col("doc_id") % 41 == 0, F.lit(" {"))
+        .otherwise(F.lit("")))
+    decorated = docs.select("doc_id", page.alias("text"))
+    return c4_clean(decorated, min_words=3, min_lines=5)
+
+
+def _c4_oracle_sql():
+    rules = ("regexp_matches(x, '[.!?]$') "
+             "and len(string_split_regex(trim(x), ' +')) >= 3 "
+             "and not contains(lower(x), 'javascript')")
+    ok = ("(not contains(lower(text), 'lorem ipsum') "
+          "and not contains(text, '{') and len(ks) >= 5)")
+    return f"""
+        with raw as (
+            select doc_id,
+                   regexp_replace(text, '((?:\\w+ ){{5}}\\w+) ',
+                                  '\\1.' || chr(10), 'g') as t0
+            from documents),
+        dec as (
+            select doc_id,
+                   replace(t0, 'slow', 'javascript')
+                   || case when doc_id % 37 = 0 then ' lorem ipsum'
+                           when doc_id % 41 = 0 then ' {{'
+                           else '' end as text
+            from raw),
+        kept as (
+            select doc_id, text,
+                   string_split(text, chr(10)) as ls,
+                   list_filter(string_split(text, chr(10)),
+                               x -> {rules}) as ks
+            from dec)
+        select doc_id,
+               len(ls)::bigint as n_lines,
+               len(ks)::bigint as n_kept,
+               contains(lower(text), 'lorem ipsum') as has_lorem,
+               contains(text, '{{') as has_brace,
+               {ok} as page_ok,
+               case when {ok}
+                    then array_to_string(ks, chr(10)) end as clean_text
+        from kept
+    """
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """per-doc keyword profile (operators/tfidf.py): top-3 smooth
+    TF-IDF terms per document, min_df=2, same whitespace+lower
+    tokenizer as the BM25 stack. tf/df are integer-exact; the weight
+    rides one ln() both engines compute on identical doubles; rank
+    ties break on (tfidf desc, term asc)."""
+    from osc_geo_h3grid_srv_spark.operators.tfidf import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3,
+                           min_df=2)
+
+
+def _tfidf_oracle_sql():
+    return """
+        with toks as (
+            select doc_id, unnest(string_split(lower(text), ' ')) as term
+            from documents),
+        tf as (
+            select doc_id, term, count(*)::bigint as tf
+            from toks where term <> '' group by 1, 2),
+        df as (
+            select term, count(*)::bigint as df from tf
+            group by 1 having count(*) >= 2),
+        n as (select count(*)::double as n from documents),
+        w as (
+            select tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0)
+                       as tfidf
+            from tf join df using (term) cross join n),
+        r as (
+            select *, row_number() over (partition by doc_id
+                          order by tfidf desc, term asc) as rank
+            from w)
+        select doc_id, rank::int as rank, term, tf, df,
+               round(tfidf, 6) + 0.0 as tfidf
+        from r where rank <= 3
+    """
+
+
+def _hourly_counts(spark, sf_dir):
+    """(key, ts, val): exact integer hourly counts per event type —
+    the shared deterministic series the EWMA and CUSUM entries smooth
+    (same bucket arithmetic as burst_zscores)."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / 3_600_000_000).alias("ts"))
+        .agg(F.count("*").cast("double").alias("val")))
+
+
+_HOURLY_SQL = ("select event_type as key, "
+               "epoch_us(ts) // 3600000000 as ts, "
+               "count(*)::double as val from events group by 1, 2")
+
+
+def q_ewma_hourly(spark, sf_dir):
+    """truncated EWMA smoothing (operators/tsstats.py): per event
+    type, the renormalized exponentially-weighted average (alpha 0.3,
+    horizon 8) of the hourly count series. Spark folds the ROWS-frame
+    collect_list; the oracle replays the IDENTICAL fold via DuckDB
+    list_reduce (same op order -> bit-identical doubles)."""
+    from osc_geo_h3grid_srv_spark.operators.tsstats import ewma
+    return ewma(_hourly_counts(spark, sf_dir), alpha=0.3, horizon=8)
+
+
+def _ewma_oracle_sql():
+    r = repr(1.0 - 0.3)
+    return f"""
+        with counts as ({_HOURLY_SQL}),
+        wins as (
+            select key, ts, val,
+                   list(val) over (partition by key order by ts
+                                   rows between 7 preceding
+                                   and current row) as xs
+            from counts)
+        select key, ts, val,
+               round(list_reduce(xs, (a, x) -> a * {r} + x)
+                     / list_reduce(list_transform(
+                                       xs, x -> cast(1 as double)),
+                                   (a, x) -> a * {r} + x), 6) + 0.0
+                   as ewma
+        from wins
+    """
+
+
+def q_cusum_hourly(spark, sf_dir):
+    """one-sided CUSUM drift alarm (operators/tsstats.py, Page 1954):
+    per event type over the hourly count series, self-calibrated
+    reference level (per-key mean), slack 1.0, alarm threshold 20.
+    The sequential recursion runs as its prefix closed form — two
+    cumulative windows — and every double is bit-identical to the
+    DuckDB replay (integer counts, exact mean, same op order)."""
+    from osc_geo_h3grid_srv_spark.operators.tsstats import cusum
+    return cusum(_hourly_counts(spark, sf_dir), slack=1.0,
+                 threshold=20.0)
+
+
+def _cusum_oracle_sql():
+    cum = ("rows between unbounded preceding and current row")
+    return f"""
+        with counts as ({_HOURLY_SQL}),
+        m as (select key, ts, val,
+                     avg(val) over (partition by key) as mu
+              from counts),
+        c as (select key, ts, val,
+                     sum(val - mu - 1.0) over (partition by key
+                         order by ts {cum}) as c
+              from m),
+        s as (select key, ts, val,
+                     round(c - least(0.0, min(c) over (partition by key
+                         order by ts {cum})), 6) + 0.0 as s
+              from c)
+        select key, ts, val, s, s > 20.0 as alarm from s
+    """
+
+
+def q_markov_transitions(spark, sf_dir):
+    """first-order Markov transition matrix (operators/funnel.py
+    markov_transitions): per-user consecutive event-type pairs in
+    (ts, event_id) order, counts + per-prev transition probabilities.
+    Integer-exact counts, one division."""
+    from osc_geo_h3grid_srv_spark.operators.funnel import (
+        markov_transitions)
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+_MARKOV_ORACLE = """
+    with pairs as (
+        select lag(event_type) over (partition by user_id
+                                     order by ts, event_id) as prev_type,
+               event_type as next_type
+        from events),
+    c as (select prev_type, next_type, count(*)::bigint as n
+          from pairs where prev_type is not null group by 1, 2)
+    select prev_type, next_type, n,
+           round(n::double / (sum(n) over (partition by prev_type)), 6)
+               as p
+    from c
+"""
+
+
+_PPR_SEEDS, _PPR_ITER = (1, 7, 42), 5
+_BFS_SOURCES, _BFS_HOPS = (0, 9), 4
+
+
+def _planted_edges(spark, sf_dir):
+    """The deterministic planted link graph every graph entry shares
+    (doc i -> (i*m + j) mod N for m in _PR_MULTS; every 10th doc is
+    dangling)."""
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf_dir, "documents")
+    n_row = docs.agg((F.max("doc_id") + 1).alias("nm"))
+    base = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id").crossJoin(F.broadcast(n_row)))
+    parts = [base.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * m + j) % F.col("nm"))
+                         .alias("dst"))
+             for j, m in enumerate(_PR_MULTS)]
+    return parts[0].union(parts[1]).union(parts[2])
+
+
+_PLANTED_ARMS = lambda: " union all ".join(  # noqa: E731
+    f"select doc_id as src, (doc_id * {m} + {j}) % nm as dst "
+    f"from documents, nn where doc_id % 10 <> 0"
+    for j, m in enumerate(_PR_MULTS))
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """personalized PageRank (operators/linkgraph.py): random walk
+    with restart to the 3-doc seed set over the planted link graph —
+    teleport AND dangling mass land on the seeds, so scores measure
+    seed proximity and unreachable nodes stay exactly 0. Per-iteration
+    round(9) pins the FP state; the oracle replays the same 5
+    iterations as chained DuckDB CTEs (pagerank gate discipline)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        personalized_pagerank)
+    ppr = personalized_pagerank(
+        _planted_edges(spark, sf_dir), seeds=list(_PPR_SEEDS),
+        damping=_PR_DAMP, num_iter=_PPR_ITER, round_digits=9)
+    return ppr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_oracle_sql():
+    d, k = _PR_DAMP, _PPR_ITER
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    tele = repr(1.0 / len(_PPR_SEEDS))
+    ctes = [
+        "nn as (select max(doc_id) + 1 as nm from documents)",
+        f"edges as (select distinct src, dst from ({_PLANTED_ARMS()}))",
+        "nodes as (select distinct node, "
+        f"case when node in ({seeds}) then {tele} else 0.0 end as tele "
+        "from (select src as node from edges "
+        "union all select dst from edges))",
+        "outdeg as (select src, count(*)::double as deg "
+        "from edges group by src)",
+        "r0 as (select node, round(tele, 9) as rank from nodes)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"c{i} as (select e.dst, sum(r.rank / o.deg) as contrib "
+            f"from edges e join {p} r on e.src = r.node "
+            f"join outdeg o on e.src = o.src group by e.dst)")
+        ctes.append(
+            f"d{i} as (select coalesce(sum(r.rank), 0.0) as dmass "
+            f"from {p} r left join outdeg o on r.node = o.src "
+            f"where o.src is null)")
+        ctes.append(
+            f"r{i} as (select nodes.node, "
+            f"round((1.0 - {d}) * nodes.tele "
+            f"+ {d} * (coalesce(c.contrib, 0.0) "
+            f"+ (select dmass from d{i}) * nodes.tele), 9) "
+            f"as rank from nodes left join c{i} c on nodes.node = c.dst)")
+    return ("with " + ", ".join(ctes)
+            + f" select node, round(rank, 6) as rank from r{k}")
+
+
+def q_bfs_distances(spark, sf_dir):
+    """multi-source BFS reachability (operators/linkgraph.py
+    bfs_distances): minimum hop count from the 2-doc source set within
+    4 directed hops over the planted link graph — per hop one
+    frontier-keyed equi-join + one anti-join against visited.
+    Integer-exact, replayed as chained DuckDB CTEs: a node reached in
+    a different round flips the hash."""
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        bfs_distances)
+    return bfs_distances(_planted_edges(spark, sf_dir),
+                         sources=list(_BFS_SOURCES),
+                         max_hops=_BFS_HOPS)
+
+
+def _bfs_oracle_sql():
+    srcs = ", ".join(f"({s})" for s in _BFS_SOURCES)
+    ctes = [
+        "nn as (select max(doc_id) + 1 as nm from documents)",
+        f"edges as (select distinct src, dst from ({_PLANTED_ARMS()}) "
+        "where src <> dst)",
+        f"f0(node) as (values {srcs})",
+        "v0 as (select node, 0::int as dist from f0)",
+    ]
+    for i in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"f{i} as (select distinct e.dst as node "
+            f"from edges e join f{i - 1} f on e.src = f.node "
+            f"where e.dst not in (select node from v{i - 1}))")
+        ctes.append(
+            f"v{i} as (select node, dist from v{i - 1} "
+            f"union all select node, {i}::int as dist from f{i})")
+    return f"with {', '.join(ctes)} select node, dist from v{_BFS_HOPS}"
+
+
+def q_ripleys_k(spark, sf_dir):
+    """Ripley's K (operators/ripley.py): second-order point-pattern
+    statistic at 100/200/400 km over the customer surrogate points,
+    naive (uncorrected) estimator with A = the ±60° latitude band
+    area. One banded pair join at 400 km + a 3-row rollup; oracle
+    replays the unpruned quadratic pair count."""
+    from osc_geo_h3grid_srv_spark.operators.ripley import ripleys_k
+    geo = _geo_df(spark, sf_dir, "customer", "c_custkey")
+    return ripleys_k(geo, [100.0, 200.0, 400.0], area_km2=441_900_000.0)
+
+
+def _ripleys_k_oracle_sql():
+    hav = _HAV_SQL.format(lat1="a.lat", lng1="a.lng",
+                          lat2="b.lat", lng2="b.lng")
+    return f"""
+        with geo as ({_geo_sql('customer', 'c_custkey')}),
+        n as (select count(*)::double as n from geo),
+        pairs as (
+            select round(dist, 4) as dist_km from (
+                select {hav} as dist
+                from geo a join geo b on a.id < b.id)
+            where dist <= 400.0),
+        d as (select unnest([100.0, 200.0, 400.0]) as d_km),
+        hits as (
+            select d.d_km,
+                   (select count(*) from pairs p
+                    where p.dist_km <= d.d_km)::bigint as n_pairs
+            from d)
+        select h.d_km, h.n_pairs,
+               round(441900000.0 * 2 * h.n_pairs
+                     / (n.n * (n.n - 1.0)), 4) + 0.0 as k_hat
+        from hits h cross join n
+    """
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: index a deterministic pages batch and answer the
@@ -5975,6 +6527,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "simplify_polygon": q_simplify_polygon,
         "geometry_stats": q_geometry_stats,
+        # -- block 4: added in the round-4 continuation AFTER the r4
+        # gate window froze — never driver-gated until the round-5
+        # rotation pulls them into the first 50 ----------------------
+        "trajectory_stats": q_trajectory_stats,
+        "stay_points": q_stay_points,
+        "od_matrix_flows": q_od_matrix_flows,
+        "nearest_neighbor_join": q_nearest_neighbor_join,
+        "ripleys_k": q_ripleys_k,
+        "personalized_pagerank": q_personalized_pagerank,
+        "bfs_distances": q_bfs_distances,
+        "c4_line_filters": q_c4_line_filters,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "ewma_hourly": q_ewma_hourly,
+        "cusum_hourly": q_cusum_hourly,
+        "markov_transitions": q_markov_transitions,
     }
 
 
@@ -7057,4 +7624,16 @@ def oracle_sql() -> dict[str, str]:
         "audio_afp_pairs": _audio_afp_oracle_sql(),
         "bloom_membership": _bloom_oracle_sql(),
         "audio_decode_stats": _audio_decode_oracle_sql(),
+        "trajectory_stats": _trajectory_oracle_sql(),
+        "stay_points": _stay_points_oracle_sql(),
+        "od_matrix_flows": _od_flows_oracle_sql(),
+        "nearest_neighbor_join": _nearest_join_oracle_sql(),
+        "ripleys_k": _ripleys_k_oracle_sql(),
+        "personalized_pagerank": _ppr_oracle_sql(),
+        "bfs_distances": _bfs_oracle_sql(),
+        "c4_line_filters": _c4_oracle_sql(),
+        "tfidf_top_terms": _tfidf_oracle_sql(),
+        "ewma_hourly": _ewma_oracle_sql(),
+        "cusum_hourly": _cusum_oracle_sql(),
+        "markov_transitions": _MARKOV_ORACLE,
     }

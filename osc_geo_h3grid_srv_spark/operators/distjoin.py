@@ -27,32 +27,33 @@ is the bucket equi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osc_geo_h3grid_srv_spark.operators.interpolate import (
     _EARTH_R_KM, _lng_pitch_deg)
 
 
-def within_distance_pairs(points: DataFrame, radius_km: float,
-                          id_col: str = "id", lat_col: str = "lat",
-                          lng_col: str = "lng") -> DataFrame:
-    """-> (id_a, id_b, dist_km round 4), id_a < id_b, haversine
-    distance <= radius_km."""
+def _banded_candidates(anchors: DataFrame, probes: DataFrame,
+                       radius_km: float) -> DataFrame:
+    """Candidate pairs (id_a/lat_a/lng_a from `anchors` x id_b/lat_b/
+    lng_b from `probes`) whose great-circle distance CAN be
+    <= radius_km, joined purely on (band, lng-bucket) equi-keys with
+    exact dist_km attached (unfiltered — callers apply their own
+    radius/top-k predicate). The anchor side is bucketed once; the
+    probe side explodes into its 3x3 bucket neighborhood plus the
+    antimeridian wrap copy. anchors must carry (id_a, lat_a, lng_a),
+    probes (id_b, lat_b, lng_b)."""
     if radius_km <= 0:
         raise ValueError(f"radius_km {radius_km} must be > 0")
     pitch = radius_km / 111.32 * 1.2
-    a = points.select(F.col(id_col).alias("id_a"),
-                      F.col(lat_col).alias("lat_a"),
-                      F.col(lng_col).alias("lng_a"))
+    a = anchors
     a = a.withColumn("by", F.floor(F.col("lat_a") / F.lit(pitch)))
     a = a.withColumn(
         "bx", F.floor(F.col("lng_a")
                       / _lng_pitch_deg(F.col("by"), pitch, radius_km)))
 
-    b = points.select(F.col(id_col).alias("id_b"),
-                      F.col(lat_col).alias("lat_b"),
-                      F.col(lng_col).alias("lng_b"))
+    b = probes
     # antimeridian wrap copy (same trigger rule as interpolate.py)
     by0 = F.floor(F.col("lat_b") / F.lit(pitch))
     m = F.greatest(*[
@@ -77,16 +78,65 @@ def within_distance_pairs(points: DataFrame, radius_km: float,
     b = b.filter((F.col("__sh") == 0) | (p_pitch < F.lit(360.0)))
     b = b.withColumn("bx", F.floor(F.col("lng_b") / p_pitch)
                      + F.col("off.dx")).drop("off", "__sh")
-
-    j = a.join(b, ["by", "bx"]).filter(F.col("id_a") < F.col("id_b"))
+    j = a.join(b, ["by", "bx"])
     la1 = F.radians(F.col("lat_a"))
     la2 = F.radians(F.col("lat_b"))
     dla = la2 - la1
     dlo = F.radians(F.col("lng_b")) - F.radians(F.col("lng_a"))
     h = (F.sin(dla / 2) ** 2
          + F.cos(la1) * F.cos(la2) * F.sin(dlo / 2) ** 2)
-    dist = F.lit(2 * _EARTH_R_KM) * F.asin(F.sqrt(h))
-    return (j.withColumn("dist_km", dist)
+    return j.withColumn(
+        "dist_km", F.lit(2 * _EARTH_R_KM) * F.asin(F.sqrt(h)))
+
+
+def nearest_join(probes: DataFrame, anchors: DataFrame,
+                 max_km: float, k: int = 1,
+                 probe_id: str = "id", anchor_id: str = "id",
+                 lat_col: str = "lat",
+                 lng_col: str = "lng") -> DataFrame:
+    """k-nearest-neighbor JOIN: for each probe point, its k nearest
+    anchor points within max_km — (probe_id, rank, anchor_id, dist_km
+    round 4), rank 1..k by (distance, anchor_id); probes with no
+    anchor in range emit nothing (inner semantics, the caller can
+    left-join back). The J-family gap between the within-distance
+    PAIR join above and J5's cell-centroid interpolation: same
+    banding bound, but per-probe top-k instead of a threshold.
+
+    Scale: candidates are bounded by per-bucket anchor density x 9,
+    never |probes| x |anchors|; the top-k window partitions on the
+    probe id, so the second exchange is probe-keyed and skew-free."""
+    if k < 1:
+        raise ValueError(f"k {k} must be >= 1")
+    a = anchors.select(F.col(anchor_id).alias("id_a"),
+                       F.col(lat_col).alias("lat_a"),
+                       F.col(lng_col).alias("lng_a"))
+    b = probes.select(F.col(probe_id).alias("id_b"),
+                      F.col(lat_col).alias("lat_b"),
+                      F.col(lng_col).alias("lng_b"))
+    cand = _banded_candidates(a, b, max_km) \
+        .filter(F.col("dist_km") <= F.lit(float(max_km)))
+    w = Window.partitionBy("id_b").orderBy("dist_km", "id_a")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(int(k)))
+            .select(F.col("id_b").alias("probe_id"),
+                    F.col("rank").cast("int").alias("rank"),
+                    F.col("id_a").alias("anchor_id"),
+                    F.round("dist_km", 4).alias("dist_km")))
+
+
+def within_distance_pairs(points: DataFrame, radius_km: float,
+                          id_col: str = "id", lat_col: str = "lat",
+                          lng_col: str = "lng") -> DataFrame:
+    """-> (id_a, id_b, dist_km round 4), id_a < id_b, haversine
+    distance <= radius_km."""
+    a = points.select(F.col(id_col).alias("id_a"),
+                      F.col(lat_col).alias("lat_a"),
+                      F.col(lng_col).alias("lng_a"))
+    b = points.select(F.col(id_col).alias("id_b"),
+                      F.col(lat_col).alias("lat_b"),
+                      F.col(lng_col).alias("lng_b"))
+    return (_banded_candidates(a, b, radius_km)
+            .filter(F.col("id_a") < F.col("id_b"))
             .filter(F.col("dist_km") <= F.lit(float(radius_km)))
             .select("id_a", "id_b",
                     F.round("dist_km", 4).alias("dist_km")))

@@ -23,7 +23,7 @@ against identical DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,30 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                     .cast("long").alias("age_weeks"))
             .groupBy("cohort_week", "age_weeks")
             .agg(F.count_distinct("u").cast("long").alias("n_active")))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", seq_col: str = "event_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """-> (prev_type, next_type, n, p round 6): first-order Markov
+    transition matrix of the per-user event sequence — for every
+    consecutive event pair in (ts, seq) order, count (prev, next) and
+    normalize per prev row. The behavioral-model companion of the
+    funnel: the funnel answers "did the user follow THIS path", the
+    transition matrix answers "which paths exist".
+
+    One user-keyed window (lag) + one |types|²-sized groupBy; the per-
+    prev normalizer is a window over the tiny transition relation, not
+    the stream. Counts are integer-exact; p is one division, so the
+    DuckDB replay hashes identically."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    pairs = (events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"))
+        .filter(F.col("prev_type").isNotNull()))
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n"))
+    wprev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wprev), 6).alias("p"))

@@ -90,6 +90,123 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks
 
 
+def personalized_pagerank(edges: DataFrame, seeds: list[int],
+                          damping: float = 0.85, num_iter: int = 5,
+                          round_digits: int = 9, src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """Personalized PageRank (topic-sensitive PageRank, Haveliwala
+    2002 — public algorithm): random walk with restart where BOTH the
+    teleport step and the dangling-mass redistribution land uniformly
+    on the seed set instead of all nodes. The crawl-frontier /
+    related-page primitive: scores measure proximity to the seeds, and
+    non-seeds unreachable from them stay at exactly 0.
+
+    Same plan discipline as pagerank(): the degree-annotated edge list
+    is materialized once, each iteration is one co-keyed join + one
+    partial-aggregated groupBy + a broadcast 1-row dangling aggregate,
+    ranks rounded per iteration so the DuckDB chained-CTE replay is
+    bit-identical. The seed set is a parameter (a local list, like k or
+    damping), so the teleport flag is a broadcast semi-join — never a
+    corpus-sized side input."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError(f"duplicate seeds: {seeds}")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds],
+                                    "node long")
+    # teleport weight per node, attached once: 1/|S| on seeds, else 0
+    ns = float(len(seeds))
+    nodes = (nodes.join(F.broadcast(seed_df.withColumn(
+        "tele", F.lit(1.0 / ns))), "node", "left")
+        .select("node", F.coalesce("tele", F.lit(0.0)).alias("tele"))
+        .localCheckpoint(eager=True))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = (e.join(outdeg, "src").select("src", "dst", "deg")
+          .localCheckpoint(eager=True))
+    dangling_nodes = (nodes.select("node")
+                      .join(outdeg, nodes.node == outdeg.src,
+                            "left_anti")
+                      .localCheckpoint(eager=True))
+    d = float(damping)
+    ranks = nodes.select(
+        "node", F.round(F.col("tele"), round_digits).alias("rank")) \
+        .localCheckpoint(eager=True)
+    for _ in range(num_iter):
+        contrib = (ew.join(ranks, ew.src == ranks.node)
+                   .select("dst", (F.col("rank") / F.col("deg"))
+                           .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("contrib")))
+        dangling = (ranks.join(dangling_nodes, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dmass")))
+        ranks = (nodes
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         F.round((1.0 - d) * F.col("tele")
+                                 + d * (F.coalesce(F.col("contrib"),
+                                                   F.lit(0.0))
+                                        + F.col("dmass")
+                                        * F.col("tele")),
+                                 round_digits).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def bfs_distances(edges: DataFrame, sources: list[int],
+                  max_hops: int, directed: bool = True,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Multi-source BFS hop distances: (node, dist) for every node
+    reachable from the source set within max_hops directed (or
+    undirected) hops; dist is the MINIMUM hop count (0 for sources).
+    The link-graph reachability primitive (crawl-depth analysis,
+    seed-distance features).
+
+    Plan shape per hop — the thing that must hold at 10^11 edges: one
+    frontier-keyed equi-join (frontier ⋈ edges on src) + one anti-join
+    against the visited set + a distinct on the NEW frontier only;
+    frontier and visited are localCheckpoint'ed per round so lineage
+    stays flat. Integer-exact, so the DuckDB chained-CTE replay
+    matches bit-for-bit."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if max_hops < 0:
+        raise ValueError(f"max_hops {max_hops} must be >= 0")
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct() \
+        .localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(s),) for s in set(sources)], "node long") \
+        .localCheckpoint(eager=True)
+    visited = frontier.select("node", F.lit(0).cast("int")
+                              .alias("dist"))
+    for hop in range(1, max_hops + 1):
+        nxt = (e.join(frontier, e.src == frontier.node)
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited, "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.union(
+            nxt.select("node", F.lit(hop).cast("int").alias("dist"))) \
+            .localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def hits(edges: DataFrame, num_iter: int = 5, round_digits: int = 9,
          src: str = "src", dst: str = "dst") -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, public algorithm) —

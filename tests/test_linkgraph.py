@@ -360,3 +360,117 @@ def test_edge_jaccard_clique_and_bridge(spark):
         for jj in range(i + 1, 3):
             assert got[(i, jj)] == 0.5
     assert got[(3, 9)] == 0.0
+
+
+# ---------------------------------------------------- personalized PR
+
+def _brute_ppr(edges, seeds, d, k, digits):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, []).append(v)
+    tele = np.array([1.0 / len(seeds) if n in seeds else 0.0
+                     for n in nodes])
+    r = np.round(tele, digits)
+    for _ in range(k):
+        nxt = np.zeros(len(nodes))
+        dmass = 0.0
+        for u in nodes:
+            if u in out:
+                share = r[idx[u]] / len(out[u])
+                for v in out[u]:
+                    nxt[idx[v]] += share
+            else:
+                dmass += r[idx[u]]
+        r = np.round((1 - d) * tele + d * (nxt + dmass * tele), digits)
+    return {nodes[i]: r[i] for i in range(len(nodes))}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_ppr_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        personalized_pagerank)
+    rng = np.random.default_rng(3)
+    edges = list({(int(a), int(b)) for a, b in
+                  zip(rng.integers(0, 30, 120),
+                      rng.integers(0, 30, 120)) if a != b})
+    seeds = [1, 5, 9]
+    got = {r.node: r.rank for r in personalized_pagerank(
+        _edges_df(spark, edges), seeds, damping=0.85, num_iter=4,
+        round_digits=9).collect()}
+    want = _brute_ppr(edges, set(seeds), 0.85, 4, 9)
+    assert got.keys() == want.keys()
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=2e-9), n
+
+
+def test_ppr_unreachable_stays_zero(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        personalized_pagerank)
+    # two disconnected components; seed only in the first
+    edges = [(1, 2), (2, 1), (10, 11), (11, 10)]
+    got = {r.node: r.rank for r in personalized_pagerank(
+        _edges_df(spark, edges), [1], num_iter=5).collect()}
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert got[1] > 0.0 and got[2] > 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ppr_rejects_bad_seeds(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        personalized_pagerank)
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [])
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [1, 1])
+
+
+# -------------------------------------------------------------- BFS
+
+def test_bfs_matches_brute(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        bfs_distances)
+    rng = np.random.default_rng(17)
+    edges = list({(int(a), int(b)) for a, b in
+                  zip(rng.integers(0, 40, 150),
+                      rng.integers(0, 40, 150)) if a != b})
+    sources, hops = [0, 7], 3
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    want, frontier = {s: 0 for s in sources}, set(sources)
+    for h in range(1, hops + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())} - want.keys()
+        want.update({v: h for v in nxt})
+        frontier = nxt
+    got = {r.node: r.dist for r in bfs_distances(
+        _edges_df(spark, edges), sources, hops).collect()}
+    assert got == want
+
+
+def test_bfs_undirected_and_early_stop(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        bfs_distances)
+    edges = [(1, 2), (2, 3), (5, 4)]  # 4->5 only via reverse edge
+    got = {r.node: r.dist for r in bfs_distances(
+        _edges_df(spark, edges), [4], max_hops=10,
+        directed=False).collect()}
+    assert got == {4: 0, 5: 1}
+    directed = {r.node: r.dist for r in bfs_distances(
+        _edges_df(spark, edges), [4], max_hops=10).collect()}
+    assert directed == {4: 0}
+
+
+def test_bfs_rejects_bad_args(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        bfs_distances)
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        bfs_distances(df, [], 2)
+    with pytest.raises(ValueError):
+        bfs_distances(df, [1], -1)

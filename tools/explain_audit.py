@@ -18,6 +18,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional 2nd arg: comma-separated audit names — check just those
+# (PLANS.md is NOT rewritten in filtered mode, so a spot-check never
+# truncates the full book)
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
 # query name -> properties we assert about its physical plan
 AUDITS = {
@@ -816,6 +820,103 @@ AUDITS = {
                 "one BroadcastNestedLoopJoin is the 1-row max(doc_id) "
                 "scalar riding the synthetic edge build",
     },
+    "trajectory_stats": {
+        "expect": ["Window", "SortAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "per-entity track summary: ONE entity-keyed exchange "
+                "feeds sort -> window (lag steps) -> partial+final "
+                "SortAggregate, which REUSES the window's sort order "
+                "(struct min/max can't hash-aggregate, and here "
+                "shouldn't: the sorted run is already in hand) — no "
+                "second exchange anywhere",
+    },
+    "stay_points": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Generate"],
+        "note": "gaps-and-islands dwell runs: two row_number windows "
+                "share the entity-keyed exchange, then one run-keyed "
+                "groupBy — no joins, no explode, pure window algebra",
+    },
+    "od_matrix_flows": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window", "Generate"],
+        "note": "OD matrix: trip endpoints are struct min/max in a "
+                "(entity, day) groupBy — windowless — then a second "
+                "cell-pair groupBy; the whole plan is two hash "
+                "aggregates",
+    },
+    "nearest_neighbor_join": {
+        "expect": ["Window", "HashAggregate|SortMergeJoin"
+                   "|ShuffledHashJoin|BroadcastHashJoin", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "kNN JOIN: banded bucket EQUI-join bounds candidates "
+                "by local anchor density, then a probe-keyed "
+                "row_number window takes top-k — the quadratic "
+                "probe x anchor join is never planned",
+    },
+    "c4_line_filters": {
+        "expect": ["Project", "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "Exchange", "HashAggregate", "Window", "Generate"],
+        "note": "C4 page cleaning is a pure map: split -> one "
+                "higher-order line filter (projected, never inlined) "
+                "-> flags + rejoin, ZERO exchanges — scales exactly "
+                "as the parquet scan does",
+    },
+    "tfidf_top_terms": {
+        "expect": ["HashAggregate", "Window", "Generate",
+                   "BroadcastNestedLoopJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "per-doc TF-IDF: tf groupBy collapses the token "
+                "stream map-side, df rides the (doc,term) relation "
+                "(vocab-sized), N is the broadcast 1-row agg (the "
+                "BNLJ), top-k is a doc-keyed row_number window",
+    },
+    "ewma_hourly": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Generate"],
+        "note": "truncated EWMA: the stream collapses to (key, hour) "
+                "counts in one partial-agg groupBy; the bounded ROWS "
+                "collect_list window + fold is pure JVM expression "
+                "work over that small relation",
+    },
+    "cusum_hourly": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Generate"],
+        "note": "CUSUM closed form: per-key mean + running sum + "
+                "running min are three window passes sharing ONE "
+                "key-keyed exchange and sort — the sequential "
+                "recursion never materializes",
+    },
+    "markov_transitions": {
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Generate"],
+        "note": "transition matrix: one user-keyed lag window, one "
+                "|types|^2 groupBy; the normalizer window runs over "
+                "the tiny transition relation, not the stream",
+    },
+    "ripleys_k": {
+        "expect": ["HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "Ripley's K: one banded pair join at max(d) + a "
+                "|d|-row threshold explode and integer count; the one "
+                "BroadcastNestedLoopJoin is the broadcast 1-row n "
+                "scalar, same shape as funnel's base join",
+    },
 }
 
 
@@ -848,6 +949,8 @@ def main():
         % SF_DIR)
     failures = []
     for name, spec in AUDITS.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         if "build" in spec:  # non-entry operators audited directly
             df = globals()[spec["build"]](spark, SF_DIR)
         else:
@@ -872,12 +975,13 @@ def main():
         out.write(f"\n## {name} — {status}\n\n{spec['note']}\n\n"
                   f"checks: {', '.join(spec['expect'] + ['no ' + f for f in spec['forbid']])}\n\n"
                   "```\n" + plan.strip()[:6000] + "\n```\n")
-    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
-        fh.write(out.getvalue())
+    if ONLY is None:
+        with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+            fh.write(out.getvalue())
     spark.stop()
     if failures:
         raise SystemExit(f"plan audit failures: {failures}")
-    print("PLANS.md written")
+    print("PLANS.md written" if ONLY is None else "spot-check OK")
 
 
 if __name__ == "__main__":
