@@ -5995,6 +5995,179 @@ def _nearest_join_oracle_sql():
     """
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """exact distributed quantiles (operators/quantiles.py): per
+    event type, the type-1 quantiles of `value` at p = .25/.5/.9/.99
+    off the cumulative value-count curve — the deterministic anchor
+    for approx_percentile tolerance gates. The (key, value) counts
+    relation is distinct-value-sized; quantile picks are integer-vs-
+    double comparisons both engines evaluate identically (the oracle
+    casts its probs to double to dodge DuckDB's decimal literals)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.quantiles import (
+        exact_quantiles)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value").alias("val"))
+    return exact_quantiles(ev, [0.25, 0.5, 0.9, 0.99])
+
+
+_QUANTILES_ORACLE = """
+    with counts as (
+        select event_type as key, value as q, count(*)::bigint as c
+        from events where value is not null group by 1, 2),
+    cum as (
+        select key, q, c,
+               sum(c) over (partition by key order by q
+                            rows between unbounded preceding
+                            and current row) as cum,
+               sum(c) over (partition by key) as n
+        from counts),
+    lagd as (
+        select key, q, cum, n,
+               coalesce(lag(cum) over (partition by key order by q),
+                        0) as prev
+        from cum),
+    p as (select unnest([0.25, 0.5, 0.9, 0.99]::double[]) as p)
+    select key, p.p as p, q
+    from lagd cross join p
+    where cum >= p.p * n and prev < p.p * n
+"""
+
+
+def q_fuzzy_title_pairs(spark, sf_dir):
+    """blocked fuzzy pair join (operators/fuzzyjoin.py): synthetic
+    page titles 'page-NNN' blocked on their 6-char prefix, all
+    same-block pairs within Levenshtein distance 2. The oracle runs
+    the UNPRUNED in-block quadratic with full levenshtein — if the
+    length prefilter or the threshold short-circuit ever dropped a
+    true pair, the hash flips."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.fuzzyjoin import fuzzy_pairs
+    docs = _t(spark, sf_dir, "documents")
+    s = F.concat(F.lit("page-"),
+                 F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"),
+                        3, "0"))
+    t = docs.select(F.col("doc_id").alias("id"), s.alias("s"),
+                    F.substring(s, 1, 6).alias("block"))
+    return fuzzy_pairs(t, max_dist=2)
+
+
+_FUZZY_ORACLE = """
+    with t as (
+        select doc_id as id,
+               'page-' || lpad(((doc_id * 7) % 1000)::varchar, 3, '0')
+                   as s
+        from documents),
+    b as (select id, s, substring(s, 1, 6) as blk from t)
+    select a.id as id_a, b2.id as id_b,
+           levenshtein(a.s, b2.s)::int as dist
+    from b a join b b2 on a.blk = b2.blk and a.id < b2.id
+    where levenshtein(a.s, b2.s) <= 2
+"""
+
+
+def q_geodesic_area(spark, sf_dir):
+    """distributed geodesic ring stats (operators/sphgeom.py):
+    spherical-trapezoid area + haversine perimeter of 12-vertex star
+    polygons planted around each nation's surrogate centroid — the
+    DataFrame-native, sphere-aware twin of the packed-kernel
+    polygon_stats (A2). The oracle replays vertex construction AND
+    the edge accumulation with identical operand order."""
+    import math
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.sphgeom import (
+        geodesic_ring_stats)
+    nat = _geo_df(spark, sf_dir, "nation", "n_nationkey")
+    v = nat.select(
+        F.col("id").alias("region"), "lat", "lng",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("seq"))
+    r = (F.lit(1.0) + ((F.col("region") * 31 + F.col("seq") * 7) % 100)
+         / F.lit(200.0))
+    ang = F.col("seq") * F.lit(math.pi / 6)
+    pts = v.select(
+        "region", "seq",
+        (F.col("lat") + r * F.cos(ang)).alias("vlat"),
+        (F.col("lng") + r * F.sin(ang)
+         / F.cos(F.radians("lat"))).alias("vlng"))
+    return geodesic_ring_stats(pts, region_col="region", seq_col="seq",
+                               lat_col="vlat", lng_col="vlng")
+
+
+def _geodesic_oracle_sql():
+    return f"""
+        with geo as ({_geo_sql('nation', 'n_nationkey')}),
+        v as (
+            select id as region, k,
+                   1.0 + ((id * 31 + k * 7) % 100)
+                         / cast(200 as double) as r,
+                   k * (pi() / 6) as ang, lat, lng
+            from geo, unnest(range(12)) as t(k)),
+        pts as (
+            select region, k as seq,
+                   lat + r * cos(ang) as vlat,
+                   lng + r * sin(ang) / cos(radians(lat)) as vlng
+            from v),
+        edges as (
+            select region, vlat as la1, vlng as lo1,
+                   coalesce(lead(vlat) over w,
+                            first_value(vlat) over w2) as la2,
+                   coalesce(lead(vlng) over w,
+                            first_value(vlng) over w2) as lo2
+            from pts
+            window w as (partition by region order by seq),
+                   w2 as (partition by region order by seq
+                          rows between unbounded preceding
+                          and unbounded following)),
+        agg as (
+            select region, count(*)::bigint as n_vertices,
+                   sum(radians(lo2 - lo1)
+                       * (2.0 + sin(radians(la1))
+                          + sin(radians(la2)))) as t,
+                   sum(2 * 6371.0088 * asin(sqrt(
+                       pow(sin((radians(la2) - radians(la1)) / 2), 2)
+                       + cos(radians(la1)) * cos(radians(la2))
+                       * pow(sin(radians(lo2 - lo1) / 2), 2)))) as p
+            from edges group by 1)
+        select region, n_vertices,
+               round(abs(t) * (6371.0088 * 6371.0088 / 2.0), 4) + 0.0
+                   as area_km2,
+               round(p, 4) + 0.0 as perimeter_km
+        from agg
+    """
+
+
+def q_skew_profile(spark, sf_dir):
+    """join-key skew diagnostic (operators/skewprof.py): the top-10
+    heaviest user_id keys in the events stream with global key-
+    distribution stats (n_keys, n_rows, max/avg skew factor) — the
+    decision input for broadcast vs salt vs per-key caps before a
+    100 TB shuffle. Top-k is TakeOrderedAndProject, stats a broadcast
+    1-row aggregate."""
+    from osc_geo_h3grid_srv_spark.operators.skewprof import skew_profile
+    return skew_profile(_t(spark, sf_dir, "events"), "user_id",
+                        top_k=10)
+
+
+_SKEW_ORACLE = """
+    with c as (
+        select user_id as key, count(*)::bigint as cnt
+        from events group by 1),
+    s as (
+        select count(*)::bigint as n_keys, sum(cnt)::bigint as n_rows,
+               max(cnt)::bigint as mx
+        from c),
+    t as (
+        select key, cnt,
+               row_number() over (order by cnt desc, key asc) as rank
+        from c)
+    select t.rank::int as rank, t.key, t.cnt,
+           round(t.cnt / s.n_rows, 6) as share,
+           s.n_keys, s.n_rows,
+           round(s.mx / (s.n_rows / s.n_keys), 4) as skew
+    from t cross join s where t.rank <= 10
+"""
+
+
 def q_c4_line_filters(spark, sf_dir):
     """C4 page cleaning (operators/c4rules.py, Raffel et al. 2020
     §2.2): terminal-punctuation / min-words / javascript line rules +
@@ -6542,6 +6715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": q_ewma_hourly,
         "cusum_hourly": q_cusum_hourly,
         "markov_transitions": q_markov_transitions,
+        "exact_quantiles": q_exact_quantiles,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "geodesic_area": q_geodesic_area,
+        "skew_profile": q_skew_profile,
     }
 
 
@@ -7636,4 +7813,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma_hourly": _ewma_oracle_sql(),
         "cusum_hourly": _cusum_oracle_sql(),
         "markov_transitions": _MARKOV_ORACLE,
+        "exact_quantiles": _QUANTILES_ORACLE,
+        "fuzzy_title_pairs": _FUZZY_ORACLE,
+        "geodesic_area": _geodesic_oracle_sql(),
+        "skew_profile": _SKEW_ORACLE,
     }

@@ -908,6 +908,44 @@ AUDITS = {
                 "|types|^2 groupBy; the normalizer window runs over "
                 "the tiny transition relation, not the stream",
     },
+    "exact_quantiles": {
+        "expect": ["Window", "HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "exact quantiles: the stream collapses to (key, value) "
+                "counts map-side; cumsum/lag/total windows share one "
+                "key exchange over that distinct-value-sized relation; "
+                "the |probs| explode multiplies the small relation, "
+                "never the stream",
+    },
+    "fuzzy_title_pairs": {
+        "expect": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                   "codegen id"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "blocked fuzzy join: pure EQUI-join on the block key; "
+                "the length prune and banded levenshtein run inside "
+                "codegen on candidates — the corpus-level quadratic "
+                "is never planned",
+    },
+    "geodesic_area": {
+        "expect": ["Window", "HashAggregate", "Generate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "geodesic ring stats: vertex explode from the per-"
+                "region relation, ONE region-keyed window (lead + "
+                "first_value share the sort), one groupBy on the same "
+                "exchange; spherical trig is all JVM codegen",
+    },
+    "skew_profile": {
+        "expect": ["TakeOrderedAndProject", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "rangepartitioning"],
+        "note": "skew diagnostic: counts groupBy (partial agg), top-k "
+                "via per-partition heaps (TakeOrderedAndProject — "
+                "never a global sort), global stats as the broadcast "
+                "1-row aggregate (the one BNLJ)",
+    },
     "ripleys_k": {
         "expect": ["HashAggregate", "Generate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
