@@ -5995,6 +5995,114 @@ def _nearest_join_oracle_sql():
     """
 
 
+def q_distance_clusters(spark, sf_dir):
+    """spatial components: suppliers within 500 km form edges (the
+    banded within-distance pair join), connected components label the
+    geographic clusters (large-star/small-star, operators/cluster.py),
+    singletons keep their own id. The composition question every
+    hotspot user asks next: WHICH points belong together. Oracle =
+    unpruned quadratic pairs + recursive-CTE closure (dedup_clusters
+    gate discipline, but over the spatial graph)."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.cluster import (
+        connected_components)
+    from osc_geo_h3grid_srv_spark.operators.distjoin import (
+        within_distance_pairs)
+    from pyspark.sql import Window
+    geo = _geo_df(spark, sf_dir, "supplier", "s_suppkey")
+    cc = connected_components(within_distance_pairs(geo, 500.0))
+    lab = (geo.join(cc, geo.id == cc.node, "left")
+           .select(geo.id,
+                   F.coalesce("component", geo.id).alias("cluster")))
+    wsz = Window.partitionBy("cluster")
+    return lab.select(
+        "id", "cluster",
+        F.count("*").over(wsz).cast("long").alias("cluster_size"))
+
+
+def _distance_clusters_oracle_sql():
+    hav = _HAV_SQL.format(lat1="a.lat", lng1="a.lng",
+                          lat2="b.lat", lng2="b.lng")
+    return f"""
+        with recursive geo as ({_geo_sql('supplier', 's_suppkey')}),
+        pairs as (
+            select a.id as id_a, b.id as id_b
+            from geo a join geo b on a.id < b.id
+            where {hav} <= 500.0),
+        edges as (
+            select id_a as u, id_b as v from pairs
+            union select id_b, id_a from pairs),
+        lab as (
+            select id as node, id as comp from geo
+            union
+            select e.u, l.comp from edges e join lab l on l.node = e.v),
+        cc as (select node, min(comp) as comp from lab group by node)
+        select cast(node as bigint) as id,
+               cast(comp as bigint) as cluster,
+               cast(count(*) over (partition by comp) as bigint)
+                   as cluster_size
+        from cc
+    """
+
+
+def q_session_paths(spark, sf_dir):
+    """behavioral paths (operators/funnel.py session_paths): the 20
+    most common first-8-step event-type paths per (user, utc day)
+    session — built from a deterministic sort_array over (ts, seq,
+    type) structs, counted, TakeOrderedAndProject top-k. Oracle uses
+    DuckDB's ordered list() aggregate + slice."""
+    from osc_geo_h3grid_srv_spark.operators.funnel import session_paths
+    return session_paths(_t(spark, sf_dir, "events"), top_k=20,
+                         max_steps=8)
+
+
+_SESSION_PATHS_ORACLE = """
+    with g as (
+        select user_id as u, date_trunc('day', ts) as d,
+               list(event_type order by ts, event_id) as evs
+        from events group by 1, 2),
+    p as (select array_to_string(evs[1:8], '>') as path from g),
+    c as (select path, count(*)::bigint as n from p group by 1),
+    r as (select path, n,
+                 row_number() over (order by n desc, path asc) as rank
+          from c)
+    select rank::int as rank, path, n from r where rank <= 20
+"""
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """mutual-linking signal (operators/linkgraph.py
+    link_reciprocity): per source node of the planted link graph, how
+    many distinct out-links are reciprocated — link-exchange / mirror
+    detection next to hits_scores and edge_jaccard. One left-semi
+    self-join on the reversed edge key; integer-exact counts + one
+    division."""
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        link_reciprocity)
+    return link_reciprocity(_planted_edges(spark, sf_dir))
+
+
+def _reciprocity_oracle_sql():
+    return f"""
+        with nn as (select max(doc_id) + 1 as nm from documents),
+        edges as (select distinct src, dst from ({_PLANTED_ARMS()})
+                  where src <> dst),
+        recip as (
+            select e.src, count(*)::bigint as recip
+            from edges e
+            where exists (select 1 from edges r
+                          where r.src = e.dst and r.dst = e.src)
+            group by e.src),
+        deg as (select src, count(*)::bigint as out_deg
+                from edges group by 1)
+        select deg.src as node, deg.out_deg,
+               coalesce(recip.recip, 0)::bigint as recip,
+               round(coalesce(recip.recip, 0)::double / deg.out_deg, 6)
+                   as ratio
+        from deg left join recip using (src)
+    """
+
+
 def q_exact_quantiles(spark, sf_dir):
     """exact distributed quantiles (operators/quantiles.py): per
     event type, the type-1 quantiles of `value` at p = .25/.5/.9/.99
@@ -6719,6 +6827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "geodesic_area": q_geodesic_area,
         "skew_profile": q_skew_profile,
+        "distance_clusters": q_distance_clusters,
+        "session_paths": q_session_paths,
+        "link_reciprocity": q_link_reciprocity,
     }
 
 
@@ -7817,4 +7928,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_title_pairs": _FUZZY_ORACLE,
         "geodesic_area": _geodesic_oracle_sql(),
         "skew_profile": _SKEW_ORACLE,
+        "distance_clusters": _distance_clusters_oracle_sql(),
+        "session_paths": _SESSION_PATHS_ORACLE,
+        "link_reciprocity": _reciprocity_oracle_sql(),
     }

@@ -105,3 +105,40 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
     return counts.select(
         "prev_type", "next_type", "n",
         F.round(F.col("n") / F.sum("n").over(wprev), 6).alias("p"))
+
+
+def session_paths(events: DataFrame, top_k: int = 20,
+                  max_steps: int = 8, user_col: str = "user_id",
+                  ts_col: str = "ts", seq_col: str = "event_id",
+                  type_col: str = "event_type",
+                  day_col: str | None = None) -> DataFrame:
+    """-> (rank, path, n): the top_k most common event-type paths,
+    where a path is the first max_steps event types of one (user,
+    utc day) session joined with '>' in (ts, seq) order. The classic
+    "what do users actually do" rollup between the funnel (one fixed
+    path) and the transition matrix (one step).
+
+    One (user, day) groupBy builds the ordered type list via
+    sort_array over (ts, seq, type) structs — deterministic, no
+    window over the raw stream — then a path-keyed count and a
+    TakeOrderedAndProject top-k (ties break on path asc)."""
+    if top_k < 1:
+        raise ValueError(f"top_k {top_k} must be >= 1")
+    if max_steps < 1:
+        raise ValueError(f"max_steps {max_steps} must be >= 1")
+    day = (F.col(day_col) if day_col
+           else F.date_trunc("day", F.col(ts_col).cast("timestamp")))
+    g = (events.groupBy(F.col(user_col).alias("u"), day.alias("d"))
+         .agg(F.sort_array(F.collect_list(F.struct(
+             F.col(ts_col).alias("t"), F.col(seq_col).alias("q"),
+             F.col(type_col).alias("y")))).alias("evs")))
+    path = F.array_join(
+        F.slice(F.transform("evs", lambda s: s.y), 1, int(max_steps)),
+        ">")
+    counts = (g.select(path.alias("path"))
+              .groupBy("path").agg(F.count("*").cast("long").alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (counts.orderBy(F.col("n").desc(), F.col("path").asc())
+            .limit(int(top_k))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "path", "n"))

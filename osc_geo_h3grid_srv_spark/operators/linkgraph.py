@@ -480,3 +480,32 @@ def edge_jaccard(edges: DataFrame, src: str = "src",
     return out.select(F.col("a").alias("id_a"),
                       F.col("b").alias("id_b"), "common",
                       F.round(j, 6).alias("jaccard"))
+
+
+def link_reciprocity(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """-> (node, out_deg, recip, ratio round 6): per source node, how
+    many of its distinct out-links are reciprocated (the reverse edge
+    exists) — the mutual-linking signal that separates editorial link
+    exchanges / mirror farms from organic citation in a web graph.
+
+    One dedup pass over the edge list, one self LEFT SEMI join on the
+    reversed key (no fan-out — semi join emits each edge at most
+    once), two src-keyed groupBys sharing the exchange. Never keyed
+    by anything wider than (src, dst)."""
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (e.join(rev, ["src", "dst"], "left_semi")
+             .groupBy("src").agg(F.count("*").cast("long")
+                                 .alias("recip")))
+    deg = e.groupBy("src").agg(F.count("*").cast("long")
+                               .alias("out_deg"))
+    return (deg.join(recip, "src", "left")
+            .select(F.col("src").alias("node"), "out_deg",
+                    F.coalesce("recip", F.lit(0)).cast("long")
+                    .alias("recip"),
+                    F.round(F.coalesce("recip", F.lit(0))
+                            / F.col("out_deg"), 6).alias("ratio")))

@@ -135,3 +135,62 @@ def test_skew_profile(spark):
     assert r1.skew == pytest.approx(50 / (100 / 42), abs=1e-4)
     with pytest.raises(ValueError):
         skew_profile(df, "k", top_k=0)
+
+
+# ------------------------------------------------------- session paths
+
+def test_session_paths(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 8)
+    rows = []
+    # 3 users do view>click, 1 user does view>view, same day
+    for u, seq in [(1, ["view", "click"]), (2, ["view", "click"]),
+                   (3, ["view", "click"]), (4, ["view", "view"])]:
+        rows += [(u, u * 10 + i, t0 + dt.timedelta(minutes=i), s)
+                 for i, s in enumerate(seq)]
+    from osc_geo_h3grid_srv_spark.operators.funnel import session_paths
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    out = [(r.rank, r.path, r.n)
+           for r in session_paths(df, top_k=5, max_steps=8).collect()]
+    assert out == [(1, "view>click", 3), (2, "view>view", 1)]
+    # max_steps truncation
+    out2 = session_paths(df, top_k=5, max_steps=1).collect()
+    assert [(r.path, r.n) for r in out2] == [("view", 4)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        session_paths(df, top_k=0)
+
+
+# ---------------------------------------------------------- reciprocity
+
+def test_link_reciprocity(spark):
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        link_reciprocity)
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (3, 5), (5, 1),
+             (1, 2)]  # duplicate edge must not double-count
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: (r.out_deg, r.recip, r.ratio)
+           for r in link_reciprocity(df).collect()}
+    assert out[1] == (2, 1, 0.5)     # 1->2 recip, 1->3 not
+    assert out[3] == (2, 1, 0.5)     # 3->4 recip, 3->5 not
+    assert out[5] == (1, 0, 0.0)
+    assert out[2] == (1, 1, 1.0)
+
+
+# ----------------------------------------------------- distance clusters
+
+def test_distance_clusters_composition(spark):
+    from osc_geo_h3grid_srv_spark.operators.cluster import (
+        connected_components)
+    from osc_geo_h3grid_srv_spark.operators.distjoin import (
+        within_distance_pairs)
+    # two tight clusters + one singleton
+    pts = [(1, 50.0, 8.0), (2, 50.1, 8.1), (3, 50.2, 8.0),
+           (4, -30.0, 100.0), (5, -30.1, 100.1),
+           (6, 0.0, -170.0)]
+    df = spark.createDataFrame(pts, "id long, lat double, lng double")
+    cc = {r.node: r.component for r in connected_components(
+        within_distance_pairs(df, 100.0)).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}  # 6 is a singleton

@@ -908,6 +908,38 @@ AUDITS = {
                 "|types|^2 groupBy; the normalizer window runs over "
                 "the tiny transition relation, not the stream",
     },
+    "distance_clusters": {
+        "expect": ["Window", "HashAggregate|SortMergeJoin"
+                   "|ShuffledHashJoin|BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "spatial components: the banded pair join feeds the "
+                "checkpointed star rounds (behind localCheckpoints — "
+                "this is the final label+size assembly); the size "
+                "window rides one cluster-keyed exchange",
+    },
+    "session_paths": {
+        "expect": ["TakeOrderedAndProject",
+                   "ObjectHashAggregate|SortAggregate|HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "rangepartitioning"],
+        "note": "top paths: ordered type lists via sort_array in a "
+                "(user, day) groupBy (collect_list forces object agg "
+                "— inherent to list building), path counts, top-k by "
+                "per-partition heaps (TakeOrderedAndProject, never a "
+                "global sort); the rank Window runs AFTER the limit, "
+                "over <= top_k rows",
+    },
+    "link_reciprocity": {
+        "expect": ["LeftSemi", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct"],
+        "note": "reciprocity: dedup pass, one LEFT SEMI self-join on "
+                "the reversed edge key (no fan-out), two src-keyed "
+                "groupBys; the one BroadcastNestedLoopJoin is the "
+                "1-row max(doc_id) scalar riding the synthetic edge "
+                "build",
+    },
     "exact_quantiles": {
         "expect": ["Window", "HashAggregate", "Generate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
