@@ -5995,6 +5995,132 @@ def _nearest_join_oracle_sql():
     """
 
 
+def q_events_rollup(spark, sf_dir):
+    """multi-granularity aggregation: Spark-native rollup() over
+    (event_type, day-of-month) — the GROUPING SETS surface a
+    migrating OLAP user expects ((type, dom), (type), ()) in ONE
+    pass with partial aggregation, instead of three scans unioned.
+    grouping_id disambiguates NULL-as-subtotal from NULL-as-value;
+    DuckDB replays with its own GROUP BY ROLLUP."""
+    from pyspark.sql import functions as F
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.withColumn("dom", F.dayofmonth(
+        F.col("ts").cast("timestamp")))
+        .rollup("event_type", "dom")
+        .agg(F.count("*").cast("long").alias("n"),
+             (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_val"),
+             F.grouping_id().cast("int").alias("gid")))
+    return out
+
+
+_ROLLUP_ORACLE = """
+    with e as (
+        select event_type, day(ts)::int as dom, value from events)
+    select event_type, dom, count(*)::bigint as n,
+           round(sum(value), 6) + 0.0 as sum_val,
+           (grouping(event_type) * 2 + grouping(dom))::int as gid
+    from e
+    group by rollup(event_type, dom)
+"""
+
+
+def q_pivot_type_by_dom(spark, sf_dir):
+    """wide-format crosstab: Spark-native groupBy().pivot() of event
+    counts per day-of-month x event type (explicit value list, so the
+    plan is ONE pass with no driver-side distinct collection). DuckDB
+    replays with FILTERed counts."""
+    from pyspark.sql import functions as F
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.withColumn("dom", F.dayofmonth(
+        F.col("ts").cast("timestamp")))
+        .groupBy("dom").pivot("event_type", types).count())
+    return p.select(
+        "dom", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                 for t in types])
+
+
+_PIVOT_ORACLE = """
+    select day(ts)::int as dom,
+           count(*) filter (event_type = 'click')::bigint as click,
+           count(*) filter (event_type = 'error')::bigint as error,
+           count(*) filter (event_type = 'purchase')::bigint as purchase,
+           count(*) filter (event_type = 'signup')::bigint as signup,
+           count(*) filter (event_type = 'view')::bigint as view
+    from events group by 1
+"""
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier profile composed on exact_quantiles: per
+    event type, q1/q3 off the cumulative value-count curve, fences at
+    1.5 IQR, and the count of events outside them — the standard
+    telemetry guardrail, exact (no sketch) because the counts
+    relation is distinct-value-sized. One broadcast of the 5-row
+    fence table back onto the stream."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.quantiles import (
+        exact_quantiles)
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value").alias("val"))
+    qs = exact_quantiles(ev, [0.25, 0.75])
+    fences = (qs.groupBy("key")
+              .agg(F.max(F.when(F.col("p") == 0.25, F.col("q")))
+                   .alias("q1"),
+                   F.max(F.when(F.col("p") == 0.75, F.col("q")))
+                   .alias("q3")))
+    fences = fences.select(
+        "key", "q1", "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"))
+    joined = ev.join(F.broadcast(fences), "key")
+    return (joined.groupBy("key", "q1", "q3")
+            .agg(F.sum(F.when((F.col("val") < F.col("lo"))
+                              | (F.col("val") > F.col("hi")), 1)
+                       .otherwise(0)).cast("long").alias("n_out"))
+            .select("key", F.round("q1", 6).alias("q1"),
+                    F.round("q3", 6).alias("q3"), "n_out"))
+
+
+_IQR_ORACLE = """
+    with counts as (
+        select event_type as key, value as q, count(*)::bigint as c
+        from events where value is not null group by 1, 2),
+    cum as (
+        select key, q, c,
+               sum(c) over (partition by key order by q
+                            rows between unbounded preceding
+                            and current row) as cum,
+               sum(c) over (partition by key) as n
+        from counts),
+    lagd as (
+        select key, q, cum, n,
+               coalesce(lag(cum) over (partition by key order by q),
+                        0) as prev
+        from cum),
+    p as (select unnest([0.25, 0.75]::double[]) as p),
+    picks as (
+        select key, p.p as p, q
+        from lagd cross join p
+        where cum >= p.p * n and prev < p.p * n),
+    fences as (
+        select key,
+               max(case when p = 0.25 then q end) as q1,
+               max(case when p = 0.75 then q end) as q3
+        from picks group by 1),
+    f2 as (
+        select key, q1, q3,
+               q1 - 1.5 * (q3 - q1) as lo, q3 + 1.5 * (q3 - q1) as hi
+        from fences)
+    select e.event_type as key, round(f2.q1, 6) as q1,
+           round(f2.q3, 6) as q3,
+           sum(case when e.value < f2.lo or e.value > f2.hi
+                    then 1 else 0 end)::bigint as n_out
+    from events e join f2 on e.event_type = f2.key
+    group by 1, f2.q1, f2.q3
+"""
+
+
 def q_distance_clusters(spark, sf_dir):
     """spatial components: suppliers within 500 km form edges (the
     banded within-distance pair join), connected components label the
@@ -6645,6 +6771,333 @@ def entry(spark: SparkSession) -> DataFrame:
         .select("url", "latitude", "longitude", "res7", "res9", "lang"))
 
 
+def q_label_propagation(spark, sf_dir):
+    """community detection: 4 rounds of synchronous label propagation
+    (operators/linkgraph.py label_propagation — Raghavan et al. 2007)
+    over a PLANTED block-community graph (ring + chord inside every
+    25-id block of documents), so the labels actually coalesce into
+    the planted blocks instead of the expander mush the pagerank graph
+    would give. Integer-exact throughout (labels are node ids, votes
+    are counts) — the DuckDB oracle replays the same 4 synchronous
+    rounds as chained CTEs with the identical (count DESC, label ASC)
+    tie-break, so one divergent vote anywhere flips the hash."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.linkgraph import (
+        label_propagation)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 25
+    b = F.col("doc_id") - r
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     (b + (r + 1) % 25).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     (b + (r + 7) % 25).alias("dst"))
+    return label_propagation(e1.unionAll(e2), num_iter=4)
+
+
+def _lpa_oracle_sql():
+    k = 4
+    ctes = [
+        "base as (select doc_id, doc_id % 25 as r, "
+        "doc_id - (doc_id % 25) as b from documents)",
+        "e as (select u, v from ("
+        "select doc_id as u, b + ((r + 1) % 25) as v from base "
+        "union all "
+        "select doc_id as u, b + ((r + 7) % 25) as v from base) "
+        "where u <> v)",
+        "sym as (select distinct node, nbr from ("
+        "select u as node, v as nbr from e "
+        "union all select v, u from e))",
+        "nodes as (select distinct node from sym)",
+        "l0 as (select node, node as label from nodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"v{i} as (select s.node, l.label, count(*) as c "
+            f"from sym s join l{i - 1} l on l.node = s.nbr "
+            f"group by 1, 2)")
+        ctes.append(
+            f"w{i} as (select node, label from ("
+            f"select node, label, row_number() over ("
+            f"partition by node order by c desc, label asc) as rn "
+            f"from v{i}) where rn = 1)")
+        ctes.append(
+            f"l{i} as (select n.node, coalesce(w.label, n.node) "
+            f"as label from nodes n left join w{i} w "
+            f"on n.node = w.node)")
+    return ("with " + ", ".join(ctes)
+            + f" select node::bigint as node, label::bigint as label "
+              f"from l{k}")
+
+
+def q_assoc_rules(spark, sf_dir):
+    """market-basket rules: pairwise association rules over per-user
+    event-type baskets (operators/assoc.py — support / confidence /
+    lift per the public Agrawal-Srikant definitions). The raw stream
+    collapses to the distinct basket relation first; denominators
+    broadcast back onto the |types|^2-sized pair relation."""
+    from osc_geo_h3grid_srv_spark.operators.assoc import (
+        association_rules)
+    ev = _t(spark, sf_dir, "events")
+    return association_rules(ev, "user_id", "event_type")
+
+
+_ASSOC_ORACLE = """
+    with baskets as (
+        select distinct user_id as ent, event_type as item
+        from events where event_type is not null),
+    n_ent as (select count(distinct ent)::bigint as n from baskets),
+    item_n as (
+        select item, count(*)::bigint as n_item
+        from baskets group by 1),
+    pairs as (
+        select a.item as antecedent, b.item as consequent,
+               count(*)::bigint as n_both
+        from baskets a join baskets b using (ent)
+        where a.item <> b.item
+        group by 1, 2)
+    select p.antecedent, p.consequent, p.n_both,
+           round(p.n_both / n_ent.n, 6) as support,
+           round(p.n_both / na.n_item, 6) as confidence,
+           round((p.n_both / na.n_item) / (nb.n_item / n_ent.n), 6)
+               as lift
+    from pairs p
+    join item_n na on na.item = p.antecedent
+    join item_n nb on nb.item = p.consequent
+    cross join n_ent
+"""
+
+
+def q_scd2_history(spark, sf_dir):
+    """lakehouse dimension build: SCD type-2 validity intervals from
+    the per-user event_type change stream (operators/scd.py) —
+    gaps-and-islands with two row_numbers sharing ONE entity-keyed
+    sort, boundaries on the run-sized relation, epoch-micros interval
+    ends (the engine-portable temporal representation)."""
+    from osc_geo_h3grid_srv_spark.operators.scd import scd2_history
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "event_type", "ts")
+
+
+_SCD2_ORACLE = """
+    with rows as (
+        select user_id as entity, event_type as value,
+               epoch_us(ts) as ts_us
+        from events),
+    runs as (
+        select entity, value, ts_us,
+               row_number() over (partition by entity
+                                  order by ts_us, value)
+             - row_number() over (partition by entity, value
+                                  order by ts_us, value) as run_id
+        from rows),
+    spans as (
+        select entity, value, run_id, min(ts_us) as eff_from_us
+        from runs group by 1, 2, 3),
+    vers as (
+        select entity, value,
+               row_number() over (partition by entity
+                                  order by eff_from_us, value)::int
+                   as version,
+               eff_from_us,
+               lead(eff_from_us) over (partition by entity
+                                       order by eff_from_us, value)
+                   as eff_to_us
+        from spans)
+    select entity, value, version, eff_from_us, eff_to_us,
+           eff_to_us is null as is_current
+    from vers
+"""
+
+
+def q_constraint_audit(spark, sf_dir):
+    """data-quality gate: Deequ-style constraint audit over orders
+    (operators/dq.py) — null / domain / range / uniqueness checks
+    fused into ONE conditional-aggregate scan, plus referential
+    integrity to customer as a broadcast LEFT ANTI join; the report
+    is a relation (check_name, violations, total, pass) ready to gate
+    a snapshot promotion."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.dq import (
+        audit_checks, audit_foreign_key)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rep = audit_checks(
+        orders,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        domain={"o_orderstatus": ["F", "O", "P"]},
+        predicate={"positive_price": F.col("o_totalprice") > 0})
+    fk = audit_foreign_key(orders, "o_custkey", customer, "c_custkey")
+    return (rep.unionAll(fk)
+            .select(F.col("check").alias("check_name"),
+                    "violations", "total", "pass"))
+
+
+_AUDIT_ORACLE = """
+    with rep as (
+        select 'not_null:o_custkey' as check_name,
+               sum(case when o_custkey is null then 1 else 0
+                   end)::bigint as violations,
+               count(*)::bigint as total
+        from orders
+        union all
+        select 'domain:o_orderstatus',
+               sum(case when o_orderstatus in ('F', 'O', 'P') then 0
+                   else 1 end)::bigint,
+               count(*)::bigint
+        from orders
+        union all
+        select 'positive_price',
+               sum(case when o_totalprice > 0 then 0 else 1
+                   end)::bigint,
+               count(*)::bigint
+        from orders
+        union all
+        select 'unique:o_orderkey',
+               (count(o_orderkey)
+                - count(distinct o_orderkey))::bigint,
+               count(*)::bigint
+        from orders
+        union all
+        select 'fk:o_custkey',
+               (select count(*) from orders o
+                left join customer c on o.o_custkey = c.c_custkey
+                where o.o_custkey is not null
+                  and c.c_custkey is null)::bigint,
+               (select count(*) from orders
+                where o_custkey is not null)::bigint)
+    select check_name, violations, total,
+           violations = 0 as pass
+    from rep
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC diff: keyed snapshot comparison (operators/cdc.py) between
+    orders and a deterministically-evolved next version (every 97th
+    key deleted, every 89th repriced +10.0, every 101st re-emitted
+    shifted +1e8 as an insert) — ONE full-outer join on the key,
+    null-safe column equality in codegen, change-sized output. The
+    oracle rebuilds both snapshots and the diff independently."""
+    from pyspark.sql import functions as F
+    from osc_geo_h3grid_srv_spark.operators.snapdiff import (
+        snapshot_diff)
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    surv = (old.filter(F.col("o_orderkey") % 97 != 0)
+            .select("o_orderkey",
+                    F.when(F.col("o_orderkey") % 89 == 0,
+                           F.col("o_totalprice") + 10.0)
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice"),
+                    "o_orderstatus"))
+    adds = (old.filter(F.col("o_orderkey") % 101 == 0)
+            .select((F.col("o_orderkey") + 100000000)
+                    .alias("o_orderkey"),
+                    "o_totalprice", "o_orderstatus"))
+    new = surv.unionAll(adds)
+    d = snapshot_diff(old, new, keys=["o_orderkey"],
+                      compare_cols=["o_totalprice", "o_orderstatus"])
+    return d.select(
+        "o_orderkey", "status",
+        (F.round("old_o_totalprice", 6) + F.lit(0.0))
+        .alias("old_o_totalprice"),
+        (F.round("new_o_totalprice", 6) + F.lit(0.0))
+        .alias("new_o_totalprice"),
+        "old_o_orderstatus", "new_o_orderstatus")
+
+
+_SNAPDIFF_ORACLE = """
+    with oldt as (
+        select o_orderkey, o_totalprice, o_orderstatus from orders),
+    newt as (
+        select o_orderkey,
+               case when o_orderkey % 89 = 0
+                    then o_totalprice + 10.0
+                    else o_totalprice end as o_totalprice,
+               o_orderstatus
+        from orders where o_orderkey % 97 <> 0
+        union all
+        select o_orderkey + 100000000, o_totalprice, o_orderstatus
+        from orders where o_orderkey % 101 = 0),
+    j as (
+        select coalesce(o.o_orderkey, n.o_orderkey) as o_orderkey,
+               o.o_totalprice as old_p, n.o_totalprice as new_p,
+               o.o_orderstatus as old_s, n.o_orderstatus as new_s,
+               o.o_orderkey is not null as in_old,
+               n.o_orderkey is not null as in_new
+        from oldt o full outer join newt n
+        on o.o_orderkey = n.o_orderkey)
+    select o_orderkey,
+           case when not in_old then 'added'
+                when not in_new then 'removed'
+                else 'changed' end as status,
+           round(old_p, 6) + 0.0 as old_o_totalprice,
+           round(new_p, 6) + 0.0 as new_o_totalprice,
+           old_s as old_o_orderstatus, new_s as new_o_orderstatus
+    from j
+    where (not in_old) or (not in_new)
+       or (old_p is distinct from new_p)
+       or (old_s is distinct from new_s)
+"""
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """conversion attribution: for every purchase event, the LAST
+    preceding non-purchase event of the same user (last-touch model,
+    the standard web-analytics attribution) via one per-user window
+    with last(..., ignorenulls) over rows(-inf, -1) — ONE user-keyed
+    exchange, one shared sort, no self-join; unattributed purchases
+    (no prior touch) keep NULLs. Output gap is integer micros."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase",
+                   F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase",
+                      F.col("ts_us"))
+    out = (ev.withColumn("touch_type",
+                         F.last(touch, ignorenulls=True).over(w))
+           .withColumn("touch_ts",
+                       F.last(touch_ts, ignorenulls=True).over(w))
+           .filter(F.col("event_type") == "purchase"))
+    return out.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        "touch_type",
+        (F.col("ts_us") - F.col("touch_ts")).alias("gap_us"))
+
+
+_ATTRIB_ORACLE = """
+    with ev as (
+        select event_id, user_id, event_type, epoch_us(ts) as ts_us
+        from events),
+    wnd as (
+        select event_id, user_id, event_type, ts_us,
+               last_value(case when event_type <> 'purchase'
+                               then event_type end ignore nulls)
+                   over (partition by user_id
+                         order by ts_us, event_id
+                         rows between unbounded preceding
+                         and 1 preceding) as touch_type,
+               last_value(case when event_type <> 'purchase'
+                               then ts_us end ignore nulls)
+                   over (partition by user_id
+                         order by ts_us, event_id
+                         rows between unbounded preceding
+                         and 1 preceding) as touch_ts
+        from ev)
+    select event_id as purchase_id, user_id, touch_type,
+           ts_us - touch_ts as gap_us
+    from wnd where event_type = 'purchase'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate
     # truncates at the first 50 entries per round (VERDICT r3 What's-
@@ -6830,6 +7283,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_clusters": q_distance_clusters,
         "session_paths": q_session_paths,
         "link_reciprocity": q_link_reciprocity,
+        "events_rollup": q_events_rollup,
+        "pivot_type_by_dom": q_pivot_type_by_dom,
+        "iqr_outliers": q_iqr_outliers,
+        "label_propagation": q_label_propagation,
+        "assoc_rules": q_assoc_rules,
+        "scd2_history": q_scd2_history,
+        "constraint_audit": q_constraint_audit,
+        "snapshot_diff": q_snapshot_diff,
+        "attribution_last_touch": q_attribution_last_touch,
     }
 
 
@@ -7931,4 +8393,13 @@ def oracle_sql() -> dict[str, str]:
         "distance_clusters": _distance_clusters_oracle_sql(),
         "session_paths": _SESSION_PATHS_ORACLE,
         "link_reciprocity": _reciprocity_oracle_sql(),
+        "events_rollup": _ROLLUP_ORACLE,
+        "pivot_type_by_dom": _PIVOT_ORACLE,
+        "iqr_outliers": _IQR_ORACLE,
+        "label_propagation": _lpa_oracle_sql(),
+        "assoc_rules": _ASSOC_ORACLE,
+        "scd2_history": _SCD2_ORACLE,
+        "constraint_audit": _AUDIT_ORACLE,
+        "snapshot_diff": _SNAPDIFF_ORACLE,
+        "attribution_last_touch": _ATTRIB_ORACLE,
     }

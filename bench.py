@@ -273,7 +273,20 @@ def main():
              "asof_join_events", "interval_overlap_join", "kcore_links",
              "embedding_covariance", "dbscan_grid_clusters",
              "timeseries_gapfill", "edge_jaccard_links", "knn_graph",
-             "burst_zscores"]
+             "burst_zscores",
+             # round-4 continuation, third wave
+             "trajectory_stats", "stay_points", "od_matrix_flows",
+             "nearest_neighbor_join", "ripleys_k",
+             "personalized_pagerank", "bfs_distances",
+             "c4_line_filters", "tfidf_top_terms", "ewma_hourly",
+             "cusum_hourly", "markov_transitions", "exact_quantiles",
+             "fuzzy_title_pairs", "geodesic_area", "skew_profile",
+             "distance_clusters", "session_paths", "link_reciprocity",
+             "events_rollup", "pivot_type_by_dom", "iqr_outliers",
+             # round-4 continuation, governance wave
+             "label_propagation", "assoc_rules", "scd2_history",
+             "constraint_audit", "snapshot_diff",
+             "attribution_last_touch"]
     qs = em.queries()
 
     def _force(df):

@@ -62,6 +62,13 @@ QUERIES = [
     # volume is the scale question) and the two iteration-bound text
     # graph/stat operators
     "allpairs_cosine_pairs", "textrank_keywords", "collocations_g2",
+    # round-4 third wave (documents-scaled): two more iteration-bound
+    # graph ops, the token-stream TF-IDF rollup, the zero-exchange C4
+    # map (growth should be ~linear, 8->32 near the host ceiling), and
+    # the blocked fuzzy join (in-block candidate volume is the scale
+    # question)
+    "personalized_pagerank", "bfs_distances", "tfidf_top_terms",
+    "c4_line_filters", "fuzzy_title_pairs",
 ]
 
 

@@ -908,6 +908,93 @@ AUDITS = {
                 "|types|^2 groupBy; the normalizer window runs over "
                 "the tiny transition relation, not the stream",
     },
+    "events_rollup": {
+        "expect": ["Expand", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window", "Generate"],
+        "note": "GROUPING SETS rollup: one Expand (3 grouping sets) "
+                "into one partial+final hash aggregate — never three "
+                "unioned scans",
+    },
+    "pivot_type_by_dom": {
+        "expect": ["HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window", "Generate", "Expand"],
+        "note": "pivot with an EXPLICIT value list: one pass, "
+                "conditional aggregates per pivot value, no driver-"
+                "side distinct collection and no Expand",
+    },
+    "iqr_outliers": {
+        "expect": ["Window", "BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "note": "Tukey fences: exact quantiles off the distinct-value "
+                "cumulative curve, the 5-row fence table broadcast "
+                "back onto the stream (BroadcastHashJoin, stream "
+                "never reshuffles on value)",
+    },
+    "label_propagation": {
+        "expect": ["HashAggregate", "SortMergeJoin|ShuffledHashJoin"
+                   "|BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window"],
+        "note": "synchronous LPA final round: one co-keyed "
+                "labels-x-edges join + vote groupBy + max_by groupBy "
+                "over the checkpointed edge relation; winner pick is "
+                "max_by, never a window over the vote relation",
+    },
+    "assoc_rules": {
+        "expect": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "Window", "Generate"],
+        "note": "pairwise rules: stream collapses to the distinct "
+                "basket relation first; pair self-join keyed by "
+                "entity; denominators broadcast onto the |items|^2 "
+                "pair relation (the 1-row N crossJoin plans as a "
+                "broadcast nested loop of a single row — allowed via "
+                "BroadcastHashJoin expectation on the item counts)",
+    },
+    "scd2_history": {
+        "expect": ["Window", "HashAggregate|SortAggregate"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Generate"],
+        "note": "SCD2 gaps-and-islands: both row_numbers share ONE "
+                "entity-keyed sort; boundaries groupBy the run-sized "
+                "relation; no self-join, no explode",
+    },
+    "constraint_audit": {
+        "expect": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "Window", "Generate",
+                   "SortMergeJoin"],
+        "note": "DQ audit: row-local checks fused into single "
+                "conditional-aggregate scans; FK orphans via "
+                "broadcast LEFT ANTI (fact table never shuffles); "
+                "report union is check-count-sized",
+    },
+    "snapshot_diff": {
+        "expect": ["SortMergeJoin|ShuffledHashJoin", "FullOuter"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window", "Generate", "HashAggregate"],
+        "note": "CDC diff: exactly ONE table-sized exchange (the "
+                "full-outer key join); change detection is codegen "
+                "null-safe equality — no hashing pass, no aggregate "
+                "anywhere",
+    },
+    "attribution_last_touch": {
+        "expect": ["Window"],
+        "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "HashAggregate", "Generate"],
+        "note": "last-touch attribution: one user-keyed exchange, one "
+                "shared sort feeding both ignore-nulls last() frames; "
+                "no self-join of the stream",
+    },
     "distance_clusters": {
         "expect": ["Window", "HashAggregate|SortMergeJoin"
                    "|ShuffledHashJoin|BroadcastHashJoin"],
