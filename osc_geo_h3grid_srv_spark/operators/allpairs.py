@@ -101,6 +101,42 @@ def _hash_sets(sets: DataFrame) -> DataFrame:
         F.transform("ts", lambda x: F.xxhash64(x))).alias("ts"))
 
 
+#: broadcast the verify-side gram arrays when the corpus is at most
+#: this many docs (~100k docs x ~450 B/row of hashed grams ≈ 45 MB —
+#: comfortably under executor broadcast budgets). Beyond it the verify
+#: join falls back to a co-keyed shuffle join, the only shape that
+#: works at 10^12 docs.
+_BROADCAST_VERIFY_MAX_DOCS = 100_000
+
+
+def _verify_join(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """attach ts_a/ts_b gram arrays onto a (id_a, id_b) candidate
+    relation for exact verification. Two fixes that together took the
+    sf0.1 knn_graph verify from 225 s to seconds:
+
+    * the candidate relation is NARROW (two longs) but every row costs
+      an array_intersect downstream, so AQE's bytes-based partition
+      coalescing collapses the post-distinct exchange to ~3 partitions
+      and serializes the verify — repartition with an EXPLICIT
+      partition count (AQE keeps user-specified counts) proportional
+      to the cluster;
+    * when the gram-set relation is small in absolute terms (oracle /
+      single-node scale), broadcast BOTH verify sides: the 8-byte-
+      token arrays of a bounded corpus fit executor memory and the
+      candidate stream then never reshuffles at all. The cutoff is
+      doc-count-based on the already-materialized (localCheckpointed)
+      sets relation, so the count() is a metadata-cheap job."""
+    n_parts = cand.sparkSession.sparkContext.defaultParallelism * 2
+    cand = cand.repartition(n_parts, "id_a")
+    va = sets.select(F.col("id").alias("id_a"),
+                     F.col("ts").alias("ts_a"))
+    vb = sets.select(F.col("id").alias("id_b"),
+                     F.col("ts").alias("ts_b"))
+    if sets.count() <= _BROADCAST_VERIFY_MAX_DOCS:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    return cand.join(va, "id_a").join(vb, "id_b")
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Parallelism guard for the repeated text passes below: a small
     single-file parquet scan plans as ONE input partition (128 MB
@@ -237,11 +273,9 @@ def containment_pairs(docs: DataFrame, threshold: float,
                     & (F.col("sz_b") >= alpha_a)
                     & (F.col("rk_b") <= F.col("sz_b") - alpha_a + 1))
             .select("id_a", "id_b").distinct())
-    va = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
-    vb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     cont = (F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
             / F.size("ts_a").cast("double"))
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    return (_verify_join(cand, sets)
             .withColumn("containment", cont)
             .filter(F.col("containment") >= F.lit(t))
             .select("id_a", "id_b",
@@ -264,12 +298,10 @@ def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
                                     ngram, _sets=sets)
     # exact verify over the SAME materialized gram arrays: JVM
     # array_intersect — terms are distinct so size == overlap count
-    va = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
-    vb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     cos = (F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
            / F.sqrt(F.size("ts_a").cast("double")
                     * F.size("ts_b").cast("double")))
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    return (_verify_join(cand, sets)
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= F.lit(float(threshold)))
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
