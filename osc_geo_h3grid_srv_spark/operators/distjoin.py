@@ -35,7 +35,8 @@ from osc_geo_h3grid_srv_spark.operators.interpolate import (
 
 
 def _banded_candidates(anchors: DataFrame, probes: DataFrame,
-                       radius_km: float) -> DataFrame:
+                       radius_km: float,
+                       spread_probes: bool = False) -> DataFrame:
     """Candidate pairs (id_a/lat_a/lng_a from `anchors` x id_b/lat_b/
     lng_b from `probes`) whose great-circle distance CAN be
     <= radius_km, joined purely on (band, lng-bucket) equi-keys with
@@ -78,6 +79,18 @@ def _banded_candidates(anchors: DataFrame, probes: DataFrame,
     b = b.filter((F.col("__sh") == 0) | (p_pitch < F.lit(360.0)))
     b = b.withColumn("bx", F.floor(F.col("lng_b") / p_pitch)
                      + F.col("off.dx")).drop("off", "__sh")
+    # parallelism guard, OPT-IN (spread_probes): a small single-file
+    # parquet probe side plans as ONE input partition, and when AQE
+    # broadcasts the anchor side the whole candidate haversine runs
+    # serial. For LARGE-radius callers (candidate volume >> inputs,
+    # e.g. Ripley's K at its top threshold — measured 17.3 s -> 11.0 s
+    # at sf0.1) an explicit band-keyed repartition (AQE keeps
+    # user-specified counts) spreads the trig; for small-radius top-k
+    # joins the extra exchange costs more than it saves (measured
+    # nearest_join 2.7 s -> 4.9 s), so callers choose.
+    if spread_probes:
+        n_parts = b.sparkSession.sparkContext.defaultParallelism * 2
+        b = b.repartition(n_parts, "by", "bx")
     j = a.join(b, ["by", "bx"])
     la1 = F.radians(F.col("lat_a"))
     la2 = F.radians(F.col("lat_b"))
@@ -126,16 +139,20 @@ def nearest_join(probes: DataFrame, anchors: DataFrame,
 
 def within_distance_pairs(points: DataFrame, radius_km: float,
                           id_col: str = "id", lat_col: str = "lat",
-                          lng_col: str = "lng") -> DataFrame:
+                          lng_col: str = "lng",
+                          spread_probes: bool = False) -> DataFrame:
     """-> (id_a, id_b, dist_km round 4), id_a < id_b, haversine
-    distance <= radius_km."""
+    distance <= radius_km. spread_probes: see _banded_candidates —
+    set it when radius_km is large relative to point spacing
+    (candidate volume >> input size)."""
     a = points.select(F.col(id_col).alias("id_a"),
                       F.col(lat_col).alias("lat_a"),
                       F.col(lng_col).alias("lng_a"))
     b = points.select(F.col(id_col).alias("id_b"),
                       F.col(lat_col).alias("lat_b"),
                       F.col(lng_col).alias("lng_b"))
-    return (_banded_candidates(a, b, radius_km)
+    return (_banded_candidates(a, b, radius_km,
+                               spread_probes=spread_probes)
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(F.col("dist_km") <= F.lit(float(radius_km)))
             .select("id_a", "id_b",

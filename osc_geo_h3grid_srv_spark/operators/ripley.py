@@ -45,8 +45,11 @@ def ripleys_k(points: DataFrame, distances_km: list[float],
         raise ValueError(f"distances {ds} must all be > 0")
     if area_km2 <= 0:
         raise ValueError(f"area_km2 {area_km2} must be > 0")
+    # spread_probes: K's top threshold makes candidate volume >>
+    # input size — the exact case the band-keyed repartition is for
     pairs = within_distance_pairs(points, ds[-1], id_col=id_col,
-                                  lat_col=lat_col, lng_col=lng_col)
+                                  lat_col=lat_col, lng_col=lng_col,
+                                  spread_probes=True)
     thresholds = F.array(*[F.lit(d) for d in ds])
     hits = (pairs.select(F.explode(thresholds).alias("d_km"), "dist_km")
             .filter(F.col("dist_km") <= F.col("d_km"))
