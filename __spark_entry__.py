@@ -6794,7 +6794,7 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(e1.unionAll(e2), num_iter=4)
 
 
-def _lpa_oracle_sql():
+def _labelprop_oracle_sql():
     k = 4
     ctes = [
         "base as (select doc_id, doc_id % 25 as r, "
@@ -8396,7 +8396,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ROLLUP_ORACLE,
         "pivot_type_by_dom": _PIVOT_ORACLE,
         "iqr_outliers": _IQR_ORACLE,
-        "label_propagation": _lpa_oracle_sql(),
+        "label_propagation": _labelprop_oracle_sql(),
         "assoc_rules": _ASSOC_ORACLE,
         "scd2_history": _SCD2_ORACLE,
         "constraint_audit": _AUDIT_ORACLE,

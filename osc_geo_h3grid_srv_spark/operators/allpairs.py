@@ -158,6 +158,71 @@ def _gram_terms(docs: DataFrame, id_col: str, text_col: str,
             .select("id", F.explode("ts").alias("term")))
 
 
+#: per-posting fan-out ceiling for the count-based exact path: the
+#: postings self-join emits sum(df^2) rows, i.e. (sum(df^2)/sum(df))
+#: rows PER posting on average — choose the count path only when that
+#: average fan-out is bounded by this constant, so its shuffle stays a
+#: constant number of corpus passes. Web-scale stop-word grams push the
+#: ratio to 10^6+, which correctly falls back to the prefix prune.
+_COUNT_FANOUT_MAX = 512
+
+
+def _count_cosine_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """EXACT (id_a, id_b, cosine) pairs via the unpruned-but-counted
+    postings self-join: join the (id, term) relation with itself on
+    term, groupBy (id_a, id_b) count — the overlap |A inter B| is the
+    count, so no candidate distinct, no gram-array re-join, and no
+    per-pair array_intersect. This is the right EXACT plan when the
+    cosine floor is low (prefix pruning keeps > 1-t^2 of postings, so
+    the WWW'07 path pays the full join anyway PLUS a distinct PLUS a
+    verify): measured 48.6 s -> ~5 s on the sf0.1 bigram knn_graph
+    shape (t=0.35, median df 285 of 5000 docs). The groupBy is
+    map-side-combinable and the pair stream is three narrow columns;
+    sizes join back via two tiny (corpus-cardinality, 12-byte row)
+    relations that AQE broadcasts at test scale."""
+    t = float(threshold)
+    terms = sets.select("id", F.explode("ts").alias("term"))
+    a = terms.select(F.col("id").alias("id_a"), "term")
+    b = terms.select(F.col("id").alias("id_b"), "term")
+    common = (a.join(b, "term")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    sizes = sets.select("id", F.size("ts").alias("sz"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cos = (F.col("common").cast("double")
+           / F.sqrt(F.col("sz_a").cast("double")
+                    * F.col("sz_b").cast("double")))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= F.lit(t))
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def _pick_strategy(sets: DataFrame, threshold: float,
+                   strategy: str) -> str:
+    """resolve strategy='auto' from the df table (vocab-sized agg, one
+    tiny job over the already-checkpointed gram relation): prefix when
+    the floor is high (t >= 0.5 keeps the prune strong — prefixes drop
+    >= 25% of postings and candidates collapse), else the count path
+    iff the per-posting join fan-out sum(df^2)/sum(df) stays under
+    _COUNT_FANOUT_MAX. Both paths are exact; this only picks the plan."""
+    if strategy != "auto":
+        if strategy not in ("prefix", "count"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        return strategy
+    if float(threshold) >= 0.5:
+        return "prefix"
+    stats = (sets.select(F.explode("ts").alias("term"))
+             .groupBy("term").agg(F.count("*").alias("df"))
+             .agg(F.sum("df").alias("p"),
+                  F.sum(F.col("df") * F.col("df")).alias("w"))
+             .collect()[0])
+    if stats["p"] and stats["w"] / stats["p"] <= _COUNT_FANOUT_MAX:
+        return "count"
+    return "prefix"
+
+
 def allpairs_candidate_pairs(docs: DataFrame, threshold: float,
                              id_col: str = "doc_id",
                              text_col: str = "text",
@@ -285,15 +350,28 @@ def containment_pairs(docs: DataFrame, threshold: float,
 def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          ngram: int = 2) -> DataFrame:
+                          ngram: int = 2,
+                          strategy: str = "auto") -> DataFrame:
     """All pairs with set-cosine >= threshold over distinct word-n-gram
     sets. Returns (id_a, id_b, cosine round 6) with id_a < id_b.
 
-    Exact: prefix + size filtering prune candidates, then every
-    candidate is verified against the true term sets.
+    Exact under EITHER strategy (same rows, same hash — the DuckDB
+    oracle replays the unpruned join):
+
+    * 'prefix' — WWW'07 prefix + size pruning, then per-candidate
+      array_intersect verify. The scale plan when the floor is high
+      or the corpus has stop-word-grade gram dfs.
+    * 'count'  — unpruned-but-counted postings self-join (overlap =
+      groupBy count). The faster plan when the floor is LOW (prefix
+      pruning is provably weak: prefixes keep > 1-t^2 of postings) and
+      per-posting fan-out is bounded; skips distinct + verify entirely.
+    * 'auto'   — t >= 0.5 -> prefix; else count iff the df table says
+      sum(df^2)/sum(df) <= _COUNT_FANOUT_MAX (one vocab-sized agg).
     """
     sets = _hash_sets(_gram_sets(docs, id_col, text_col, ngram)) \
         .localCheckpoint(eager=True)
+    if _pick_strategy(sets, threshold, strategy) == "count":
+        return _count_cosine_pairs(sets, threshold)
     cand = allpairs_candidate_pairs(docs, threshold, id_col, text_col,
                                     ngram, _sets=sets)
     # exact verify over the SAME materialized gram arrays: JVM
@@ -309,7 +387,7 @@ def allpairs_cosine_pairs(docs: DataFrame, threshold: float,
 
 def knn_graph(docs: DataFrame, k: int, threshold: float,
               id_col: str = "doc_id", text_col: str = "text",
-              ngram: int = 2) -> DataFrame:
+              ngram: int = 2, strategy: str = "auto") -> DataFrame:
     """thresholded k-nearest-neighbor graph: for every document, its
     top-k most-cosine-similar neighbors AMONG pairs with set-cosine
     >= threshold — the neighbor graph SemDeDup-style pruning,
@@ -330,7 +408,7 @@ def knn_graph(docs: DataFrame, k: int, threshold: float,
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     pairs = allpairs_cosine_pairs(docs, threshold, id_col, text_col,
-                                  ngram)
+                                  ngram, strategy=strategy)
     sym = (pairs.select(F.col("id_a").alias("src"),
                         F.col("id_b").alias("dst"), "cosine")
            .unionAll(pairs.select(F.col("id_b").alias("src"),

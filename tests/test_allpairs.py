@@ -201,3 +201,32 @@ def test_knn_graph_bad_k_raises(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="k must be"):
         knn_graph(df, k=0, threshold=0.5)
+
+
+def test_count_and_prefix_strategies_agree(spark, docs):
+    # the two exact plans must return identical rows at any floor —
+    # 'count' (postings self-join + groupBy overlap) vs 'prefix'
+    # (WWW'07 prune + array_intersect verify)
+    for t in (0.3, 0.6):
+        want = {(r.id_a, r.id_b): r.cosine
+                for r in allpairs_cosine_pairs(
+                    docs, t, strategy="prefix").collect()}
+        got = {(r.id_a, r.id_b): r.cosine
+               for r in allpairs_cosine_pairs(
+                   docs, t, strategy="count").collect()}
+        assert got == want and want, f"t={t}"
+
+
+def test_auto_strategy_resolution(spark, docs):
+    from osc_geo_h3grid_srv_spark.operators.allpairs import (
+        _COUNT_FANOUT_MAX, _gram_sets, _hash_sets, _pick_strategy)
+    sets = _hash_sets(_gram_sets(docs, "doc_id", "text", 2))
+    # high floor -> always prefix, no df scan needed
+    assert _pick_strategy(sets, 0.5, "auto") == "prefix"
+    assert _pick_strategy(sets, 0.9, "auto") == "prefix"
+    # low floor on this small-vocab corpus: fan-out is bounded -> count
+    assert _pick_strategy(sets, 0.35, "auto") == "count"
+    # explicit strategies pass through; unknown rejected
+    assert _pick_strategy(sets, 0.35, "prefix") == "prefix"
+    with pytest.raises(ValueError, match="unknown strategy"):
+        _pick_strategy(sets, 0.35, "bogus")

@@ -773,11 +773,13 @@ AUDITS = {
         "expect": ["Window", "HashAggregate"],
         "forbid": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "CartesianProduct", "BroadcastNestedLoopJoin"],
-        "note": "thresholded kNN graph: exact top-k rides the WWW'07 "
-                "prefix+size-pruned pair join (complete at the floor), "
-                "then one per-src row_number window over candidate "
-                "PAIRS only — the corpus is never windowed and the "
-                "quadratic join never planned",
+        "note": "thresholded kNN graph: exact pairs ride the adaptive "
+                "all-pairs join (count-based postings self-join + "
+                "groupBy overlap at this low floor; WWW'07 prefix prune "
+                "when the floor is high or gram dfs are stop-word-"
+                "grade), then one per-src row_number window over "
+                "qualifying PAIRS only — the corpus is never windowed "
+                "and a cross join never planned",
     },
     "edge_jaccard_links": {
         "expect": ["LeftSemi", "HashAggregate", "Generate"],
