@@ -97,22 +97,33 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                      F.least("u", "v").alias("v"))
              .distinct()
              .localCheckpoint(eager=True))
-    n_old = edges.count()
+
+    def _sig(df):
+        # one-job convergence probe: (count, order-insensitive content
+        # hash — bit_xor, which cannot overflow under ANSI arithmetic
+        # the way a long sum can). Equal signatures on distinct sets
+        # mean set equality except with ~2^-64-per-round hash-collision
+        # odds — which the exact exceptAll confirm below closes, so the
+        # fast path costs ONE job per round instead of count +
+        # exceptAll (two).
+        r = df.agg(F.count("*").alias("n"),
+                   F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
+        return (r["n"], r["h"])
+
+    sig_old = _sig(edges)
     for _ in range(max_iter):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False)
         after_small = after_small.localCheckpoint(eager=True)
-        # converged iff the edge set is unchanged (star edges are fixed
-        # points of both rounds): same count + empty one-way exceptAll
-        # suffices for distinct sets; n_old carries over from the last
-        # round so each round costs one count + (on count match) one
-        # limit-1 probe
-        n_new = after_small.count()
-        changed = (n_new != n_old
-                   or after_small.exceptAll(edges).limit(1).count() > 0)
-        edges, n_old = after_small, n_new
-        if not changed:
-            break
+        sig_new = _sig(after_small)
+        if sig_new == sig_old:
+            # exact confirm at the (probable) fixed point: star edges
+            # are fixed points of both rounds, so same-count distinct
+            # sets are equal iff the one-way exceptAll is empty
+            if after_small.exceptAll(edges).limit(1).count() == 0:
+                edges = after_small
+                break
+        edges, sig_old = after_small, sig_new
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

@@ -236,24 +236,26 @@ def fetch_warc_records(spark, cdx, warc_dir: str):
             rows = []
             for fname, grp in pdf.groupby("filename"):
                 fpath = os.path.join(warc_dir, fname)
+                g = grp.sort_values("offset")
                 with open(fpath, "rb") as fh:
-                    for _, r in grp.sort_values("offset").iterrows():
-                        fh.seek(int(r["offset"]))
-                        chunk = fh.read(int(r["length"]))
+                    for off, ln in zip(g["offset"].values,
+                                       g["length"].values):
+                        fh.seek(int(off))
+                        chunk = fh.read(int(ln))
                         recs = parse_warc_bytes(chunk)
                         if len(recs) == 1 and recs[0]["error"] is None:
                             rec = recs[0]
                             rows.append((fname, rec["url"],
-                                         rec["warc_ts"], int(r["offset"]),
-                                         int(r["length"]), rec["html"],
+                                         rec["warc_ts"], int(off),
+                                         int(ln), rec["html"],
                                          hashlib.md5(rec["html"])
                                          .hexdigest(), None))
                         else:
                             err = (recs[0]["error"] if recs else
                                    "empty range")
                             rows.append((fname, None, None,
-                                         int(r["offset"]),
-                                         int(r["length"]), None, None,
+                                         int(off),
+                                         int(ln), None, None,
                                          f"bad range: {err}"))
             if rows:
                 pdf_out = pd.DataFrame(
