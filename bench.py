@@ -299,6 +299,11 @@ def main():
         # the count()-forced r1-r3 rows; extras["sink"] records this.
         df.write.format("noop").mode("overwrite").save()
 
+    # local feedback loop: SPARK_GRAFT_ONLY=name1,name2 times just those
+    # suite entries (never set by the driver — default output unchanged)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        heads = [n for n in heads if n in set(only.split(","))]
     for name in heads:
         run(name, lambda f=qs[name]: _force(f(spark, SF_DIR)))
 
@@ -330,9 +335,12 @@ def main():
         **{k: v for k, v in extras.items() if k not in headline_keys},
     }
     out = json.dumps(record)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.json"), "w") as fh:
-        fh.write(out + "\n")
+    if not only:
+        # subset runs (SPARK_GRAFT_ONLY) are local feedback probes —
+        # never let them clobber the full-suite BENCH.json artifact
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as fh:
+            fh.write(out + "\n")
     print(out)
     spark.stop()
 
