@@ -308,6 +308,21 @@ def main():
         run(name, lambda f=qs[name]: _force(f(spark, SF_DIR)))
 
     extras["sink"] = "noop"
+    # same-epoch host-capacity stamp: the sandbox box's deliverable CPU
+    # swings up to 7x between epochs (BASELINE.md); a fixed-work pure-
+    # ALU probe at 8/32 workers records what the host could actually
+    # deliver WHILE this suite ran, so cross-round BENCH_r*.json
+    # comparisons can be epoch-adjusted instead of guessed at.
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from host_probe import _cpu_work, _pool_time
+        alu8, alu32 = _pool_time(_cpu_work, 8), _pool_time(_cpu_work, 32)
+        extras["host_probe"] = {
+            "alu_sec_8w": round(alu8, 2), "alu_sec_32w": round(alu32, 2),
+            "alu_eff_8_to_32": round(alu8 / alu32, 3)}
+    except Exception as exc:  # probe is diagnostic, never fatal
+        extras["host_probe"] = {"error": str(exc)}
     extras["rep_secs"] = rep_secs
     total = round(sum(timings.values()), 3)
     # HEADLINE SCALARS FIRST, bulky per-query dicts LAST: the driver
