@@ -66,33 +66,45 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
         names = set(only.split(","))
         qs = {k: v for k, v in qs.items() if k in names}
     n_ok = n_bad = 0
+    results = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"status": "spark_error",
+                             "err": f"{type(e).__name__}: {e}"}
             n_bad += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(got)} rows  [{dt:.1f}s]")
+            results[name] = {"status": "rows_only",
+                             "spark_rows": len(got),
+                             "sec": round(dt, 1)}
             n_ok += 1
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            results[name] = {"status": "oracle_error", "err": str(e)}
             n_bad += 1
             continue
         gcols = sorted(got.columns)
         wcols = sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            results[name] = {"status": "schema_mismatch",
+                             "spark_cols": gcols, "oracle_cols": wcols}
             n_bad += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            results[name] = {"status": "rows_mismatch",
+                             "spark_rows": len(got),
+                             "oracle_rows": len(want)}
             n_bad += 1
             continue
         gh, wh = value_hash(got), value_hash(want)
@@ -106,9 +118,14 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
             ws = set(map(tuple, w2.astype(str).values.tolist()))
             print("   only-spark:", list(gs - ws)[:2])
             print("   only-oracle:", list(ws - gs)[:2])
+            results[name] = {"status": "hash_mismatch",
+                             "spark_hash": gh, "oracle_hash": wh,
+                             "rows": len(got)}
             n_bad += 1
             continue
         print(f"OK {name}: {len(got)} rows hash={gh}  [{dt:.1f}s]")
+        results[name] = {"status": "ok", "rows": len(got), "hash": gh,
+                         "sec": round(dt, 1)}
         n_ok += 1
     if not only:  # entry smoke
         e = entrymod.entry(spark)
@@ -116,6 +133,37 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
         print(f"entry(): {n} rows, "
               f"schema: {[f.name for f in e.schema.fields]}")
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if not only:
+        # committable full-registry evidence: the driver's own gate
+        # truncates at 50 registry entries per round, so this artifact
+        # is how the tree at HEAD evidences the OTHER entries' oracle
+        # state (per-query status + value hash + git provenance)
+        import datetime
+        import json
+        import os
+        import subprocess
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))
+            ).stdout.strip()
+        except Exception:
+            head = None
+        artifact = {
+            "ts": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+            "git_head_at_run": head,
+            "sf_dir": sf_dir,
+            "n_ok": n_ok,
+            "n_bad": n_bad,
+            "queries": results,
+        }
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "VERIFY_LOCAL.json")
+        with open(out, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+            fh.write("\n")
     spark.stop()
     return n_bad
 
