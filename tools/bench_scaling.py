@@ -35,6 +35,17 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "1000000"))
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
 
+def _mem_small(_):
+    """small streaming-sum probe body (module-level: mp.Pool pickles by
+    reference); 64 MB x 4 passes per worker, fixed work per worker."""
+    import numpy as np
+    a = np.arange(8 * 1024 * 1024, dtype=np.float64)  # 64 MB
+    s = 0.0
+    for _ in range(4):
+        s += float(a.sum())
+    return s
+
+
 def serve_level(cores: int, n_pages: int) -> None:
     """paired-mode child: build the session + warm up, then run ONE rep
     per RUN line on stdin (print 'T <sec> <clipped> <interp>'), exit on
@@ -102,18 +113,25 @@ def run_paired(n_pages: int, rounds: int) -> dict:
             rnd[cores] = float(sec)
             reps[cores].append(float(sec))
             counts[cores] = (int(clip), int(interp))
-        # co-epoch HOST capacity label: fixed per-worker pure-ALU work,
-        # so perfect scaling = identical wall time at 8 and 32 workers.
-        # A round where the Python busy-loop itself cannot scale is a
-        # round where the box withdrew cores — it disqualifies the
-        # EPOCH, and says nothing about the engine's plan.
+        # co-epoch HOST capacity labels: fixed per-worker work, so
+        # perfect scaling = identical wall time at 8 and 32 workers.
+        # ALU = a pure-Python busy-loop (core count); MEM = a small
+        # NumPy streaming sum (memory bandwidth — the resource an
+        # Arrow/NumPy pipeline actually leans on; this box can be
+        # ALU-clean and bandwidth-starved in the same epoch). A round
+        # where the probes themselves cannot scale is a round where
+        # the box withdrew capacity — it disqualifies the EPOCH, and
+        # says nothing about the engine's plan.
         alu8 = _pool_time(_cpu_work, 8)
         alu32 = _pool_time(_cpu_work, 32)
+        mem8 = _pool_time(_mem_small, 8)
+        mem32 = _pool_time(_mem_small, 32)
         per_round.append({
             "sec": rnd,
             "eff_2_to_8": round(rnd[2] / (4.0 * rnd[8]), 3),
             "eff_8_to_32": round(rnd[8] / (4.0 * rnd[32]), 3),
             "host_alu_eff_8_to_32": round(alu8 / alu32, 3),
+            "host_mem_eff_8_to_32": round(mem8 / mem32, 3),
         })
     for p in procs.values():
         try:
@@ -122,7 +140,11 @@ def run_paired(n_pages: int, rounds: int) -> dict:
         except BrokenPipeError:
             pass
         p.wait(timeout=60)
-    clean = [r for r in per_round if r["host_alu_eff_8_to_32"] >= 0.85]
+    # clean epoch = cores present (ALU ~flat 8->32) AND memory bandwidth
+    # near this box's healthy ceiling (~0.7 streaming efficiency 8->32
+    # per BASELINE.md probes; degraded epochs measure 0.31-0.48)
+    clean = [r for r in per_round if r["host_alu_eff_8_to_32"] >= 0.85
+             and r["host_mem_eff_8_to_32"] >= 0.6]
     best = max(clean or per_round, key=lambda r: r["eff_2_to_8"])
     report = {
         "metric": "flagship pages/sec, PAIRED ladder (per-round "
