@@ -142,10 +142,16 @@ def run_paired(n_pages: int, rounds: int) -> dict:
         p.wait(timeout=60)
     # clean epoch = cores present (ALU ~flat 8->32) AND memory bandwidth
     # near this box's healthy ceiling (~0.7 streaming efficiency 8->32
-    # per BASELINE.md probes; degraded epochs measure 0.31-0.48)
-    clean = [r for r in per_round if r["host_alu_eff_8_to_32"] >= 0.85
+    # per BASELINE.md probes; degraded epochs measure 0.31-0.48).
+    # An efficiency > 1.05 is physically meaningless for a fixed job
+    # (only mid-round capacity churn produces it — e.g. the slow level
+    # caught a stall the fast level missed) and invalidates the round
+    # outright rather than "winning".
+    valid = [r for r in per_round if r["eff_2_to_8"] <= 1.05]
+    clean = [r for r in valid if r["host_alu_eff_8_to_32"] >= 0.85
              and r["host_mem_eff_8_to_32"] >= 0.6]
-    best = max(clean or per_round, key=lambda r: r["eff_2_to_8"])
+    best = max(clean or valid or per_round,
+               key=lambda r: r["eff_2_to_8"])
     report = {
         "metric": "flagship pages/sec, PAIRED ladder (per-round "
                   "co-epoch 2/8/32 reps from three live JVMs; each "
@@ -161,7 +167,10 @@ def run_paired(n_pages: int, rounds: int) -> dict:
         "scaling_efficiency_8_to_32": best["eff_8_to_32"],
         "pages_per_sec_local32": round(
             n_pages / min(reps[32]), 1),
-        "meets_north_rule_0.8": best["eff_2_to_8"] >= 0.8,
+        # None = indeterminate: no probe-clean round exists, so this
+        # ladder can neither evidence nor refute the rule
+        "meets_north_rule_0.8": (best["eff_2_to_8"] >= 0.8 if clean
+                                 else None),
         "identical_output": len(set(counts.values())) == 1,
     }
     print(json.dumps(report))
