@@ -12,8 +12,11 @@ samples). Decoded here with no external libraries:
   from the published segment arithmetic (mu-law byte 0x00 -> -32124,
   A-law 0x55 -> -8 pin the table orientation).
 
-Perceptual codecs (MP3/AAC/FLAC) need real entropy/transform stacks
-and raise AudioDecodeError, routing payloads to the quarantine column.
+FLAC (lossless, fully public: RFC 9639) decodes for real since round 5
+via the sibling functions/flaccodec.py, dispatched from decode_audio by
+magic bytes. Perceptual codecs (MP3/AAC) still need real
+psychoacoustic transform stacks and raise AudioDecodeError, routing
+payloads to the quarantine column.
 
 Returns int16 arrays shaped (n_samples, n_channels).
 """
@@ -132,6 +135,19 @@ def _decode_wav_inner(buf: bytes) -> tuple[np.ndarray, int]:
             f"wav: data size {len(data)} not a whole number of "
             f"{n_ch}-channel frames")
     return samples.reshape(-1, n_ch).copy(), rate
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """sniff the container by magic bytes (RIFF/WAVE vs fLaC) and
+    dispatch; AudioDecodeError for unknown or malformed payloads — the
+    audio analogue of imagecodec.decode_image."""
+    if buf[:4] == b"RIFF":
+        return decode_wav(buf)
+    if buf[:4] == b"fLaC":
+        from .flaccodec import decode_flac
+        return decode_flac(buf)
+    raise AudioDecodeError(
+        f"audio: unknown container magic {bytes(buf[:4])!r}")
 
 
 def _wav_container(tag: int, n_ch: int, rate: int, bits: int,
