@@ -13,14 +13,35 @@ emit and the one ITU T.81 Annex F defines normatively:
   segments, restart-interval resync, components with sampling factors
   h,v in {1,2} (4:4:4, 4:2:0, 4:2:2, 4:4:0 and grayscale), dequant +
   inverse zigzag + orthonormal 8x8 IDCT (matrix form: A.T @ C @ A),
-  replicate upsample, JFIF YCbCr -> RGB. Progressive (SOF2),
-  arithmetic coding, 12-bit precision, and hierarchical modes raise
-  JpegDecodeError -> the callers' quarantine column, never a crash.
+  replicate upsample, JFIF YCbCr -> RGB. Arithmetic coding, 12-bit
+  precision, and hierarchical modes raise JpegDecodeError -> the
+  callers' quarantine column, never a crash.
+
+* PROGRESSIVE decoder (round 5, ITU T.81 Annex G / section G.2) —
+  SOF2 frames accumulate quantized coefficients across any spec-legal
+  sequence of scans: interleaved or single-component DC first scans
+  (point transform Al) and DC refinement scans (one raw bit per
+  block), single-component AC spectral-selection bands [Ss, Se] with
+  successive approximation (first pass: EOBn run lengths 2^r +
+  appended bits, ZRL, coefficient magnitudes shifted by Al; refine
+  pass: correction bits on already-nonzero history, newly-nonzero
+  +-1<<Al insertions, EOB-run correction sweeps), Huffman tables
+  snapshot per scan (a DHT between scans retargets later scans only),
+  restart-interval resync resetting both DC predictors and the EOB
+  run. After the last scan one vectorized dequant + IDCT pass
+  reconstructs every component plane.
 
 * encoder — the test/fixture source: Annex K quantization tables
   scaled by the public IJG quality curve, Annex K typical Huffman
   tables, 4:4:4 or 4:2:0 subsampling, optional restart intervals.
-  Grayscale input emits a 1-component scan.
+  Grayscale input emits a 1-component scan. encode_jpeg_progressive
+  emits the same quantized coefficients through a configurable
+  progressive scan script (default: DC Al=1 + DC refine, split AC
+  bands with two successive-approximation levels), so for any input
+  image decode(progressive bytes) == decode(baseline bytes)
+  pixel-for-pixel — the cross-profile equality gate the test suite
+  pins. Refinement scans use a flat 8-bit AC Huffman table carrying
+  the EOBn symbols (r<<4, r<=14) that Annex K's tables lack.
 
 Determinism contract (what the DuckDB oracle replays): quantization is
 floor(S/q + 1/2); reconstruction of a DC-only block is exactly
@@ -227,7 +248,10 @@ def _extend(v: int, t: int) -> int:
 # -- decoder -----------------------------------------------------------------
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """baseline-sequential JFIF -> uint8 (H, W) gray or (H, W, 3) RGB."""
+    """JFIF -> uint8 (H, W) gray or (H, W, 3) RGB. Baseline sequential
+    (SOF0/1) and progressive (SOF2, Annex G successive approximation +
+    spectral selection) profiles decode; arithmetic/hierarchical/12-bit
+    raise JpegDecodeError into the callers' quarantine column."""
     if len(buf) < 4 or buf[0:2] != b"\xFF\xD8":
         raise JpegDecodeError("jpeg: missing SOI")
     pos = 2
@@ -237,6 +261,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     scan = None
+    prog_scans = []
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise JpegDecodeError(f"jpeg: expected marker at {pos}")
@@ -281,7 +306,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 tbl = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-ish
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegDecodeError(f"jpeg: precision {prec} "
@@ -296,12 +321,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     raise JpegDecodeError(
                         f"jpeg: sampling {hi}x{vi} unsupported")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegDecodeError(
-                f"jpeg: SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) unsupported — baseline sequential only")
+                f"jpeg: SOF{marker - 0xC0} (arithmetic/hierarchical) "
+                "unsupported — baseline sequential + progressive only")
         elif marker == 0xDD:  # DRI
             restart_interval, = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -312,6 +338,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c:3 + 2 * c]
                 sel.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
             # entropy data follows until next non-RST/non-stuffed marker
             end = pos
             while end + 1 < len(buf):
@@ -319,14 +346,75 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         and not (0xD0 <= buf[end + 1] <= 0xD7):
                     break
                 end += 1
+            if frame["progressive"]:
+                # tables are snapshot per scan: a DHT between scans
+                # retargets later scans only (dict(..) suffices — DHT
+                # replaces whole inner tables, never mutates them)
+                prog_scans.append((sel, ss, se, ahl >> 4, ahl & 0x0F,
+                                   buf[pos:end], dict(huff_dc),
+                                   dict(huff_ac), restart_interval))
+                pos = end
+                continue
             scan = (sel, buf[pos:end])
             pos = end
             break  # single-scan baseline: decode now
         # APPn / COM / others: skipped
+    if frame is not None and frame["progressive"]:
+        if not prog_scans:
+            raise JpegDecodeError("jpeg: progressive frame without SOS")
+        return _decode_progressive(frame, prog_scans, qt)
     if frame is None or scan is None:
         raise JpegDecodeError("jpeg: missing SOF/SOS")
     return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
                         restart_interval)
+
+
+def _split_restart_chunks(data: bytes) -> list[bytes]:
+    """split entropy data at RSTn markers, byte-unstuffing each chunk."""
+    chunks = []
+    cur = bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF and i + 1 < len(data):
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    chunks.append(bytes(cur))
+    return chunks
+
+
+def _finish_image(frame, order_comps, planes):
+    """upsample component planes to full-res, crop, color-convert."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c, p in zip(order_comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = _round_half_up(full[0])
+        return np.clip(out, 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -349,26 +437,7 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval):
         order.append((c, qt[c["tq"]], huff_dc[td], huff_ac[ta]))
     planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
               for c, _, _, _ in order]
-    # split at restart markers, unstuff each chunk
-    chunks = []
-    cur = bytearray()
-    i = 0
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF and i + 1 < len(data):
-            nxt = data[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                chunks.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    chunks.append(bytes(cur))
+    chunks = _split_restart_chunks(data)
     reader = _BitReader(chunks[0])
     chunk_i = 0
     pred = [0] * len(order)
@@ -391,24 +460,7 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * c["h"] + hh) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
             n_mcu += 1
-    # upsample to full-res, crop, color-convert
-    full = []
-    for (c, _, _, _), p in zip(order, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1:
-            p = np.repeat(p, ry, axis=0)
-        if rx > 1:
-            p = np.repeat(p, rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        out = _round_half_up(full[0])
-        return np.clip(out, 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
+    return _finish_image(frame, [c for c, _, _, _ in order], planes)
 
 
 def _decode_block(reader, hdc, hac, q, pred, ci):
@@ -435,6 +487,223 @@ def _decode_block(reader, hdc, hac, q, pred, ci):
     coeff[ZIGZAG] = (zz * q).astype(np.float64)
     block = _A.T @ coeff.reshape(8, 8) @ _A
     return block + 128.0
+
+
+# -- progressive decoder (T.81 Annex G, section G.2) --------------------------
+
+def _decode_progressive(frame, scans, qt):
+    """accumulate quantized coefficients over all scans, then one
+    vectorized dequant + IDCT. Coefficient store per component is the
+    MCU-padded block grid indexed by zigzag position k (natural for
+    spectral selection); non-interleaved scans touch only the
+    component's own ceil-grid per G.1 — the encoder codes the padding
+    blocks only in interleaved DC scans, exactly as the store layout
+    implies."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    ci_of = {c["id"]: i for i, c in enumerate(comps)}
+    coeffs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+              for c in comps]
+    for sel, ss, se, ah, al, data, huff_dc, huff_ac, ri in scans:
+        if ss > se or se > 63:
+            raise JpegDecodeError(f"jpeg: bad spectral band {ss}..{se}")
+        chunks = _split_restart_chunks(data)
+        if ss == 0:  # DC scan (interleaved allowed)
+            if se != 0:
+                raise JpegDecodeError("jpeg: progressive DC scan with "
+                                      "Se != 0")
+            order = []
+            for cs, td, _ta in sel:
+                c = by_id.get(cs)
+                if c is None:
+                    raise JpegDecodeError(
+                        f"jpeg: scan component {cs} not in SOF")
+                if ah == 0 and td not in huff_dc:
+                    raise JpegDecodeError("jpeg: missing DC DHT")
+                order.append((c, huff_dc.get(td)))
+            _decode_dc_scan(order, ci_of, coeffs, chunks, ah, al, ri,
+                            mcux, mcuy, w, h, hmax, vmax,
+                            interleaved=len(order) > 1)
+        else:  # AC scan: single component, non-interleaved (B.2.3)
+            if len(sel) != 1:
+                raise JpegDecodeError(
+                    "jpeg: progressive AC scan must be single-component")
+            cs, _td, ta = sel[0]
+            c = by_id.get(cs)
+            if c is None:
+                raise JpegDecodeError(
+                    f"jpeg: scan component {cs} not in SOF")
+            if ta not in huff_ac:
+                raise JpegDecodeError("jpeg: missing AC DHT")
+            _decode_ac_scan(c, ci_of[cs], coeffs, chunks, huff_ac[ta],
+                            ss, se, ah, al, ri, w, h, hmax, vmax)
+    # dequant + IDCT every component plane in one einsum pass
+    planes = []
+    for c, cf in zip(comps, coeffs):
+        if c["tq"] not in qt:
+            raise JpegDecodeError(f"jpeg: missing DQT {c['tq']}")
+        q = qt[c["tq"]].astype(np.float64)
+        by, bx = cf.shape[0], cf.shape[1]
+        nat = np.zeros((by * bx, 64))
+        nat[:, ZIGZAG] = cf.reshape(by * bx, 64) * q
+        # batched matmul is bit-identical to the baseline per-block
+        # `_A.T @ C @ _A` (einsum is NOT — its reassociated accumulation
+        # drifts ~1e-12, enough to flip _round_half_up at exact .5
+        # reconstructions and break the progressive==baseline pixel gate)
+        blocks = _A.T @ nat.reshape(-1, 8, 8) @ _A + 128.0
+        plane = blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(by * 8, bx * 8)
+        planes.append(plane)
+    return _finish_image(frame, comps, planes)
+
+
+def _comp_block_grid(c, w, h, hmax, vmax):
+    """non-interleaved block grid per T.81 A.2.2: the component's own
+    ceil-scaled sample dims, NOT the MCU-padded grid."""
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_dc_scan(order, ci_of, coeffs, chunks, ah, al, ri,
+                    mcux, mcuy, w, h, hmax, vmax, interleaved):
+    reader = _BitReader(chunks[0])
+    chunk_i = 0
+    pred = [0] * len(order)
+    n_unit = 0  # MCUs if interleaved, blocks otherwise
+
+    def maybe_restart():
+        nonlocal chunk_i, reader, pred
+        if ri and n_unit and n_unit % ri == 0:
+            chunk_i += 1
+            if chunk_i >= len(chunks):
+                raise JpegDecodeError("jpeg: missing restart data")
+            reader = _BitReader(chunks[chunk_i])
+            pred = [0] * len(order)
+
+    def one_block(cf, by_blk, bx_blk, si, hdc):
+        if ah == 0:  # first pass: diff-coded point-transformed DC
+            t = reader.decode_huffman(hdc)
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            pred[si] += diff
+            cf[by_blk, bx_blk, 0] = pred[si] << al
+        else:  # refinement: one raw bit; |= works on Python two's
+            # complement negatives exactly like the C JCOEF path
+            if reader.read_bit():
+                cf[by_blk, bx_blk, 0] |= 1 << al
+
+    if interleaved:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, (c, hdc) in enumerate(order):
+                    cf = coeffs[ci_of[c["id"]]]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            one_block(cf, my * c["v"] + v,
+                                      mx * c["h"] + hh, si, hdc)
+                n_unit += 1
+    else:
+        c, hdc = order[0]
+        cf = coeffs[ci_of[c["id"]]]
+        by, bx = _comp_block_grid(c, w, h, hmax, vmax)
+        for yb in range(by):
+            for xb in range(bx):
+                maybe_restart()
+                one_block(cf, yb, xb, 0, hdc)
+                n_unit += 1
+
+
+def _decode_ac_scan(c, ci, coeffs, chunks, hac, ss, se, ah, al, ri,
+                    w, h, hmax, vmax):
+    cf = coeffs[ci]
+    by, bx = _comp_block_grid(c, w, h, hmax, vmax)
+    reader = _BitReader(chunks[0])
+    chunk_i = 0
+    eobrun = 0
+    n_blk = 0
+    p1, m1 = 1 << al, -1 << al
+    for yb in range(by):
+        for xb in range(bx):
+            if ri and n_blk and n_blk % ri == 0:
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise JpegDecodeError("jpeg: missing restart data")
+                reader = _BitReader(chunks[chunk_i])
+                eobrun = 0
+            blk = cf[yb, xb]
+            if ah == 0:  # first pass (G.2.2: EOBn, ZRL, magnitudes)
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_huffman(hac)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s:
+                            k += r
+                            if k > se:
+                                raise JpegDecodeError(
+                                    "jpeg: AC index past band")
+                            blk[k] = _extend(reader.read_bits(s),
+                                             s) << al
+                            k += 1
+                        else:
+                            if r != 15:  # EOBn: run = 2^r + bits
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+            else:  # refinement pass (G.2.3 / figure G.7)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_huffman(hac)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise JpegDecodeError(
+                                    "jpeg: refine magnitude != 1")
+                            val = p1 if reader.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # rest handled by EOB sweep below
+                        # advance over r zero-history coefficients,
+                        # correcting nonzero-history ones on the way
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.read_bit() and \
+                                        not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise JpegDecodeError(
+                                    "jpeg: refine index past band")
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB-run sweep: correction bits for the remaining
+                    # nonzero-history coefficients of this block
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.read_bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+            n_blk += 1
 
 
 # -- encoder -----------------------------------------------------------------
@@ -513,10 +782,11 @@ def _encode_block(bw, block, q_zz, pred, ci, dc_tbl, ac_tbl):
         bw.write(code, ln)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsampling: str = "4:2:0",
-                restart_interval: int = 0) -> bytes:
-    """baseline JFIF writer. img: uint8 (H, W) gray or (H, W, 3) RGB."""
+def _prepare_frame(img: np.ndarray, quality: int, subsampling: str):
+    """shared encoder front-end (baseline + progressive): validate,
+    color-convert, subsample, level-shift, pad every plane to the MCU
+    grid. Returns (h, w, gray, q_lum, q_chrom, samp, qsel, padded,
+    mcux, mcuy)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -528,8 +798,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         raise ValueError("encode_jpeg: empty image")
     q_lum = _scaled_quant(QUANT_LUM, quality)
     q_chrom = _scaled_quant(QUANT_CHROM, quality)
-    q_lum_zz = q_lum[ZIGZAG].astype(np.float64)
-    q_chrom_zz = q_chrom[ZIGZAG].astype(np.float64)
 
     if gray:
         planes = [img.astype(np.float64) - 128.0]
@@ -581,6 +849,35 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         if tw > pw:
             o[:, pw:] = o[:, pw - 1:pw]
         padded.append(o)
+    return h, w, gray, q_lum, q_chrom, samp, qsel, padded, mcux, mcuy
+
+
+def _frame_header(sof_marker, h, w, gray, q_lum, q_chrom, samp, qsel):
+    """SOI + APP0 + DQT + SOF; DHT emission stays with the caller
+    (baseline and progressive use different AC tables)."""
+    out = bytearray(b"\xFF\xD8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xE0" + struct.pack(">H", len(app0) + 2) + app0
+    for tq, tbl in ((0, q_lum), (1, q_chrom))[:1 if gray else 2]:
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(x) for x in tbl[ZIGZAG])
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], qsel[c]])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) \
+        + sof
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "4:2:0",
+                restart_interval: int = 0) -> bytes:
+    """baseline JFIF writer. img: uint8 (H, W) gray or (H, W, 3) RGB."""
+    h, w, gray, q_lum, q_chrom, samp, qsel, padded, mcux, mcuy = \
+        _prepare_frame(img, quality, subsampling)
+    q_lum_zz = q_lum[ZIGZAG].astype(np.float64)
+    q_chrom_zz = q_chrom[ZIGZAG].astype(np.float64)
 
     dc_tbls = [_build_encode_table(*_DC_LUM),
                _build_encode_table(*_DC_CHROM)]
@@ -647,5 +944,275 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             n_mcu += 1
     bw.flush()
     out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# -- progressive encoder (T.81 Annex G, section G.1) --------------------------
+
+# flat AC table for progressive scans: every symbol the procedures can
+# emit — EOBn (r<<4, r 0..14), ZRL (0xF0), and (r<<4)|s for s 1..10 —
+# at code length 8 (176 symbols < 255, so the canonical code is a valid
+# incomplete prefix code and the all-ones code stays unused). Annex K's
+# tables lack the EOBn symbols for r > 0, which progressive EOB runs
+# need.
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+            [r << 4 for r in range(16)]
+            + [(r << 4) | s for s in range(1, 11) for r in range(16)])
+
+# default scan script: (component indices, Ss, Se, Ah, Al) — DC first
+# with point transform 1 + DC refine, split luma AC bands at two
+# successive-approximation levels, full-band chroma
+_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+class _ProgAcState:
+    """per-scan EOB-run state: run length + correction bits buffered
+    across the run's blocks (flushed with the EOBn symbol)."""
+
+    __slots__ = ("eobrun", "buffered")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.buffered = []
+
+
+def _emit_eobrun(bw, state, ac_tbl):
+    if state.eobrun <= 0:
+        return
+    nbits = state.eobrun.bit_length() - 1
+    code, ln = ac_tbl[nbits << 4]
+    bw.write(code, ln)
+    if nbits:  # appended bits = EOBRUN - 2^nbits (the low nbits)
+        bw.write(state.eobrun & ((1 << nbits) - 1), nbits)
+    for b in state.buffered:
+        bw.write(b, 1)
+    state.eobrun = 0
+    state.buffered = []
+
+
+def _enc_ac_first_block(bw, zz, ss, se, al, state, ac_tbl):
+    """G.1.2.2: spectral band first pass with point transform Al."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        if t < 0:
+            t = (-t) >> al
+            t2 = ~t  # low bits = complement of magnitude
+        else:
+            t >>= al
+            t2 = t
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, state, ac_tbl)
+        while r > 15:
+            code, ln = ac_tbl[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        nbits = t.bit_length()
+        code, ln = ac_tbl[(r << 4) | nbits]
+        bw.write(code, ln)
+        bw.write(t2 & ((1 << nbits) - 1), nbits)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _emit_eobrun(bw, state, ac_tbl)
+
+
+def _enc_ac_refine_block(bw, zz, ss, se, al, state, ac_tbl):
+    """G.1.2.3 figure G.7: correction bits for nonzero history, run
+    coding over zero history for the newly-nonzero (+-1 at bit Al)."""
+    eob = ss - 1  # index of last newly-nonzero coefficient
+    absv = {}
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br = []  # correction bits pending within this block
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        # ZRLs only when they can't fold into the EOB run
+        while r > 15 and k <= eob:
+            _emit_eobrun(bw, state, ac_tbl)
+            code, ln = ac_tbl[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if temp > 1:  # nonzero history: buffer one correction bit
+            br.append(temp & 1)
+            continue
+        # newly nonzero (post-transform magnitude exactly 1)
+        _emit_eobrun(bw, state, ac_tbl)
+        code, ln = ac_tbl[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eobrun += 1
+        state.buffered.extend(br)
+        if state.eobrun == 0x7FFF or len(state.buffered) > 900:
+            _emit_eobrun(bw, state, ac_tbl)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsampling: str = "4:2:0",
+                            restart_interval: int = 0,
+                            scans=None) -> bytes:
+    """progressive JFIF writer (SOF2). Same quantized coefficients as
+    encode_jpeg, transmitted through a spectral-selection + successive-
+    approximation scan script, so decode(progressive) equals
+    decode(baseline) pixel-for-pixel on any input. `scans` overrides
+    the default script with (comp_indices, Ss, Se, Ah, Al) tuples."""
+    h, w, gray, q_lum, q_chrom, samp, qsel, padded, mcux, mcuy = \
+        _prepare_frame(img, quality, subsampling)
+    nc = 1 if gray else 3
+    q_zz = [(q_lum if qsel[ci] == 0 else q_chrom)[ZIGZAG]
+            .astype(np.float64) for ci in range(nc)]
+    # quantized coefficients per component over the MCU-padded grid,
+    # zigzag order — same floor(S/q + 1/2) as the baseline encoder
+    coeffs = []
+    for ci in range(nc):
+        p = padded[ci]
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+            .reshape(by * bx, 8, 8)
+        # batched matmul: bit-identical to _encode_block's per-block
+        # `_A @ block @ _A.T`, so progressive quantized coefficients
+        # EQUAL the baseline encoder's on the same input
+        fwd = (_A @ blocks @ _A.T).reshape(by * bx, 64)[:, ZIGZAG]
+        zz = np.floor(fwd / q_zz[ci] + 0.5).astype(np.int64)
+        coeffs.append(zz.reshape(by, bx, 64))
+    if scans is None:
+        scans = _SCRIPT_GRAY if gray else _SCRIPT_COLOR
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = _frame_header(0xC2, h, w, gray, q_lum, q_chrom, samp, qsel)
+    # DHT: Annex K DC tables + the flat progressive AC table (id 0)
+    for tc, th, (bits, vals) in [(0, 0, _DC_LUM), (0, 1, _DC_CHROM),
+                                 (1, 0, _AC_PROG)]:
+        if gray and th == 1:
+            continue
+        payload = bytes([(tc << 4) | th]) + bytes(bits) \
+            + bytes(int(v) for v in vals)
+        out += b"\xFF\xC4" + struct.pack(">H", len(payload) + 2) \
+            + payload
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    dc_tbls = [_build_encode_table(*_DC_LUM),
+               _build_encode_table(*_DC_CHROM)]
+    ac_tbl = _build_encode_table(*_AC_PROG)
+
+    for comp_ix, ss, se, ah, al in scans:
+        # SOS header
+        sos = bytes([len(comp_ix)])
+        for ci in comp_ix:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        rst = 0
+        n_unit = 0
+        pred = [0] * len(comp_ix)
+        state = _ProgAcState()
+
+        def restart_if_due():
+            nonlocal bw, rst, pred, state
+            if restart_interval and n_unit and \
+                    n_unit % restart_interval == 0:
+                if ss != 0:
+                    _emit_eobrun(bw, state, ac_tbl)
+                bw.flush()
+                out.extend(bw.out)
+                out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                bw = _BitWriter()
+                pred = [0] * len(comp_ix)
+                state = _ProgAcState()
+
+        if ss == 0:  # DC scan
+            def dc_block(zz0, si, ci):
+                if ah == 0:
+                    val = int(zz0) >> al  # arithmetic shift per G.1.2.1
+                    diff = val - pred[si]
+                    pred[si] = val
+                    t = diff.bit_length() if diff >= 0 \
+                        else (-diff).bit_length()
+                    code, ln = dc_tbls[0 if ci == 0 else 1][t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
+                else:
+                    bw.write((int(zz0) >> al) & 1, 1)
+
+            if len(comp_ix) > 1:  # interleaved MCU order
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        restart_if_due()
+                        for si, ci in enumerate(comp_ix):
+                            hi, vi = samp[ci]
+                            for v in range(vi):
+                                for hh in range(hi):
+                                    dc_block(coeffs[ci][my * vi + v,
+                                                        mx * hi + hh, 0],
+                                             si, ci)
+                        n_unit += 1
+            else:
+                ci = comp_ix[0]
+                cdef = {"h": samp[ci][0], "v": samp[ci][1]}
+                by, bx = _comp_block_grid(cdef, w, h, hmax, vmax)
+                for yb in range(by):
+                    for xb in range(bx):
+                        restart_if_due()
+                        dc_block(coeffs[ci][yb, xb, 0], 0, ci)
+                        n_unit += 1
+        else:  # AC scan: single component, non-interleaved
+            ci = comp_ix[0]
+            cdef = {"h": samp[ci][0], "v": samp[ci][1]}
+            by, bx = _comp_block_grid(cdef, w, h, hmax, vmax)
+            enc = _enc_ac_first_block if ah == 0 else \
+                _enc_ac_refine_block
+            for yb in range(by):
+                for xb in range(bx):
+                    restart_if_due()
+                    enc(bw, coeffs[ci][yb, xb], ss, se, al, state,
+                        ac_tbl)
+                    n_unit += 1
+            _emit_eobrun(bw, state, ac_tbl)
+        bw.flush()
+        out.extend(bw.out)
     out += b"\xFF\xD9"  # EOI
     return bytes(out)

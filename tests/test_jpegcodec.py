@@ -111,10 +111,15 @@ def test_dispatcher_routes_jpeg():
 
 def test_unsupported_profiles_quarantine():
     good = encode_jpeg(np.full((8, 8), 50, np.uint8), 90)
-    # progressive SOF2: flip the SOF0 marker byte
-    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
-    with pytest.raises(JpegDecodeError, match="baseline"):
-        decode_jpeg(prog)
+    # arithmetic-coded SOF9: flip the SOF0 marker byte (progressive
+    # SOF2 decodes since round 5 — see test_jpeg_progressive.py)
+    arith = good.replace(b"\xFF\xC0", b"\xFF\xC9", 1)
+    with pytest.raises(JpegDecodeError, match="arithmetic"):
+        decode_jpeg(arith)
+    # a baseline full-band scan mislabeled SOF2 is structurally invalid
+    # progressive (DC scan must have Se == 0) — quarantined, not crashed
+    with pytest.raises(JpegDecodeError):
+        decode_jpeg(good.replace(b"\xFF\xC0", b"\xFF\xC2", 1))
     with pytest.raises(JpegDecodeError, match="SOI"):
         decode_jpeg(b"\x00\x00" + good[2:])
     with pytest.raises(JpegDecodeError):
