@@ -155,6 +155,77 @@ def synth_jpeg_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_progressive_media(spark, n_rows: int,
+                                 partitions: int = 8) -> DataFrame:
+    """round-5 sibling of synth_jpeg_media (VERDICT r4 Next #4): the
+    SAME MCU-constant pixel recipe (so the same closed-form oracle
+    gates reconstruction), but the container profile cycles through
+    progressive variants — id%4==0 stays baseline (the real-corpus mix:
+    one decode path must route both), id%4==1 the default progressive
+    scan script (spectral selection + two successive-approximation
+    levels), id%4==2 progressive with restart intervals (RSTn resets
+    DC predictors AND the EOB run mid-scan), id%4==3 a banded script
+    with three SA levels per narrow AC band (stresses EOB-run +
+    refinement-correction interplay). All four decode to identical
+    pixels, so one recipe oracle gates every progressive structural
+    path at once."""
+    from ..functions.jpegcodec import encode_jpeg, encode_jpeg_progressive
+
+    banded = [([0, 1, 2], 0, 0, 0, 1)]
+    for ci in (0, 1, 2):
+        for lo, hi in ((1, 5), (6, 20), (21, 63)):
+            banded.append(([ci], lo, hi, 0, 2))
+    for ci in (0, 1, 2):
+        for lo, hi in ((1, 5), (6, 20), (21, 63)):
+            banded.append(([ci], lo, hi, 2, 1))
+            banded.append(([ci], lo, hi, 1, 0))
+    banded.append(([0, 1, 2], 0, 0, 1, 0))
+    banded_gray = [s for s in banded if s[0] == [0]]
+    banded_gray.insert(0, ([0], 0, 0, 0, 1))
+    banded_gray.append(([0], 0, 0, 1, 0))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                nx = 1 + h0 % 3
+                ny = 1 + (h0 >> 9) % 3
+                qi = (h0 >> 17) % 4
+                mode = (h0 >> 21) % 3
+                seeds = (np.arange(nx * ny, dtype=np.uint64)
+                         + np.uint64(1)
+                         + u * np.uint64(1000003))
+                vals = (mix64(seeds) % np.uint64(256)).astype(np.uint8)
+                img = np.repeat(np.repeat(vals.reshape(ny, nx), 16, 0),
+                                16, 1)
+                if mode:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                quality = JPEG_SYNTH_QUALITIES[qi]
+                sub = "4:2:0" if mode == 2 else "4:4:4"
+                prof = i % 4
+                if prof == 0:
+                    payload = encode_jpeg(img, quality, sub)
+                elif prof == 1:
+                    payload = encode_jpeg_progressive(img, quality, sub)
+                elif prof == 2:
+                    payload = encode_jpeg_progressive(
+                        img, quality, sub, restart_interval=2)
+                else:
+                    payload = encode_jpeg_progressive(
+                        img, quality, sub,
+                        scans=banded_gray if mode == 0 else banded)
+                rows.append((int(i), "image", nx * 16, ny * 16, 1,
+                             payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
 def synth_gif_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
     """deterministic media table whose payloads are REAL GIFs
     (functions/gifcodec.py — real LZW compression, not literal codes).
@@ -425,6 +496,53 @@ def synth_audio_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def synth_flac_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
+    """round-5 FLAC sibling of synth_audio_media (VERDICT r4
+    What's-missing #3): the SAME mix64 PCM recipe — ns = 50 + h0%200,
+    ch = 1 + (h0>>9)%2, rate = 8000*(1 + (h0>>17)%2), int16 lanes of
+    mix64(j + id*1000003) — shipped in REAL FLAC containers
+    (functions/flaccodec.py). FLAC is lossless, so the identical
+    closed-form oracle gates the full Rice/LPC/decorrelation stack with
+    zero container knowledge. Encoder parameters cycle independently of
+    the recipe: stereo decorrelation (independent / left-side /
+    right-side / mid-side) by id%4, subframe strategy (auto / verbatim
+    / fixed1 / fixed2 / lpc) by (h0>>20)%5, block size 64/128/192 by
+    (h0>>24)%3, Rice partition order id%3 — so one oracle gates every
+    structural decode path at once."""
+    from ..functions.flaccodec import encode_flac
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.int64):
+                u = np.uint64(i)
+                h0 = int(mix64(np.array([u], dtype=np.uint64))[0])
+                ns = 50 + h0 % 200
+                ch = 1 + (h0 >> 9) % 2
+                rate = 8000 * (1 + (h0 >> 17) % 2)
+                nvals = ns * ch
+                nw = (nvals + 3) // 4
+                words = mix64(np.arange(nw, dtype=np.uint64)
+                              + u * np.uint64(1000003))
+                vals = np.frombuffer(words.tobytes(), "<i2")[:nvals]
+                pcm = vals.reshape(ns, ch)
+                smode = ("independent", "left_side", "right_side",
+                         "mid_side")[i % 4] if ch == 2 else "independent"
+                sub = ("auto", "verbatim", "fixed1", "fixed2",
+                       "lpc")[(h0 >> 20) % 5]
+                payload = encode_flac(
+                    pcm, rate, block_size=(64, 128, 192)[(h0 >> 24) % 3],
+                    stereo_mode=smode, subframe=sub,
+                    partition_order=i % 3)
+                rows.append((int(i), "audio", 0, 0, 1, payload))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "n_frames",
+                "payload"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
 def dhash_images(media: DataFrame, grid: int = 8,
                  carry_cols: tuple = ()) -> DataFrame:
     """perceptual image fingerprint (dHash, public technique): REAL
@@ -574,8 +692,10 @@ def afp_audio(media: DataFrame, n_frames: int = 65) -> DataFrame:
     survives amplitude scaling and companding transcodes, so near
     hashes find the same clip across encodings. Pairs via
     dedup.hamming_pairs. Clips shorter than n_frames samples and
-    undecodable payloads quarantine."""
-    from ..functions.audiocodec import AudioDecodeError, decode_wav
+    undecodable payloads quarantine. Containers: WAV PCM16 / G.711 and
+    (round 5) FLAC, dispatched by magic bytes — identical PCM through
+    any container yields the identical fingerprint."""
+    from ..functions.audiocodec import AudioDecodeError, decode_audio
     if not 2 <= n_frames <= 65:
         raise ValueError(f"n_frames {n_frames} not in [2, 65] "
                          "(64-bit packing)")
@@ -586,7 +706,7 @@ def afp_audio(media: DataFrame, n_frames: int = 65) -> DataFrame:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    s, _ = decode_wav(bytes(payload))
+                    s, _ = decode_audio(bytes(payload))
                     mono = s.astype(np.int64).sum(axis=1)
                     flen = len(mono) // n_frames
                     if flen < 1:
@@ -614,14 +734,19 @@ def synth_afp_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
     """deterministic corpus for the acoustic-dedup gate: ids come in
     TRIPLES sharing one mono PCM16 clip (int16 lanes of
     mix64((id//3)*1000003 + j), 65*L samples with L = 4 + (gid-hash %
-    5)); copy 0 is the raw PCM16 WAV, copy 1 is the same clip HALVED
-    (x // 2 — energy ratios nearly preserved, ties can flip), copy 2 is
-    a mu-law TRANSCODE shipped in a G.711 WAV container (format tag 7),
-    so the fingerprint path exercises a second container and the full
-    encode->expand quantization chain. All three are replayable: the
-    oracle recomputes halving and the G.711 segment arithmetic from the
-    recipe."""
+    5)); copy 0 is the raw PCM16 clip — shipped as a WAV on odd gids
+    and (round 5) a FLAC container on even gids, which decodes to the
+    IDENTICAL samples by losslessness, so the gated pair hash is
+    unchanged while the fingerprint path now exercises a compressed
+    container; copy 1 is the same clip HALVED (x // 2 — energy ratios
+    nearly preserved, ties can flip), copy 2 is a mu-law TRANSCODE
+    shipped in a G.711 WAV container (format tag 7), so the path
+    crosses three container families and the full encode->expand
+    quantization chain. All replayable: the oracle recomputes halving
+    and the G.711 segment arithmetic from the recipe with zero
+    container knowledge."""
     from ..functions.audiocodec import encode_wav, encode_wav_g711, ulaw_encode
+    from ..functions.flaccodec import encode_flac
 
     def gen(batches):
         for pdf in batches:
@@ -638,7 +763,13 @@ def synth_afp_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
                     .astype(np.int64)
                 k = i % 3
                 if k == 0:
-                    payload = encode_wav(x.astype(np.int16), 8000)
+                    pcm = x.astype(np.int16)
+                    if gid % 2 == 0:
+                        payload = encode_flac(
+                            pcm, 8000, block_size=128,
+                            subframe="fixed2", partition_order=1)
+                    else:
+                        payload = encode_wav(pcm, 8000)
                 elif k == 1:
                     payload = encode_wav((x // 2).astype(np.int16), 8000)
                 else:
@@ -654,10 +785,10 @@ def synth_afp_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
 
 
 def decode_audio_stats(media: DataFrame) -> DataFrame:
-    """REAL WAV decode -> per-clip sample statistics; undecodable
-    payloads land in the error column (quarantine pattern), never fail
-    the job."""
-    from ..functions.audiocodec import AudioDecodeError, decode_wav
+    """REAL audio decode (WAV PCM16 / G.711 / FLAC by magic bytes) ->
+    per-clip sample statistics; undecodable payloads land in the error
+    column (quarantine pattern), never fail the job."""
+    from ..functions.audiocodec import AudioDecodeError, decode_audio
     schema = ("doc_id long, n_samples long, n_channels int, "
               "sample_rate int, s_sum long, s_min int, s_max int, "
               "n_vals long, error string")
@@ -667,7 +798,7 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    s, rate = decode_wav(bytes(payload))
+                    s, rate = decode_audio(bytes(payload))
                     rows.append((int(did), s.shape[0], s.shape[1],
                                  int(rate), int(s.sum(dtype=np.int64)),
                                  int(s.min()), int(s.max()),
