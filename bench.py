@@ -230,7 +230,14 @@ def main():
     extras["correlate_allres_1m_rep_secs"] = ar_reps
     extras["correlate_allres_16udf_baseline_sec"] = 1.884
 
-    # headline operator queries (shared with the correctness gate)
+    # operator queries (shared with the correctness gate). Since round
+    # 5 the list is DERIVED from the registry instead of maintained by
+    # hand (VERDICT r4 What's-wrong #4: 29 entries silently had no
+    # timing): every queries() entry is benched unless it appears in
+    # _BENCH_SKIP with a reason, and an entry that is neither benched
+    # nor skipped fails the run loudly. The legacy ordering below is
+    # kept for BENCH_r*.json row stability; registry entries not in it
+    # (including future adds) are appended in registry order.
     heads = ["radius_reference", "grid_cell_agg", "correlator_null_filters",
              "idw_knn", "raster_tile_agg", "exact_dedup",
              "minhash_lsh_pairs", "simhash_pairs", "token_stats",
@@ -288,6 +295,17 @@ def main():
              "constraint_audit", "snapshot_diff",
              "attribution_last_touch"]
     qs = em.queries()
+    # every registry entry is benched unless skipped-with-reason here
+    _BENCH_SKIP = {
+        "pages_index_pipeline": "IS the flagship pipeline — already "
+                                "measured as flagship_index_pip_idw",
+    }
+    heads += [n for n in qs if n not in heads and n not in _BENCH_SKIP]
+    unbenched = [n for n in qs if n not in heads and n not in _BENCH_SKIP]
+    stale = [n for n in heads if n not in qs]
+    if unbenched or stale:
+        raise SystemExit(f"bench.py heads out of sync with registry: "
+                         f"unbenched={unbenched} stale={stale}")
 
     def _force(df):
         # noop sink (round 4): count() is NOT a valid forcing function
