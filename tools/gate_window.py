@@ -61,6 +61,95 @@ def gated_names(has_oracle):
     return green, rows_only, red
 
 
+def last_green_round():
+    """entry -> highest round number with a green driver row."""
+    latest = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
+        d = json.load(open(path))
+        qd = d.get("queries", d)
+        if not isinstance(qd, dict):
+            continue
+        for k, v in qd.items():
+            if isinstance(v, dict) and (
+                    (v.get("rows_match") and v.get("schema_match")
+                     and v.get("hash_match") and not v.get("err"))
+                    or v.get("err") == "no_oracle"):
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
+def _git_ct(paths):
+    """last-commit unix time per path (0 if never committed)."""
+    import subprocess
+    out = {}
+    for p in paths:
+        r = subprocess.run(["git", "log", "-1", "--format=%ct", "--", p],
+                           cwd=REPO, capture_output=True, text=True)
+        out[p] = int(r.stdout.strip() or 0)
+    return out
+
+
+def churn_ranked_queue(order, never, gated):
+    """rotation priority for NEXT round's window (VERDICT r4 Next #8):
+    never-gated entries lead (registry order), then gated entries whose
+    implementing modules were committed AFTER the round that last
+    gated them green (staleness x code-churn), oldest green round
+    first, then everything else by green round ascending. Implementing
+    modules are read from each q_* function's source (its package
+    imports) plus __spark_entry__.py itself."""
+    import inspect
+    import re
+    import __spark_entry__ as e
+    qs = e.queries()
+    latest = last_green_round()
+    round_ct = _git_ct(sorted(glob.glob(
+        os.path.join(REPO, "CORRECTNESS_r*.json"))))
+    rnd_time = {int(p.rsplit("_r", 1)[-1].split(".")[0]): t
+                for p, t in round_ct.items()}
+    pkg = "osc_geo_h3grid_srv_spark"
+    mod_files = {}
+
+    def impl_files(name):
+        try:
+            src = inspect.getsource(qs[name])
+        except (OSError, TypeError):
+            return []
+        mods = set(re.findall(
+            rf"from {pkg}(?:\.([a-z_0-9.]+))? import", src))
+        files = []
+        for m in mods:
+            rel = os.path.join(pkg, *(m.split("."))) + ".py" if m \
+                else os.path.join(pkg, "__init__.py")
+            if os.path.exists(os.path.join(REPO, rel)):
+                files.append(rel)
+        return files
+
+    all_files = set()
+    per_entry = {}
+    for n in order:
+        fs = impl_files(n)
+        per_entry[n] = fs
+        all_files.update(fs)
+    file_ct = _git_ct(sorted(all_files))
+    churned, fresh = [], []
+    for n in order:
+        if n in never:
+            continue
+        rnd = latest.get(n, 0)
+        gate_t = rnd_time.get(rnd, 0)
+        latest_impl = max((file_ct.get(f, 0) for f in per_entry[n]),
+                          default=0)
+        if latest_impl > gate_t > 0:
+            churned.append((rnd, -latest_impl, n))
+        else:
+            fresh.append((rnd, n))
+    queue = [n for n in order if n in never]
+    queue += [n for _, _, n in sorted(churned)]
+    queue += [n for _, n in sorted(fresh)]
+    return queue, [n for _, _, n in sorted(churned)]
+
+
 def main():
     import __spark_entry__ as e
     order = list(e.queries().keys())
@@ -85,6 +174,12 @@ def main():
     if "--list" in sys.argv:
         print("\nwasted slots:", wasted)
         print("\nrotation queue:", pending)
+        queue, churned = churn_ranked_queue(order, set(never), gated)
+        print(f"\nstaleness x churn priority (next-round window; "
+              f"{len(churned)} gated entries have impl-module commits "
+              f"newer than their last green round):")
+        print(queue[:WINDOW])
+        print("\nchurned-since-green:", churned)
     if wasted and pending:
         print("\nROTATE: window wastes slots while entries queue outside")
         sys.exit(1)
