@@ -31,6 +31,12 @@ BASELINE.md.
 
 Usage: python tools/stage_attribution.py [--pages 1000000]
        python tools/stage_attribution.py --cores 8   (child mode)
+       python tools/stage_attribution.py --queries knn_graph,\
+           containment_pairs,distance_pairs_join
+           (VERDICT r4 Next #7: per-stage 8-vs-32 shuffle-byte evidence
+           for the heaviest suite operators, noop-sink forced at
+           $SPARK_GRAFT_SF_DIR, merged into BENCH-SCALING-ATTRIB.json
+           under "queries")
 """
 
 from __future__ import annotations
@@ -52,7 +58,7 @@ def _rest(base, path):
         return json.loads(r.read())
 
 
-def run_level(cores: int, n_pages: int) -> dict:
+def run_level(cores: int, n_pages: int, query: str | None = None) -> dict:
     from bench import _flagship_pipeline, prepare_pages
     from osc_geo_h3grid_srv_spark.engine import make_spark
 
@@ -60,12 +66,27 @@ def run_level(cores: int, n_pages: int) -> dict:
                        extra_conf={"spark.ui.enabled": "true",
                                    "spark.ui.port": "0",
                                    "spark.driver.memory": "24g"})
-    pages_path = prepare_pages(spark, n_pages)
-    _flagship_pipeline(spark, pages_path)  # warm (untimed, like bench)
+    if query:
+        import __spark_entry__ as em
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                "/root/testdata/sf0.1")
+        qfn = em.queries()[query]
+
+        def work():
+            # same noop sink as bench.py (count() would let Catalyst
+            # prune map-only work)
+            qfn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+    else:
+        pages_path = prepare_pages(spark, n_pages)
+
+        def work():
+            _flagship_pipeline(spark, pages_path)
+    work()  # warm (untimed, like bench)
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     t0 = time.time()
-    _flagship_pipeline(spark, pages_path)
+    work()
     wall = time.time() - t0
 
     stages = _rest(ui, f"/api/v1/applications/{app_id}/stages"
@@ -108,35 +129,25 @@ def run_level(cores: int, n_pages: int) -> dict:
     return {"cores": cores, "wall": round(wall, 2), "stages": rows}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cores", type=int, default=None)
-    ap.add_argument("--pages", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_PAGES",
-                                               "1000000")))
-    args = ap.parse_args()
-
-    if args.cores:
-        print("RESULT " + json.dumps(run_level(args.cores, args.pages)))
-        return
-
+def _run_pair(pages: int, query: str | None):
+    """run local[8] and local[32] children, return (levels, matched)."""
     levels = {}
     for cores in (8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cores",
-             str(cores), "--pages", str(args.pages)],
-            capture_output=True, text=True, cwd=REPO, env=os.environ)
+        cmd = [sys.executable, os.path.abspath(__file__), "--cores",
+               str(cores), "--pages", str(pages)]
+        if query:
+            cmd += ["--query", query]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=REPO, env=os.environ)
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("RESULT ")]
         if not line:
             sys.stderr.write(out.stdout + out.stderr)
-            raise SystemExit(f"level local[{cores}] failed")
+            raise SystemExit(f"level local[{cores}] failed"
+                             + (f" ({query})" if query else ""))
         levels[cores] = json.loads(line[-1][len("RESULT "):])
 
     # match stages by (ordinal within sorted-by-name, name)
-    by8 = levels[8]["stages"]
-    by32 = levels[32]["stages"]
-
     def keyed(rows):
         seen, out = {}, {}
         for r in sorted(rows, key=lambda r: r["name"]):
@@ -145,7 +156,7 @@ def main():
             out[k] = r
         return out
 
-    k8, k32 = keyed(by8), keyed(by32)
+    k8, k32 = keyed(levels[8]["stages"]), keyed(levels[32]["stages"])
     table = []
     for k in sorted(set(k8) | set(k32)):
         a, b = k8.get(k), k32.get(k)
@@ -162,24 +173,10 @@ def main():
             row["work_inflation_32_vs_8"] = round(
                 b["task_s"] / a["task_s"], 2)
         table.append(row)
+    return levels, table
 
-    # same-epoch host probes (tools/host_probe.py): bracket the flagship
-    # between a pure-ALU, a memory-streaming, and a pure-JVM workload so
-    # the stage inflation can be attributed to host capacity vs plan
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import host_probe as hp
-    probes = {}
-    probes.update(hp.probe_mp(hp._cpu_work, "cpu"))
-    probes.update(hp.probe_mp(hp._mem_work, "mem"))
-    probes.update(hp.probe_jvm())
 
-    result = {"pages": args.pages,
-              "wall_8": levels[8]["wall"], "wall_32": levels[32]["wall"],
-              "host_probes_same_epoch": probes,
-              "per_level": levels, "matched": table}
-    with open(os.path.join(REPO, "BENCH-SCALING-ATTRIB.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
-
+def _print_table(table, levels):
     print("\n| stage | task_s 8 | task_s 32 | inflation | non-JVM 8 | "
           "non-JVM 32 | JVM-cpu 8 | JVM-cpu 32 | shuffle MB |")
     print("|---|---|---|---|---|---|---|---|---|")
@@ -191,6 +188,69 @@ def main():
               f"{r['shuffle_mb_32']} |")
     print(f"\nwall: local[8] {levels[8]['wall']}s -> local[32] "
           f"{levels[32]['wall']}s")
+
+
+def _same_epoch_probes():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import host_probe as hp
+    probes = {}
+    probes.update(hp.probe_mp(hp._cpu_work, "cpu"))
+    probes.update(hp.probe_mp(hp._mem_work, "mem"))
+    probes.update(hp.probe_jvm())
+    return probes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--query", type=str, default=None)
+    ap.add_argument("--queries", type=str, default=None)
+    ap.add_argument("--pages", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_PAGES",
+                                               "1000000")))
+    args = ap.parse_args()
+
+    if args.cores:
+        print("RESULT " + json.dumps(
+            run_level(args.cores, args.pages, args.query)))
+        return
+
+    path = os.path.join(REPO, "BENCH-SCALING-ATTRIB.json")
+    if args.queries:
+        record = json.load(open(path)) if os.path.exists(path) else {}
+        qsec = record.setdefault("queries", {})
+        for name in args.queries.split(","):
+            levels, table = _run_pair(args.pages, name)
+            qsec[name] = {
+                "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR",
+                                         "/root/testdata/sf0.1"),
+                "wall_8": levels[8]["wall"],
+                "wall_32": levels[32]["wall"],
+                "per_level": levels, "matched": table}
+            print(f"\n== {name} ==")
+            _print_table(table, levels)
+        record["queries_host_probes_same_epoch"] = _same_epoch_probes()
+        with open(path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        return
+
+    levels, table = _run_pair(args.pages, None)
+
+    # same-epoch host probes (tools/host_probe.py): bracket the flagship
+    # between a pure-ALU, a memory-streaming, and a pure-JVM workload so
+    # the stage inflation can be attributed to host capacity vs plan
+    result = {"pages": args.pages,
+              "wall_8": levels[8]["wall"], "wall_32": levels[32]["wall"],
+              "host_probes_same_epoch": _same_epoch_probes(),
+              "per_level": levels, "matched": table}
+    if os.path.exists(path):  # keep the per-query sections if present
+        old = json.load(open(path))
+        for k in ("queries", "queries_host_probes_same_epoch"):
+            if k in old:
+                result[k] = old[k]
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    _print_table(table, levels)
 
 
 if __name__ == "__main__":
