@@ -179,6 +179,24 @@ AUDITS = {
                 "binary payloads feeding a JVM aggregate; the slow "
                 "row-at-a-time BatchEvalPython path must not appear",
     },
+    "jpeg_progressive_stats": {
+        # Python here is DELIBERATE (binary codec) — assert the Arrow
+        # batch path, never row-at-a-time Python
+        "expect": ["MapInPandas|ArrowEvalPython", "HashAggregate"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "progressive JPEG decode (T.81 Annex G): Arrow-batched "
+                "mapInPandas over binary payloads feeding a JVM "
+                "aggregate; decode grain is inherently per-payload",
+    },
+    "flac_decode_stats": {
+        # Python here is DELIBERATE (binary codec) — assert the Arrow
+        # batch path, never row-at-a-time Python
+        "expect": ["MapInPandas|ArrowEvalPython", "HashAggregate"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "FLAC decode (RFC 9639 Rice/LPC): Arrow-batched "
+                "mapInPandas over binary payloads feeding a JVM "
+                "aggregate; losslessness gated by the PCM-recipe oracle",
+    },
     "cdc_chunk_dedup": {
         "expect": ["MapInPandas", "HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
