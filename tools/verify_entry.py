@@ -159,8 +159,13 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
             "n_bad": n_bad,
             "queries": results,
         }
+        # artifact named by scale factor so a scale-independence sweep
+        # (sf0.001) can't clobber the primary sf0.01 evidence
+        tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "")
+        fname = "VERIFY_LOCAL.json" if tag == "001" \
+            else f"VERIFY_LOCAL_SF{tag}.json"
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "VERIFY_LOCAL.json")
+            os.path.abspath(__file__))), fname)
         with open(out, "w") as fh:
             json.dump(artifact, fh, indent=1)
             fh.write("\n")
