@@ -134,3 +134,22 @@ def test_robustness_quarantine():
         decode_flac(bytes(hdr))
     with pytest.raises(FlacDecodeError):
         decode_flac(buf[:20])  # truncated metadata
+
+
+def test_flac_mutation_fuzz_quarantine():
+    # single-byte flips + truncations must raise AudioDecodeError
+    # through the dispatcher (quarantine contract), never anything else
+    rng = np.random.default_rng(99)
+    pcm = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+    buf = encode_flac(pcm, 8000, stereo_mode="mid_side",
+                      subframe="lpc", partition_order=2)
+    for i in range(400):
+        b = bytearray(buf)
+        if i % 3 == 0:
+            b = b[: rng.integers(2, len(b))]
+        else:
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        try:
+            decode_audio(bytes(b))
+        except AudioDecodeError:
+            pass

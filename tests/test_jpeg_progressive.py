@@ -127,3 +127,23 @@ def test_progressive_robustness():
         # SOF2 with no SOS at all
         sos = buf.index(b"\xFF\xDA")
         decode_jpeg(buf[:sos] + b"\xFF\xD9")
+
+
+def test_progressive_mutation_fuzz_quarantine():
+    # single-byte flips + truncations must raise ImageDecodeError
+    # through the dispatcher (quarantine contract), never anything else
+    from osc_geo_h3grid_srv_spark.functions.imagecodec import (
+        ImageDecodeError)
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    buf = encode_jpeg_progressive(img, 80, "4:2:0")
+    for i in range(400):
+        b = bytearray(buf)
+        if i % 3 == 0:
+            b = b[: rng.integers(2, len(b))]
+        else:
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        try:
+            decode_image(bytes(b))
+        except ImageDecodeError:
+            pass
