@@ -571,10 +571,12 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 256,
                 stereo_mode: str = "independent",
                 subframe: str = "auto", partition_order: int = 0,
                 lpc_coefs=(3, -3, 1), lpc_shift: int = 1,
-                escape_bits=None, use_wasted: bool = False) -> bytes:
+                escape_bits=None, use_wasted: bool = False,
+                bps: int = 16) -> bytes:
     """FLAC writer for fixtures/tests. samples: int16 (n,) mono or
-    (n, ch<=2). Every parameter combination decodes to the same PCM
-    (losslessness is the contract the tests pin)."""
+    (n, ch<=2); bps 16 (default) or 8 (samples must fit [-128, 127]).
+    Every parameter combination decodes to the same PCM (losslessness
+    is the contract the tests pin)."""
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
@@ -585,8 +587,12 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 256,
         raise ValueError(f"stereo_mode {stereo_mode!r}")
     if stereo_mode != "independent" and s.shape[1] != 2:
         raise ValueError("stereo decorrelation needs 2 channels")
+    if bps not in (8, 16):
+        raise ValueError(f"encode_flac: bps {bps} unsupported (8/16)")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if s.min() < lo or s.max() > hi:
+        raise ValueError(f"encode_flac: samples out of {bps}-bit range")
     ns, n_ch = s.shape
-    bps = 16
     # STREAMINFO (md5 = 0 -> unknown, spec-legal)
     si = _BitWriter()
     si.write(block_size, 16)
@@ -612,7 +618,7 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 256,
         ch_code = {"independent": n_ch - 1, "left_side": 8,
                    "right_side": 9, "mid_side": 10}[stereo_mode]
         w.write(ch_code, 4)
-        w.write(4, 3)  # bps: 16
+        w.write(1 if bps == 8 else 4, 3)  # sample-size code
         w.write(0, 1)  # reserved
         for b in _utf8_encode(fno):
             w.write(b, 8)

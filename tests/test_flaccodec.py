@@ -153,3 +153,49 @@ def test_flac_mutation_fuzz_quarantine():
             decode_audio(bytes(b))
         except AudioDecodeError:
             pass
+
+
+def test_8bit_streams():
+    rng = np.random.default_rng(8)
+    pcm = rng.integers(-128, 128, (600, 2)).astype(np.int16)
+    for sm in ("independent", "mid_side"):
+        dec, r = decode_flac(encode_flac(pcm, 8000, bps=8,
+                                         stereo_mode=sm))
+        assert r == 8000 and (dec == pcm).all()
+    with pytest.raises(ValueError):
+        encode_flac(np.array([300], np.int16), 8000, bps=8)
+    with pytest.raises(ValueError):
+        encode_flac(np.array([1], np.int16), 8000, bps=12)
+
+
+def test_hypothesis_roundtrip():
+    # property gate: arbitrary PCM x arbitrary legal encoder params
+    # round-trips exactly (hypothesis shrinks failures to tiny cases)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 700),
+        ch=st.integers(1, 2),
+        bs=st.sampled_from([64, 192, 256]),
+        porder=st.integers(0, 3),
+        sm=st.sampled_from(["independent", "left_side", "right_side",
+                            "mid_side"]),
+        sf=st.sampled_from(["auto", "verbatim", "fixed0", "fixed2",
+                            "fixed4", "lpc"]),
+        wasted=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def prop(n, ch, bs, porder, sm, sf, wasted, seed):
+        if sm != "independent" and ch != 2:
+            sm = "independent"
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+        dec, r = decode_flac(encode_flac(
+            pcm, 8000, block_size=bs, stereo_mode=sm, subframe=sf,
+            partition_order=porder, use_wasted=wasted))
+        assert r == 8000 and dec.shape == pcm.shape
+        assert (dec == pcm).all()
+
+    prop()
