@@ -274,6 +274,64 @@ def synth_gif_media(spark, n_rows: int, partitions: int = 8) -> DataFrame:
         gen, schema=MEDIA_SCHEMA)
 
 
+def payload_byte_bins(media: DataFrame, target_bytes: int,
+                      id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """assign every row a byte-bounded bin id `_bin` by next-fit
+    packing on payload size — the skew tool a 100 TB media table needs
+    before a decode stage (payloads span KB..GB; row-count partitioning
+    gives some tasks 1000x the bytes of others, and one giant payload
+    must not share a task with a thousand small ones).
+
+    Scalable global prefix sum WITHOUT a global sort (a windowless
+    cumsum would collapse to one partition — the classic scale-killer):
+    (1) one narrow pass computes per-input-partition byte totals,
+    (2) a bounded collect (n_partitions rows) turns them into broadcast
+    offsets, (3) a per-partition window (partitionBy the partition id)
+    adds the local running sum. bin = floor(global_cumsum / target), so
+    every bin holds CONSECUTIVE rows and its bytes are bounded by
+    target_bytes + max_row_bytes (next-fit guarantee, tested); a
+    payload >= target lands alone in its bins."""
+    from pyspark.sql import Window
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes {target_bytes} must be > 0")
+    sized = media.withColumn("_sz", F.octet_length(payload_col)) \
+        .withColumn("_p", F.spark_partition_id())
+    totals = {r["_p"]: r["t"] for r in
+              sized.groupBy("_p").agg(F.sum("_sz").alias("t"))
+              .collect()}  # bounded: one row per input partition
+    offsets = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items()
+                         for x in kv])
+    w = (Window.partitionBy("_p").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = F.coalesce(F.sum("_sz").over(w), F.lit(0))
+    return sized.withColumn(
+        "_bin", ((off[F.col("_p")] + run) / F.lit(target_bytes))
+        .cast("long")).drop("_p")
+
+
+def repartition_media_by_bytes(media: DataFrame, target_bytes: int,
+                               id_col: str = "doc_id",
+                               payload_col: str = "payload"
+                               ) -> DataFrame:
+    """repartition a media table so decode tasks see bounded payload
+    bytes: byte-bounded bins from `payload_byte_bins`, one exchange
+    keyed on the bin. Partition = hash(bin) % n_bins, so a partition
+    may receive a few whole bins (expected one) — the bound that
+    matters survives: no bin is ever split, giant payloads stay alone
+    in their bins, and expected bytes per task is target_bytes."""
+    binned = payload_byte_bins(media, target_bytes, id_col, payload_col)
+    n_bins = binned.agg(F.max("_bin")).collect()[0][0]  # 1-row collect
+    return binned.repartition(int(n_bins) + 1, "_bin") \
+        .drop("_sz", "_bin")
+
+
 def decode_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL decode (BMP/PPM/PGM, functions/imagecodec.py) -> per-image
     pixel statistics. Undecodable payloads land in an error column

@@ -69,3 +69,39 @@ def test_afp_fingerprints_container_invariant(spark):
     # from FLAC (not WAV) to get there
     c0 = fp.filter(F.col("doc_id") % 3 == 0).count()
     assert c0 == 12
+
+
+def test_payload_byte_bins_nextfit_bound(spark):
+    import numpy as np
+
+    # payload sizes spanning 3 orders of magnitude incl. one giant
+    rng = np.random.default_rng(0)
+    rows = [(int(i), "blob",
+             bytes(int(s) * b"x"))
+            for i, s in enumerate(
+                list(rng.integers(100, 2000, 300)) + [50_000, 120_000])]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, "
+                                     "payload binary").repartition(7)
+    target = 10_000
+    binned = mm.payload_byte_bins(df, target)
+    agg = binned.groupBy("_bin").agg(
+        F.sum("_sz").alias("b"), F.count("*").alias("n")).collect()
+    max_row = 120_000
+    assert all(r["b"] <= target + max_row for r in agg)
+    # small rows pack near the target: bins holding only small rows
+    # must not be pathologically empty (next-fit: > target - max_small)
+    small_bins = [r for r in agg if r["b"] < 45_000 and r["n"] > 1]
+    assert small_bins, "expected packed small-row bins"
+    # every row binned exactly once
+    assert binned.count() == 302
+
+
+def test_repartition_media_by_bytes_runs_decode(spark):
+    media = mm.synth_image_media(spark, 60, partitions=3)
+    re = mm.repartition_media_by_bytes(media, 4096)
+    stats = mm.decode_pixel_stats(re)
+    agg = stats.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("e"),
+    ).collect()[0]
+    assert agg["n"] == 60 and agg["e"] == 0
