@@ -173,6 +173,22 @@ def test_ann_lsh_recall(emb):
     assert recall_hits == 15  # full recall at bits=8, 4 tables, hamming<=2
 
 
+def test_lsh_bucket_arrow_matches_expr(emb):
+    # the arrow matmul path and the literal-expression JVM path must
+    # assign every vector the SAME buckets (sign decisions are stable
+    # under summation reorder away from the ~1e-13 boundary; this gate
+    # pins it on the real corpus so the oracle replay stays valid)
+    pdf = emb.toPandas()
+    dim = len(pdf["embedding"].iloc[0])
+    a = (similarity.add_lsh_bucket(emb, dim, impl="arrow")
+         .select("vec_id", "buckets").toPandas()
+         .sort_values("vec_id")["buckets"].map(tuple).tolist())
+    e = (similarity.add_lsh_bucket(emb, dim, impl="expr")
+         .select("vec_id", "buckets").toPandas()
+         .sort_values("vec_id")["buckets"].map(tuple).tolist())
+    assert a == e
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 300, partitions=4).cache()
     assert media.count() == 300
