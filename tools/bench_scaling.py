@@ -122,8 +122,10 @@ def run_paired(n_pages: int, rounds: int) -> dict:
         # where the probes themselves cannot scale is a round where
         # the box withdrew capacity — it disqualifies the EPOCH, and
         # says nothing about the engine's plan.
+        alu2 = _pool_time(_cpu_work, 2)
         alu8 = _pool_time(_cpu_work, 8)
         alu32 = _pool_time(_cpu_work, 32)
+        mem2 = _pool_time(_mem_small, 2)
         mem8 = _pool_time(_mem_small, 8)
         mem32 = _pool_time(_mem_small, 32)
         per_round.append({
@@ -132,6 +134,14 @@ def run_paired(n_pages: int, rounds: int) -> dict:
             "eff_8_to_32": round(rnd[8] / (4.0 * rnd[32]), 3),
             "host_alu_eff_8_to_32": round(alu8 / alu32, 3),
             "host_mem_eff_8_to_32": round(mem8 / mem32, 3),
+            # the north rule's N->4N instantiation is 2->8, so label
+            # each round with 2-vs-8 probe cleanliness too: a box can
+            # be bandwidth-starved at 32 streaming workers (which only
+            # pollutes the 8->32 number) while the 2->8 measurement's
+            # resource envelope is clean. Disclosed separately; the
+            # 8->32 gate and fields are unchanged.
+            "host_alu_eff_2_to_8": round(alu2 / alu8, 3),
+            "host_mem_eff_2_to_8": round(mem2 / mem8, 3),
         })
     for p in procs.values():
         try:
@@ -150,8 +160,15 @@ def run_paired(n_pages: int, rounds: int) -> dict:
     valid = [r for r in per_round if r["eff_2_to_8"] <= 1.05]
     clean = [r for r in valid if r["host_alu_eff_8_to_32"] >= 0.85
              and r["host_mem_eff_8_to_32"] >= 0.6]
+    # 2->8-clean rounds gate ONLY the 2->8 (N->4N) claim: the probes
+    # match the resource envelope actually measured (2 vs 8 workers).
+    clean28 = [r for r in valid
+               if r.get("host_alu_eff_2_to_8", 0) >= 0.85
+               and r.get("host_mem_eff_2_to_8", 0) >= 0.6]
     best = max(clean or valid or per_round,
                key=lambda r: r["eff_2_to_8"])
+    best28 = max(clean28, key=lambda r: r["eff_2_to_8"]) \
+        if clean28 else None
     report = {
         "metric": "flagship pages/sec, PAIRED ladder (per-round "
                   "co-epoch 2/8/32 reps from three live JVMs; each "
@@ -171,6 +188,14 @@ def run_paired(n_pages: int, rounds: int) -> dict:
         # ladder can neither evidence nor refute the rule
         "meets_north_rule_0.8": (best["eff_2_to_8"] >= 0.8 if clean
                                  else None),
+        # the 2->8-gated view of the same rounds (None = no round was
+        # 2->8 probe-clean either)
+        "clean_epoch_rounds_2_8": len(clean28),
+        "best_round_2_8": best28,
+        "scaling_efficiency_2_to_8_gated_2_8": (
+            best28["eff_2_to_8"] if best28 else None),
+        "meets_north_rule_0.8_from_2_8": (
+            best28["eff_2_to_8"] >= 0.8 if clean28 else None),
         "identical_output": len(set(counts.values())) == 1,
     }
     print(json.dumps(report))
@@ -218,6 +243,18 @@ def _write_paired_accumulating(report: dict) -> None:
                                 for a in attempts),
         "attempts": attempts,
     }
+    # the 2->8-gated view across attempts (only attempts recorded by
+    # tool versions that took 2-vs-8 probes participate)
+    best28 = max(attempts, key=lambda a: (
+        a.get("clean_epoch_rounds_2_8", 0),
+        a.get("scaling_efficiency_2_to_8_gated_2_8") or 0))
+    if best28.get("clean_epoch_rounds_2_8"):
+        out["clean_epoch_rounds_2_8"] = best28["clean_epoch_rounds_2_8"]
+        out["best_attempt_ts_2_8"] = best28.get("ts")
+        out["scaling_efficiency_2_to_8_gated_2_8"] = best28.get(
+            "scaling_efficiency_2_to_8_gated_2_8")
+        out["meets_north_rule_0.8_from_2_8"] = best28.get(
+            "meets_north_rule_0.8_from_2_8")
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
 
