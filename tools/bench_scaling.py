@@ -75,9 +75,16 @@ def serve_level(cores: int, n_pages: int) -> None:
     spark.stop()
 
 
-def run_paired(n_pages: int, rounds: int) -> dict:
+def run_paired(n_pages: int, rounds: int,
+               reps_per_round: int = 1) -> dict:
     """paired protocol: three live level servers, reps interleaved
-    (2, 8, 32) x rounds; per-round efficiencies + the best round."""
+    (2, 8, 32) x rounds; per-round efficiencies + the best round.
+
+    reps_per_round=2 visits each level twice per round in palindrome
+    order (2,8,32,32,8,2) and keeps the per-level min: a single-rep
+    round makes the round's efficiency hostage to one mid-rep host
+    stall; the palindrome pair damps that while the whole round still
+    fits one ~60-second epoch (disclosed in the metric string)."""
     cores_list = (2, 8, 32)
 
     def _await(p, tag):
@@ -103,16 +110,20 @@ def run_paired(n_pages: int, rounds: int) -> dict:
     per_round = []
     reps = {c: [] for c in cores_list}
     counts = {}
+    visit_order = list(cores_list)
+    if reps_per_round >= 2:
+        visit_order = visit_order + list(reversed(visit_order))
     for _ in range(rounds):
-        rnd = {}
-        for cores in cores_list:
+        rnd_reps = {c: [] for c in cores_list}
+        for cores in visit_order:
             p = procs[cores]
             p.stdin.write("RUN\n")
             p.stdin.flush()
             _, sec, clip, interp = _await(p, "T ").split()
-            rnd[cores] = float(sec)
+            rnd_reps[cores].append(float(sec))
             reps[cores].append(float(sec))
             counts[cores] = (int(clip), int(interp))
+        rnd = {c: min(v) for c, v in rnd_reps.items()}
         # co-epoch HOST capacity labels: fixed per-worker work, so
         # perfect scaling = identical wall time at 8 and 32 workers.
         # ALU = a pure-Python busy-loop (core count); MEM = a small
@@ -173,7 +184,10 @@ def run_paired(n_pages: int, rounds: int) -> dict:
         "metric": "flagship pages/sec, PAIRED ladder (per-round "
                   "co-epoch 2/8/32 reps from three live JVMs; each "
                   "round labeled with a same-epoch pure-ALU host "
-                  "capacity probe)",
+                  "capacity probe)"
+                  + ("; best-of-%d palindrome visits per level within "
+                     "each round" % reps_per_round
+                     if reps_per_round >= 2 else ""),
         "n_pages": n_pages,
         "rounds": per_round,
         "rep_secs": {f"local{c}": reps[c] for c in cores_list},
@@ -292,13 +306,14 @@ def main():
     ap.add_argument("--serve", action="store_true")
     ap.add_argument("--paired", action="store_true")
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--reps-per-round", type=int, default=1)
     args = ap.parse_args()
 
     if args.serve:  # paired-mode child: live server, one rep per RUN
         serve_level(args.cores, N_PAGES)
         return
     if args.paired:
-        run_paired(N_PAGES, args.rounds)
+        run_paired(N_PAGES, args.rounds, args.reps_per_round)
         return
     if args.cores:  # child: one level, print one JSON line
         print("RESULT " + json.dumps(run_level(args.cores, N_PAGES, REPS)))
