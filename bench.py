@@ -117,6 +117,16 @@ def main():
             t0 = time.time()
             out = fn()
             rs.append(round(time.time() - t0, 3))
+        # adaptive third rep: when the two reps disagree >2x the epoch
+        # moved mid-query (burstable host, BASELINE.md); one more rep
+        # keeps the min() estimate from being a pair of stalls. The r4/r5
+        # paired table's apparent 4-6x "regressions" (leakage_safe_split
+        # 9.7s, distance_pairs_join 8.2s) re-measured at 2.0s/3.2s at the
+        # same HEAD once warm — churn, not plans.
+        while max(rs) > 2.0 * min(rs) and len(rs) < reps + 2:
+            t0 = time.time()
+            out = fn()
+            rs.append(round(time.time() - t0, 3))
         timings[name] = min(rs)
         rep_secs[name] = rs
         return out
