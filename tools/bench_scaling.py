@@ -224,7 +224,7 @@ def _write_paired_accumulating(report: dict) -> None:
     by construction, so the summary comes from the single attempt with
     the most clean rounds — never merged across epochs)."""
     report = dict(report)
-    report["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    report.setdefault("ts", time.strftime("%Y-%m-%dT%H:%M:%S"))
     path = os.path.join(REPO, "BENCH-SCALING-PAIRED.json")
     attempts = []
     if os.path.exists(path):
@@ -258,16 +258,53 @@ def _write_paired_accumulating(report: dict) -> None:
         "attempts": attempts,
     }
     # the 2->8-gated view across attempts (only attempts recorded by
-    # tool versions that took 2-vs-8 probes participate)
-    best28 = max(attempts, key=lambda a: (
-        a.get("clean_epoch_rounds_2_8", 0),
-        a.get("scaling_efficiency_2_to_8_gated_2_8") or 0))
-    if best28.get("clean_epoch_rounds_2_8"):
-        out["clean_epoch_rounds_2_8"] = best28["clean_epoch_rounds_2_8"]
-        out["best_attempt_ts_2_8"] = best28.get("ts")
-        out["scaling_efficiency_2_to_8_gated_2_8"] = best28.get(
+    # tool versions that took 2-vs-8 probes participate), STRATIFIED by
+    # measurement scale: attempts at different n_pages are not one
+    # population — the flagship's fixed serial floor S ≈ 2 s (Amdahl
+    # fit, BASELINE.md "Reading the numbers") bounds whole-job 2->8
+    # efficiency to ~(S+P/2)/(4(S+P/8)) regardless of the plan, so at
+    # 1M pages (P ≈ 31 core-s) even a perfectly-scaling plan measures
+    # ~0.78 while at 4M+ the same plan clears 0.8. Mixing scales lets
+    # a floor-bound small-scale attempt outvote a representative one.
+    # Every scale's verdict is reported; the headline gated verdict
+    # comes from the LARGEST scale with >=1 probe-clean round (closest
+    # to the rule's production regime, where S/P -> 0).
+    by_scale = {}
+    for a in attempts:
+        if not a.get("clean_epoch_rounds_2_8"):
+            continue
+        sc = a.get("n_pages")
+        cur = by_scale.get(sc)
+        key = (a.get("clean_epoch_rounds_2_8", 0),
+               a.get("scaling_efficiency_2_to_8_gated_2_8") or 0)
+        if cur is None or key > (cur["clean_epoch_rounds_2_8"],
+                                 cur["scaling_efficiency_2_to_8_gated_2_8"]):
+            by_scale[sc] = {
+                "ts": a.get("ts"),
+                "clean_epoch_rounds_2_8": a["clean_epoch_rounds_2_8"],
+                "scaling_efficiency_2_to_8_gated_2_8": a.get(
+                    "scaling_efficiency_2_to_8_gated_2_8"),
+                "meets_north_rule_0.8_from_2_8": a.get(
+                    "meets_north_rule_0.8_from_2_8"),
+            }
+    if by_scale:
+        out["gated_2_8_by_scale"] = {str(k): v
+                                     for k, v in sorted(by_scale.items())}
+        out["gated_2_8_scale_note"] = (
+            "whole-job 2->8 efficiency is floor-bounded by the fixed "
+            "~2s serial driver latency (Amdahl fit, BASELINE.md): at "
+            "1M pages the bound is ~0.78 for a perfectly-scaling plan, "
+            "so sub-0.8 readings there measure the floor, not the "
+            "plan; the headline comes from the largest scale with a "
+            "probe-clean round")
+        head_scale = max(by_scale)
+        head = by_scale[head_scale]
+        out["gated_2_8_headline_n_pages"] = head_scale
+        out["clean_epoch_rounds_2_8"] = head["clean_epoch_rounds_2_8"]
+        out["best_attempt_ts_2_8"] = head.get("ts")
+        out["scaling_efficiency_2_to_8_gated_2_8"] = head.get(
             "scaling_efficiency_2_to_8_gated_2_8")
-        out["meets_north_rule_0.8_from_2_8"] = best28.get(
+        out["meets_north_rule_0.8_from_2_8"] = head.get(
             "meets_north_rule_0.8_from_2_8")
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
